@@ -1,0 +1,138 @@
+"""Canonicalization: connected-components entity merge (SURVEY.md §2.5 A2).
+
+The reference got entity uniqueness for free from DB constraints; at
+transcript scale the engine must *merge* equivalent surface forms
+distributively. Mandated by BASELINE.json: "salted groupBy +
+connected-components-style merge on normalized surface forms".
+
+Graph: bipartite surface-node ↔ term-node edges from linked mentions
+(plus optional surface↔surface evidence edges). Components are computed
+with the classic hash-min label-propagation loop expressed purely in
+DataFrames:
+
+    comp(v) ← min over neighbors-and-self of comp(...)
+
+Each iteration is one shuffle (groupBy node). Star-shaped components
+around hot entities are exactly the skew case BASELINE.json calls out, so
+the aggregation is *salted*: a two-phase min — partial min on
+(node, salt), final min on node — which bounds any single reducer's input
+to |partition|/n_salt rows. Convergence for the bipartite linking graph is
+≤ 2 hops (diameter 2); the loop still checks a fixpoint via a changed-count
+and caps at max_iter for general graphs. Each iteration localCheckpoints to
+cut lineage (driver-side loop = one Spark job per round, the only loop in
+the engine — SURVEY.md §3.4).
+
+Node ids are prefixed ('0:' terms, '1:' surfaces) so min() always elects a
+term id as the canonical representative when one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_min(df: DataFrame, key: str, val: str, n_salt: int = 8) -> DataFrame:
+    """Two-phase min aggregation (SURVEY.md J3): partial min on
+    (key, salt) — map-side combinable and skew-proof — then final min on
+    key. Result identical to df.groupBy(key).agg(min(val))."""
+    return (
+        df.withColumn("_salt", F.pmod(F.xxhash64(val), F.lit(n_salt)))
+        .groupBy(key, "_salt")
+        .agg(F.min(val).alias(val))
+        .groupBy(key)
+        .agg(F.min(val).alias(val))
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 10, n_salt: int = 8
+) -> DataFrame:
+    """edges(src, dst) → (node, component) with component = min node id in
+    the component. Deterministic at any parallelism."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # self-loop keeps isolated endpoints and seeds comp = own id
+    comp = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    comp = comp.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # push each node's current comp to its neighbors, take min incl. self
+        pushed = (
+            sym.join(comp, sym.src == comp.node)
+            .select(F.col("dst").alias("node"), "comp")
+            .unionByName(comp.select("node", "comp"))
+        )
+        new_comp = salted_min(pushed, "node", "comp", n_salt).localCheckpoint(eager=True)
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def canonicalize(linked_mentions: DataFrame, n_salt: int = 8) -> tuple[DataFrame, DataFrame]:
+    """linked term mentions → (nodes, edges) graph tables.
+
+    nodes(node_id, node_kind, canonical_label, aliases, n_mentions)
+    edges(src, dst, rel, weight)
+    """
+    pairs = linked_mentions.select(
+        F.concat(F.lit("1:"), "match_norm").alias("src"),
+        F.concat(F.lit("0:"), "term_id").alias("dst"),
+        "term_label",
+    )
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .withColumn("rel", F.lit("linksTo"))
+        .select("src", "dst", "rel", "weight")
+    )
+    comp = connected_components(edges.select("src", "dst"), n_salt=n_salt)
+
+    # per-component rollup: canonical id = the (term-first) min node id
+    members = comp.withColumn(
+        "surface",
+        F.when(F.col("node").startswith("1:"), F.expr("substring(node, 3)")),
+    )
+    mention_counts = linked_mentions.groupBy(
+        F.concat(F.lit("1:"), "match_norm").alias("node")
+    ).agg(F.count("*").alias("n"))
+    labels = linked_mentions.select(
+        F.concat(F.lit("0:"), "term_id").alias("node"),
+        F.col("term_label").alias("label"),
+    ).dropDuplicates(["node"])
+
+    nodes = (
+        members.join(mention_counts, "node", "left")
+        .join(labels, "node", "left")
+        .groupBy("comp")
+        .agg(
+            F.sort_array(F.collect_set("surface")).alias("aliases"),
+            F.sum(F.coalesce("n", F.lit(0))).alias("n_mentions"),
+            F.min("label").alias("canonical_label"),
+        )
+        .select(
+            F.expr("substring(comp, 3)").alias("node_id"),
+            F.when(F.col("comp").startswith("0:"), F.lit("entity"))
+            .otherwise(F.lit("surface"))
+            .alias("node_kind"),
+            F.coalesce(
+                "canonical_label", F.expr("substring(comp, 3)")
+            ).alias("canonical_label"),
+            "aliases",
+            "n_mentions",
+        )
+    )
+    return nodes, edges

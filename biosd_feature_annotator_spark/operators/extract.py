@@ -1,0 +1,234 @@
+"""Text-mining extraction operators (SURVEY.md §2.3 X1-X5).
+
+Re-implements, Spark-first, what the reference does in
+uk.ac.ebi.fg.biosd.annotator.NumericalTextAnnotator and its date/range
+extractors (reconstructed — SURVEY.md §0.3): parsing single numbers,
+numeric ranges, dates, units, plus in-text ontology-term mention scanning
+(the reference shipped whole property strings to ZOOMA; transcript turns
+are long, so the engine scans for mentions in place — BASELINE.json
+"batched mention detection ... lexicons as broadcast tries").
+
+Execution model: ONE iterator-form ``mapInPandas`` pass per input split —
+the lexicon automaton compiles once per task, each Arrow batch (~10k rows)
+is processed as pandas columns, and one output row is emitted per mention.
+No per-row Python at the API level, no shuffle (extraction is
+partition-local), no second scan of the text column.
+
+Frozen semantics (FIXTURES.md §3, mirrored by tests/golden):
+
+- precedence  date ⊐ range ⊐ number  with span consumption: a span claimed
+  by a higher-precedence extractor is masked (replaced by spaces, offsets
+  preserved) before lower ones run.
+- number grammar  [+-]?\\d+(.\\d+)?([eE][+-]?\\d+)?  with word boundaries
+  (not preceded by [\\w./+-], not followed by \\w).
+- range grammar   <num> (-|–|to|..) <num>   (≤3 ws around the separator)
+  and  between <num> and <num>;  lo/hi normalized so lo ≤ hi.
+- date formats, priority order: yyyy-MM-dd, dd/MM/yyyy, dd-MMM-yyyy,
+  MMM yyyy; bare yyyy only when 1900-2099 and preceded by in/since/year.
+- units: the token immediately after a number/range, resolved through the
+  unit lexicon to its canonical singular label.
+- object serialization: num:<shortest-repr>, range:[<lo>,<hi>]<unit?>,
+  date:<ISO-8601 date>.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from datetime import date
+
+import pandas as pd
+
+from ..sources.lexicon import Lexicon, norm_surface
+
+# ---------------------------------------------------------------- grammar
+
+_NUM = r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_NUM_RE = re.compile(rf"(?<![\w./+-])({_NUM})(?!\w)")
+_RANGE_RE = re.compile(
+    rf"(?<![\w./+-])({_NUM})[ \t]{{0,3}}(?:-|–|to|\.\.)[ \t]{{0,3}}({_NUM})(?!\w)"
+)
+_BETWEEN_RE = re.compile(rf"\bbetween\s+({_NUM})\s+and\s+({_NUM})(?!\w)", re.IGNORECASE)
+
+_MONTHS = "jan feb mar apr may jun jul aug sep oct nov dec".split()
+_MONTH_NO = {m: i + 1 for i, m in enumerate(_MONTHS)}
+_DATE_RES = [
+    ("ymd", re.compile(r"(?<![\w./+-])(\d{4})-(\d{2})-(\d{2})(?!\w)")),
+    ("dmy_slash", re.compile(r"(?<![\w./+-])(\d{2})/(\d{2})/(\d{4})(?!\w)")),
+    ("dmy_mon", re.compile(r"(?<![\w./+-])(\d{1,2})-([A-Za-z]{3,9})-(\d{4})(?!\w)", re.IGNORECASE)),
+    ("mon_y", re.compile(r"\b(" + "|".join(_MONTHS) + r")[a-z]*\.?[ \t]+(\d{4})(?!\d)", re.IGNORECASE)),
+    ("bare_y", re.compile(r"\b(?:in|since|year)[ \t]+((?:19|20)\d{2})(?!\d)", re.IGNORECASE)),
+]
+
+_AGE_CTX_RE = re.compile(r"\b(age|aged|old)\b", re.IGNORECASE)
+_UNIT_AFTER_RE = re.compile(r"^[ \t]{0,3}([A-Za-z]+)")
+_TOKEN_RE = re.compile(r"\w+")
+
+TIME_UNITS = {"year", "week", "month", "day"}
+
+
+def fmt_num(v: float) -> str:
+    """Shortest round-trip serialization; integral floats print as ints
+    (num:40, not num:40.0) — frozen in FIXTURES.md §3."""
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _mask(text: str, spans: list[tuple[int, int]]) -> str:
+    if not spans:
+        return text
+    chars = list(text)
+    for b, e in spans:
+        for i in range(b, e):
+            chars[i] = " "
+    return "".join(chars)
+
+
+def _parse_date(kind: str, m: re.Match) -> date | None:
+    try:
+        if kind == "ymd":
+            return date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        if kind == "dmy_slash":
+            return date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
+        if kind == "dmy_mon":
+            mon = _MONTH_NO.get(m.group(2)[:3].lower())
+            return date(int(m.group(3)), mon, int(m.group(1))) if mon else None
+        if kind == "mon_y":
+            return date(int(m.group(2)), _MONTH_NO[m.group(1)[:3].lower()], 1)
+        if kind == "bare_y":
+            return date(int(m.group(1)), 1, 1)
+    except ValueError:
+        return None
+    return None
+
+
+def _unit_after(text: str, end: int, unit_map: dict[str, str]) -> str | None:
+    m = _UNIT_AFTER_RE.match(text[end:])
+    if m:
+        return unit_map.get(m.group(1).lower())
+    return None
+
+
+def extract_from_text(text: str | None, lex: Lexicon) -> list[dict]:
+    """Extract every mention from one turn's text. Pure function — the unit
+    of golden-equivalence with the reference's extractor tests."""
+    if not text or not text.strip():
+        return []
+    out: list[dict] = []
+    age_ctx = bool(_AGE_CTX_RE.search(text))
+
+    # --- X5 term mentions (on the original text)
+    matched_tids: set[str] = set()
+    for m in lex.pattern().finditer(text):
+        surf = m.group(0)
+        nrm = norm_surface(surf)
+        hit = lex.surface_map.get(nrm)
+        if not hit:
+            continue
+        tid, kind = hit
+        matched_tids.add(tid)
+        out.append(
+            dict(kind="term", surface=surf, match_norm=nrm, match_kind=kind,
+                 begin=m.start(), end=m.end(), obj=None, num=None, lo=None,
+                 hi=None, unit=None, age_ctx=age_ctx)
+        )
+    # MEDIUM path: all label tokens present, but no exact surface match
+    toks = {t.lower() for t in _TOKEN_RE.findall(text)}
+    for tid, label_toks in lex.token_labels:
+        if tid not in matched_tids and all(t in toks for t in label_toks):
+            nrm = " ".join(label_toks)
+            out.append(
+                dict(kind="term", surface=nrm, match_norm=nrm, match_kind="tokens",
+                     begin=-1, end=-1, obj=None, num=None, lo=None, hi=None,
+                     unit=None, age_ctx=age_ctx)
+            )
+
+    # --- X3 dates (highest value precedence), with progressive masking
+    masked = text
+    spans: list[tuple[int, int]] = []
+    for kind, rx in _DATE_RES:
+        for m in rx.finditer(masked):
+            d = _parse_date(kind, m)
+            if d is None:
+                continue
+            b, e = (m.span(1) if kind == "bare_y" else m.span())
+            spans.append((b, e))
+            out.append(
+                dict(kind="date", surface=text[b:e], match_norm=None, match_kind=None,
+                     begin=b, end=e, obj=f"date:{d.isoformat()}", num=None,
+                     lo=None, hi=None, unit=None, age_ctx=age_ctx)
+            )
+        masked = _mask(masked, spans)
+
+    # --- X2 ranges on date-masked text
+    for rx in (_RANGE_RE, _BETWEEN_RE):
+        for m in rx.finditer(masked):
+            lo, hi = float(m.group(1)), float(m.group(2))
+            if lo > hi:
+                lo, hi = hi, lo
+            unit = _unit_after(masked, m.end(), lex.unit_map)
+            b, e = m.span()
+            spans.append((b, e))
+            out.append(
+                dict(kind="range", surface=text[b:e], match_norm=None, match_kind=None,
+                     begin=b, end=e,
+                     obj=f"range:[{fmt_num(lo)},{fmt_num(hi)}]{unit or ''}",
+                     num=None, lo=lo, hi=hi, unit=unit, age_ctx=age_ctx)
+            )
+        masked = _mask(masked, spans)
+
+    # --- X1 numbers on date+range-masked text
+    for m in _NUM_RE.finditer(masked):
+        v = float(m.group(1))
+        unit = _unit_after(masked, m.end(), lex.unit_map)
+        b, e = m.span()
+        out.append(
+            dict(kind="number", surface=text[b:e], match_norm=None, match_kind=None,
+                 begin=b, end=e, obj=f"num:{fmt_num(v)}", num=v, lo=None,
+                 hi=None, unit=unit, age_ctx=age_ctx)
+        )
+    return out
+
+
+# ------------------------------------------------------------- Spark side
+
+MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, subj string, kind string, surface string, "
+    "match_norm string, match_kind string, begin int, end int, obj string, "
+    "num double, lo double, hi double, unit string, age_ctx boolean"
+)
+
+_MENTION_COLS = [
+    "conv_id", "turn_idx", "subj", "kind", "surface", "match_norm",
+    "match_kind", "begin", "end", "obj", "num", "lo", "hi", "unit", "age_ctx",
+]
+
+
+def extract_mentions(transcripts, lex: Lexicon):
+    """transcripts(conv_id, turn_idx, text, ...) → mentions DataFrame.
+
+    Single partition-local mapInPandas pass; blank/NULL text rows are
+    filtered JVM-side first (SURVEY.md P2) so Arrow never ships them.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex.pattern()  # compile once per task
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
+            ):
+                for m in extract_from_text(text, lex):
+                    m["conv_id"] = conv_id
+                    m["turn_idx"] = int(turn_idx)
+                    m["subj"] = f"{conv_id}:{turn_idx}"
+                    rows.append(m)
+            yield pd.DataFrame(rows, columns=_MENTION_COLS)
+
+    from pyspark.sql import functions as F
+
+    src = transcripts.where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select("conv_id", "turn_idx", "text")
+    return src.mapInPandas(run, schema=MENTION_SCHEMA)

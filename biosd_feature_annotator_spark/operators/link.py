@@ -1,0 +1,167 @@
+"""Entity linking + predicate routing + triple assembly.
+
+Mirrors the reference's OntoDiscoveryAndAnnotator → ZoomaOntoTermDiscoverer
+confidence-ranked mapping (SURVEY.md §2.4 J2, §2.6 W1 — reconstructed) as a
+pure DataFrame plan:
+
+1. J1 memoization: the reference annotated each *distinct* normalized
+   string once (Guava-Table store). Here the link join runs on
+   ``dropDuplicates(match_norm, match_kind)`` of the mention keys and fans
+   results back by equi-join — set semantics without driver-side caching.
+2. J2 dictionary lookup: broadcast hash join mentions ⋈ lexicon on
+   (match_norm, match_kind). The dictionary is tiny relative to executor
+   memory; at >broadcast-threshold dictionary sizes drop the hint and AQE
+   falls back to sort-merge.
+3. W1 best-link: row_number over (subj, match_norm) ordered by
+   (conf desc, term_id) — the deterministic "keep the best ranked
+   prediction" step (ZOOMA kept the top prediction above threshold).
+4. P5 predicate routing: a when/otherwise chain, fully codegen'd —
+   time-unit + age-context numbers become hasAge/hasAgeRange
+   (FIXTURES.md §3.4), everything else hasNumber/hasRange/hasDate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .extract import TIME_UNITS
+
+TRIPLE_COLS = [
+    "subj", "pred", "obj", "obj_kind", "conf", "confidence", "unit",
+    "provenance", "conv_id", "turn_idx",
+]
+
+
+def link_entities(
+    mentions: DataFrame, lex_df: DataFrame, memoize: bool = False
+) -> DataFrame:
+    """Term mentions → scored candidate links (broadcast hash join).
+
+    memoize=True reproduces the reference's J1 memo-store semantics
+    explicitly: score each *distinct* (match_norm, match_kind) key once,
+    then fan results back to mentions by equi-join. With a broadcast
+    dictionary both shapes cost the same; the flag exists for expensive
+    scorers (e.g. a model-based linker) where per-distinct-key work is the
+    win the reference's Guava-Table cache bought."""
+    terms = mentions.where(F.col("kind") == "term")
+    if memoize:
+        keys = terms.select("match_norm", "match_kind").dropDuplicates()
+        scored_keys = keys.join(
+            F.broadcast(lex_df), on=["match_norm", "match_kind"], how="inner"
+        )
+        return terms.join(scored_keys, on=["match_norm", "match_kind"], how="inner")
+    return terms.join(
+        F.broadcast(lex_df), on=["match_norm", "match_kind"], how="inner"
+    )
+
+
+def best_link(scored: DataFrame) -> DataFrame:
+    """Keep the best-confidence link per (subj, normalized surface);
+    deterministic tie-break on term_id (SURVEY.md W1)."""
+    w = Window.partitionBy("subj", "match_norm").orderBy(
+        F.desc("conf"), F.asc("term_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def route_predicates(value_mentions: DataFrame) -> DataFrame:
+    """P5: route number/range/date mentions to predicates."""
+    is_age = F.col("age_ctx") & F.col("unit").isin(sorted(TIME_UNITS))
+    pred = (
+        F.when((F.col("kind") == "number") & is_age, F.lit("hasAge"))
+        .when(F.col("kind") == "number", F.lit("hasNumber"))
+        .when((F.col("kind") == "range") & is_age, F.lit("hasAgeRange"))
+        .when(F.col("kind") == "range", F.lit("hasRange"))
+        .otherwise(F.lit("hasDate"))
+    )
+    return value_mentions.withColumn("pred", pred)
+
+
+def term_triples(mentions: DataFrame, lex_df: DataFrame) -> DataFrame:
+    return term_triples_from_linked(best_link(link_entities(mentions, lex_df)))
+
+
+def term_triples_from_linked(linked: DataFrame) -> DataFrame:
+    return (
+        linked.where(F.col("pred") != "(context)")
+        .select(
+            "subj",
+            "pred",
+            F.col("term_id").alias("obj"),
+            F.lit("term").alias("obj_kind"),
+            "conf",
+            "confidence",
+            F.lit(None).cast("string").alias("unit"),
+            F.lit("link").alias("provenance"),
+            "conv_id",
+            "turn_idx",
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+def value_triples(mentions: DataFrame) -> DataFrame:
+    vals = route_predicates(mentions.where(F.col("kind") != "term"))
+    return vals.select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("kind").alias("obj_kind"),
+        F.lit(1.0).alias("conf"),
+        F.lit("HIGH").alias("confidence"),
+        "unit",
+        F.lit("extract").alias("provenance"),
+        "conv_id",
+        "turn_idx",
+    ).dropDuplicates(["subj", "pred", "obj"])
+
+
+def structural_triples(transcripts: DataFrame) -> DataFrame:
+    """g42/g43: every turn asserts saidBy; tool turns assert usesTool."""
+    base = transcripts.select(
+        F.concat_ws(":", "conv_id", "turn_idx").alias("subj"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+    )
+    said = base.where(F.col("role").isNotNull()).select(
+        "subj",
+        F.lit("saidBy").alias("pred"),
+        F.concat(F.lit("role:"), "role").alias("obj"),
+        F.lit("role").alias("obj_kind"),
+        F.lit(1.0).alias("conf"),
+        F.lit("HIGH").alias("confidence"),
+        F.lit(None).cast("string").alias("unit"),
+        F.lit("structural").alias("provenance"),
+        "conv_id",
+        "turn_idx",
+    )
+    used = base.where(F.col("tool").isNotNull()).select(
+        "subj",
+        F.lit("usesTool").alias("pred"),
+        F.concat(F.lit("tool:"), "tool").alias("obj"),
+        F.lit("tool").alias("obj_kind"),
+        F.lit(1.0).alias("conf"),
+        F.lit("HIGH").alias("confidence"),
+        F.lit(None).cast("string").alias("unit"),
+        F.lit("structural").alias("provenance"),
+        "conv_id",
+        "turn_idx",
+    )
+    return said.unionByName(used)
+
+
+def assemble_triples(
+    transcripts: DataFrame, mentions: DataFrame, lex_df: DataFrame
+) -> DataFrame:
+    """U1: union of the three triple streams, stable column order."""
+    t = term_triples(mentions, lex_df)
+    v = value_triples(mentions)
+    s = structural_triples(transcripts)
+    return t.unionByName(v).unionByName(s).select(*TRIPLE_COLS)

@@ -1,0 +1,179 @@
+"""Graph materialization, lineage manifests, resume, purge
+(SURVEY.md §2.1 S4/S6/S7, §2.4 J4).
+
+The reference bulk-flushed annotations through Hibernate inside a DB
+transaction (persistence/AnnotatorPersister — reconstructed); its resume
+unit was the transaction. The engine's unit is the *partition*:
+
+- triples land partitioned by (run_id, part_id) where
+  part_id = pmod(xxhash64(conv_id), n_parts) — every conversation maps to
+  exactly one part, so a part is a self-contained, idempotently
+  re-writable unit (dynamic partition overwrite).
+- after the write, one manifest row per part records lineage + metrics:
+  input rows, emitted triples, an order-insensitive content fingerprint
+  (bit_xor of row hashes), wall time. This is the parquet-backend stand-in
+  for an Iceberg snapshot (SURVEY.md §7.3(1)); on a cluster the same code
+  targets `df.writeTo(table).overwritePartitions()`.
+- resume: parts present in the manifest with status=done are anti-joined
+  out of the input (J4) — a crashed run re-processes only missing parts,
+  and re-writing a part is idempotent.
+- purge (S7): drop one run's partition directories (Iceberg:
+  DELETE WHERE run_id = ...).
+
+Write amplification note for 100 TB: partitionBy(run_id, part_id) with
+part_id pre-shuffled means each task writes exactly one partition dir —
+no small-file explosion. n_parts should be ~#executor-cores × small
+constant locally, thousands on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lexicon import Lexicon
+from .pipeline import annotate
+
+MANIFEST_SCHEMA = (
+    "run_id string, part_id int, status string, n_rows long, n_triples long, "
+    "input_fingerprint long, triple_fingerprint long, wall_ms long, ts timestamp"
+)
+
+
+def with_part_id(df: DataFrame, n_parts: int, key: str = "conv_id") -> DataFrame:
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64(key), F.lit(n_parts)).cast("int")
+    )
+
+
+def fingerprint(df: DataFrame, cols: list[str], by: str = "part_id") -> DataFrame:
+    """Order-insensitive per-part content hash: bit_xor of per-row xxhash64.
+    bit_xor never overflows (sum would, under ANSI mode) and is
+    commutative — identical at any parallelism."""
+    row_h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in cols])
+    return (
+        df.withColumn("_h", row_h)
+        .groupBy(by)
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(_h)").alias("fp"))
+    )
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifests")
+
+
+def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    p = manifest_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def materialize_graph(
+    tables: dict[str, DataFrame], out_dir: str, run_id: str
+) -> None:
+    """S4: write nodes/edges (triples go through run_annotate's
+    partitioned path)."""
+    for name in ("nodes", "edges"):
+        if name in tables:
+            tables[name].write.mode("overwrite").parquet(
+                os.path.join(out_dir, name, f"run_id={run_id}")
+            )
+
+
+def run_annotate(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    lex: Lexicon,
+    out_dir: str,
+    run_id: str,
+    n_parts: int = 32,
+    only_parts: list[int] | None = None,
+    resume: bool = False,
+    build_graph: bool = True,
+) -> DataFrame:
+    """Annotate → partitioned triple sink + manifests. Returns the manifest
+    rows written by THIS invocation.
+
+    only_parts simulates a partial/crashed run in tests; resume=True skips
+    parts already marked done in the manifest (anti-join J4).
+    """
+    t0 = time.time()
+    src = with_part_id(transcripts, n_parts)
+
+    if resume:
+        done = read_manifests(spark, out_dir)
+        if done is not None:
+            done_parts = done.where(
+                (F.col("run_id") == run_id) & (F.col("status") == "done")
+            ).select("part_id").dropDuplicates()
+            src = src.join(done_parts, "part_id", "left_anti")
+    if only_parts is not None:
+        src = src.where(F.col("part_id").isin(only_parts))
+
+    plan = annotate(spark, src, lex, build_graph=build_graph)
+    # part_id is a pure function of conv_id — recompute on the output
+    # rather than joining it back through the pipeline
+    triples = with_part_id(plan["triples"], n_parts)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        triples.repartition("part_id")
+        .write.partitionBy("part_id")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "triples", f"run_id={run_id}"))
+    )
+
+    # manifest: metrics from what was actually written (read-back = the
+    # strongest lineage evidence) joined to input counts
+    written = spark.read.parquet(os.path.join(out_dir, "triples", f"run_id={run_id}"))
+    if only_parts is not None or resume:
+        processed = src.select("part_id").dropDuplicates()
+        written = written.join(processed, "part_id", "left_semi")
+    t_fp = fingerprint(written, ["subj", "pred", "obj", "confidence"])
+    i_fp = fingerprint(src, ["conv_id", "turn_idx", "text"])
+    wall_ms = int((time.time() - t0) * 1000)
+    manifest = (
+        i_fp.withColumnRenamed("n", "n_rows").withColumnRenamed("fp", "input_fingerprint")
+        .join(
+            t_fp.withColumnRenamed("n", "n_triples").withColumnRenamed("fp", "triple_fingerprint"),
+            "part_id",
+            "left",
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "part_id",
+            F.lit("done").alias("status"),
+            "n_rows",
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+            "input_fingerprint",
+            "triple_fingerprint",
+            F.lit(wall_ms).alias("wall_ms"),
+            F.current_timestamp().alias("ts"),
+        )
+    )
+    manifest.write.mode("append").parquet(manifest_path(out_dir))
+
+    if build_graph:
+        materialize_graph(plan, out_dir, run_id)
+    return spark.read.parquet(manifest_path(out_dir)).where(F.col("run_id") == run_id)
+
+
+def read_triples(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
+    p = os.path.join(out_dir, "triples")
+    if run_id is not None:
+        return spark.read.parquet(os.path.join(p, f"run_id={run_id}"))
+    return spark.read.option("basePath", p).parquet(p)
+
+
+def purge_run(out_dir: str, run_id: str) -> None:
+    """S7: drop one run's data (local parquet backend: remove partition
+    dirs; Iceberg backend: DELETE FROM ... WHERE run_id=...)."""
+    for name in ("triples", "nodes", "edges"):
+        p = os.path.join(out_dir, name, f"run_id={run_id}")
+        if os.path.exists(p):
+            shutil.rmtree(p)

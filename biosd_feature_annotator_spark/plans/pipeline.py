@@ -1,0 +1,71 @@
+"""End-to-end annotation plan (SURVEY.md §3.4).
+
+The declarative equivalent of the reference's imperative campaign
+(AnnotateCmd → AnnotatorService thread pool → PropertyValAnnotationManager
+→ AnnotatorPersister, SURVEY.md §3.1): one lazy DataFrame plan per output
+table, shared subplans reused (the linked-mention frame feeds both the
+triple stream and canonicalization).
+
+Scale notes (the parts that matter at 100 TB):
+- input is explicitly repartitioned by hash(conv_id) (BASELINE.json): one
+  shuffle, after which extraction, structural triples and the per-subject
+  windows are all partition-local.
+- the lexicon travels once per executor (broadcast), never per row.
+- linking runs on the *deduplicated* (match_norm, match_kind) keys only if
+  `memoize=True` (J1 semantics) — at transcript scale the same surface
+  repeats millions of times; the dictionary join then fans results back by
+  an equi-join on the same key, which AQE plans as broadcast when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import canonicalize
+from ..operators.extract import extract_mentions
+from ..operators.link import (
+    best_link,
+    link_entities,
+    structural_triples,
+    term_triples_from_linked,
+    value_triples,
+    TRIPLE_COLS,
+)
+from ..sources.lexicon import Lexicon, lexicon_df
+
+
+def annotate(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    lex: Lexicon,
+    repartition: int | None = None,
+    build_graph: bool = True,
+) -> dict[str, DataFrame]:
+    """Assemble the full plan; returns lazy DataFrames keyed by table name:
+    mentions, triples, and (if build_graph) nodes + edges."""
+    n = repartition or spark.sparkContext.defaultParallelism * 2
+    src = transcripts.repartition(n, F.col("conv_id"))
+
+    mentions = extract_mentions(src, lex)
+    lex_df = lexicon_df(spark, lex)
+    linked = best_link(link_entities(mentions, lex_df))
+
+    triples = (
+        term_triples_from_linked(linked)
+        .unionByName(value_triples(mentions))
+        .unionByName(structural_triples(src))
+        .select(*TRIPLE_COLS)
+    )
+
+    out: dict[str, DataFrame] = {"mentions": mentions, "triples": triples}
+    if build_graph:
+        nodes, edges = canonicalize(linked)
+        out["nodes"] = nodes
+        out["edges"] = edges
+    return out
+
+
+def stable_triples(triples: DataFrame) -> DataFrame:
+    """O1 deterministic output order for golden hashing / diffing."""
+    return triples.orderBy("subj", "pred", "obj")
