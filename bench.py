@@ -1,0 +1,107 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline = the KG-construction pipeline (synth transcripts → triples) plus
+representative relational/training-data queries on $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1), on local[$SPARK_GRAFT_CPUS].
+
+Timing excludes session startup; each query is forced with a noop sink /
+count so nothing is collected to the driver. Env knobs:
+    SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_TURNS
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from biosd_feature_annotator_spark.session import get_spark  # noqa: E402
+from biosd_feature_annotator_spark.sources.lexicon import load_lexicon  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
+
+RELATIONAL = [
+    "pricing_summary",
+    "star_join_revenue",
+    "rank_customers",
+    "cube_orders",
+    "json_props",
+    "doc_token_stats",
+    "dedup_exact_docs",
+    "docs_minhash_pairs",
+    "emb_ann_topk",
+]
+
+
+def force(df) -> int:
+    """Force full evaluation without driver-side collect."""
+    return df.count()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
+    lex = load_lexicon(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests", "golden", "lexicon.json"))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- headline: KG pipeline over BENCH_TURNS synthetic transcripts
+    from biosd_feature_annotator_spark.plans.pipeline import annotate
+    from biosd_feature_annotator_spark.synth import synth_transcripts
+
+    transcripts = synth_transcripts(spark, BENCH_TURNS).persist()
+    n_turns = transcripts.count()  # materialize input outside the timed window
+
+    t0 = time.time()
+    triples = annotate(spark, transcripts, lex, build_graph=False)["triples"]
+    n_triples = force(triples)
+    dt = time.time() - t0
+    timings["kg_annotate"] = round(dt, 3)
+    extras["n_turns"] = n_turns
+    extras["n_triples"] = n_triples
+    extras["turns_per_sec"] = round(n_turns / dt, 1)
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+
+    t0 = time.time()
+    graph = annotate(spark, transcripts.where("conv_id like 'c0000000%'"), lex)
+    force(graph["nodes"])
+    timings["kg_graph_cc"] = round(time.time() - t0, 3)
+    transcripts.unpersist()
+
+    # --- relational / training-data queries on the sf tables
+    qs = entrymod.queries()
+    for name in RELATIONAL:
+        t0 = time.time()
+        force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_and_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,7 +68,19 @@ def connected_components(
             .select(F.col("dst").alias("node"), "comp")
             .unionByName(comp.select("node", "comp"))
         )
-        new_comp = salted_min(pushed, "node", "comp", n_salt).localCheckpoint(eager=True)
+        new_comp = salted_min(pushed, "node", "comp", n_salt)
+        # pointer jumping (path compression): comp(v) ← comp(comp(v)).
+        # Neighbor-min alone moves the min one hop per round (O(diameter));
+        # with jumping each round roughly halves pointer depth → O(log n)
+        # rounds even on path graphs.
+        x, y = new_comp.alias("x"), new_comp.alias("y")
+        new_comp = (
+            x.join(y, F.col("x.comp") == F.col("y.node"), "left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
+            )
+        ).localCheckpoint(eager=True)
         changed = (
             new_comp.alias("n")
             .join(comp.alias("o"), "node")

@@ -1,0 +1,256 @@
+"""Document deduplication suite — exact, MinHash+LSH, SimHash, n-gram
+Jaccard. First-class components of a training-data pipeline at 100 TB
+(driver mandate), generalizing the reference's distinct-text memoization
+(SURVEY.md §2.5 A1) from "dedupe identical property strings" to "dedupe
+near-identical documents".
+
+Everything here is JVM-side DataFrame algebra — shingling, hashing
+(xxhash64), min-aggregation, banding and bucket self-joins — no Python
+UDFs at all, so the whole suite stays inside whole-stage codegen and
+scales by partitioning:
+
+- exact:   one groupBy on the text hash (map-side combinable).
+- MinHash: explode word shingles (one shuffle to group by doc is avoided —
+  shingling is a per-row array op; the only shuffle is the signature
+  groupBy), k independent permutations approximated by xxhash64(shingle,
+  seed_k), LSH banding so candidate generation is an equi-join on
+  (band_idx, band_hash) — never an all-pairs product. Hot buckets (boiler-
+  plate docs) are bounded by `max_bucket` to keep the self-join skew-safe.
+- SimHash: 64-bit signature from token-hash bit votes; near-dup candidates
+  via 4×16-bit band equality (Hamming ≤ 3 guarantee by pigeonhole), then
+  exact Hamming verify with bit_count(xor).
+- n-gram Jaccard: distinct-shingle self-join with document-frequency
+  capping (stopword-shingle removal) — the exact-verification companion to
+  MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_text_col(col) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (text_hash, keep_id,
+    dup_ids, n_dups). keep_id = min id (deterministic survivor)."""
+    h = F.xxhash64(norm_text_col(F.col(text_col)))
+    return (
+        df.select(F.col(id_col).alias("doc"), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc").alias("keep_id"),
+            F.count("*").alias("group_size"),
+            F.sort_array(F.collect_list("doc")).alias("members"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivor rows only — deterministic min-id per normalized text."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(norm_text_col(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+
+
+# --------------------------------------------------------------- shingles
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc, shingle_hash) — distinct word n-grams per doc, hashed JVM-side.
+    Shingling is pure array algebra: split → transform over a sequence of
+    start offsets → slice/join — no UDF, no shuffle."""
+    toks = F.split(norm_text_col(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .select("doc", F.xxhash64("shingle").alias("sh"))
+        .dropDuplicates(["doc", "sh"])
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc, sig array<long>): sig[k] = min over shingles of
+    xxhash64(sh, k). One hash-aggregate; partial aggregation makes it
+    map-side combinable, so the shuffle carries one row per (doc) not per
+    (doc, shingle)."""
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(k))).alias(f"h{k}") for k in range(num_hashes)
+    ]
+    sig = shingled.groupBy("doc").agg(*aggs)
+    return sig.select(
+        "doc", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, max_bucket: int = 50
+) -> DataFrame:
+    """Band the signature, bucket-join. (a, b) pairs with a < b.
+    max_bucket drops degenerate buckets (boilerplate) — the skew guard;
+    dropped buckets are exactly the ones exact-dedup already catches."""
+    n = signatures.select(F.size("sig")).first()[0]
+    rows_per_band = n // bands
+    banded = signatures.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ])
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    sized = banded.join(
+        banded.groupBy("band", "bh").agg(F.count("*").alias("bsz")).where(
+            (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
+        ),
+        ["band", "bh"],
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("a"), F.col("b.doc").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs via shingle-set joins."""
+    sizes = shingled.groupBy("doc").agg(F.count("*").alias("n"))
+    # intersection size: join shingles of a and b on the shingle hash
+    sa = shingled.select(F.col("doc").alias("a"), "sh")
+    sb = shingled.select(F.col("doc").alias("b"), "sh")
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "sh"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str,
+    shingle_n: int = 3, num_hashes: int = 16, bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash→LSH→exact-verify pipeline. Returns (a, b, jaccard)."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, bands)
+    return verify_jaccard(cand, sh, threshold)
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, simhash long): 64-bit majority-vote signature over token
+    hashes. The 64 bit-votes are plain conditional sums — wide but fully
+    codegen'd, one aggregate."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash: 4×16-bit band bucketing (any pair with
+    Hamming ≤ 3 shares ≥ 1 exact band), exact popcount verify."""
+    sig = simhash(df, id_col, text_col)
+    bands = sig.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+            )
+            for b in range(4)
+        ])).alias("bb"),
+    ).select("doc", "simhash", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("a"), F.col("b.doc").alias("b"),
+            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard (exact)
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, threshold: float = 0.8, max_df: int = 100,
+) -> DataFrame:
+    """Exact all-pairs Jaccard via the distinct-shingle inverted index.
+    max_df drops shingles appearing in > max_df docs (the join-explosion
+    guard — same role as IDF pruning)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count("*").alias("df_")).where(F.col("df_") <= max_df),
+        "sh",
+    ).select("doc", "sh")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    sa = rare.select(F.col("doc").alias("a"), "sh")
+    sb = rare.select(F.col("doc").alias("b"), "sh")
+    inter = (
+        sa.join(sb, "sh").where(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract (query_id, neighbor_id, cos):
+
+- ``cosine_topk`` — brute force. The dot product is pure Catalyst
+  (zip_with + aggregate, whole-stage codegen'd); top-k is a per-query
+  window. Cost Q×N — correct baseline, and the right choice whenever one
+  side broadcasts.
+- ``lsh_cosine_topk`` — the scale path: random-hyperplane signatures
+  (sign-bit LSH). Planes are deterministic literals (seeded), the
+  signature is again pure Catalyst, candidates come from an equi-join on
+  (band, band_bits) — at 10^9 vectors this is shuffle-partitionable by
+  bucket instead of an N×Q product. Re-rank candidates with exact cosine.
+  Recall is tunable via n_planes/bands (more bands → more candidates).
+
+An IVF variant would follow the same shape (coarse k-means assignment →
+probe nearest cells); LSH is chosen here because it needs no trained
+centroids and stays deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vecd(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine(a, b) -> F.Column:
+    """Cosine similarity of two array columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(_vecd(a), _vecd(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(_vecd(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(_vecd(b), F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """Brute-force top-k. Broadcast the smaller side: with
+    broadcast_corpus the join is a broadcast nested loop (no shuffle of
+    queries); otherwise queries broadcast."""
+    q = queries.select(F.col(id_q).alias("query_id"), F.col(vec).alias("qv"))
+    c = corpus.select(F.col(id_c).alias("neighbor_id"), F.col(vec).alias("cv"))
+    joined = q.join(F.broadcast(c), how="cross") if broadcast_corpus else F.broadcast(q).crossJoin(c)
+    scored = joined.where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 —
+    reproducible across sessions/parallelism (no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()[:8]
+            v = struct.unpack("<q", h)[0] / float(2**63)  # [-1, 1)
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign-bit signature as a long (n_planes ≤ 63 bits), pure Catalyst."""
+    sig = F.lit(0).cast("long")
+    v = _vecd(vec_col)
+    for b, plane in enumerate(planes):
+        lits = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lits, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseXOR(F.shiftleft(bit, b))
+    return sig
+
+
+def lsh_cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
+    n_planes: int = 16, bands: int = 4, dim: int | None = None, seed: int = 7,
+) -> DataFrame:
+    """ANN top-k: candidates share ≥1 LSH band, re-ranked by exact cosine."""
+    if dim is None:
+        dim = len(corpus.select(vec).first()[0])
+    planes = _planes(n_planes, dim, seed)
+    per_band = n_planes // bands
+    mask = (1 << per_band) - 1
+
+    def banded(df, idc, alias_id, keep_vec):
+        sig = lsh_signature(F.col(vec), planes)
+        base = df.select(
+            F.col(idc).alias(alias_id), F.col(vec).alias(keep_vec), sig.alias("sig")
+        )
+        return base.select(
+            alias_id, keep_vec,
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("sig", b * per_band).bitwiseAND(F.lit(mask)).alias("bits"),
+                )
+                for b in range(bands)
+            ])).alias("bb"),
+        ).select(alias_id, keep_vec, "bb.band", "bb.bits")
+
+    qb = banded(queries, id_q, "query_id", "qv")
+    cb = banded(corpus, id_c, "neighbor_id", "cv")
+    cand = (
+        qb.join(cb, ["band", "bits"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_pairs_above(
+    df: DataFrame, threshold: float, id_col: str = "vec_id", vec: str = "embedding",
+    limit_ids: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate detection: all pairs (a < b) with cosine ≥
+    threshold. Brute-force form for oracle checking; the LSH banding above
+    is the scale path."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    if limit_ids is not None:
+        base = base.where(F.col("id") < limit_ids)
+    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cosine("va", "vb").alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,196 @@
+"""Dedup / similarity / text-analysis / multimodal operators on the
+driver testdata (sf0.001) and small synthetic frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biosd_feature_annotator_spark.operators import dedup, similarity, textstats
+from biosd_feature_annotator_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").persist()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    e.count()
+    return e
+
+
+# ------------------------------------------------------------------ dedup
+def dup_frame(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog near the river edge"),  # near dup
+        (3, "completely different text about spark query engines and shuffles here"),
+        (4, "THE  quick brown fox jumps over the lazy dog near the river bank"),  # norm dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = dup_frame(spark)
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].members == [0, 1, 4] and groups[0].keep_id == 0
+    assert dedup.dedup_exact(df, "doc_id", "text").count() == 3
+
+
+def test_minhash_near_duplicates(spark):
+    df = dup_frame(spark)
+    pairs = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.minhash_near_duplicates(
+            df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    df = dup_frame(spark)
+    sig = {r.doc: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+    assert sig[0] == sig[1] == sig[4]  # identical normalized text
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # similarity monotonicity: one-word edit is closer than different text
+    assert hamming(sig[0], sig[2]) < hamming(sig[0], sig[3])
+    # banding guarantee: Hamming ≤ 3 pairs always share a 16-bit band —
+    # identical docs (Hamming 0) must be found; unrelated docs must not
+    pairs = {(r.a, r.b) for r in
+             dedup.simhash_near_duplicates(df, "doc_id", "text", max_hamming=3).collect()}
+    assert {(0, 1), (0, 4), (1, 4)} <= pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark):
+    df = dup_frame(spark)
+    pairs = {(r.a, r.b): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0 and (0, 2) in pairs
+
+
+def test_dedup_on_documents_table(docs):
+    # determinism + sanity on real driver data
+    n = docs.count()
+    assert dedup.dedup_exact(docs, "doc_id", "text").count() <= n
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    assert sh.groupBy("doc", "sh").count().where("count > 1").count() == 0
+
+
+# ------------------------------------------------------------- similarity
+def test_cosine_topk_self_is_excluded(emb):
+    q = emb.where("vec_id < 5")
+    res = similarity.cosine_topk(q, emb, k=3, broadcast_corpus=True)
+    rows = res.collect()
+    assert len(rows) == 15
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    assert all(-1.0001 <= r.cos <= 1.0001 for r in rows)
+
+
+def test_lsh_recall_vs_bruteforce(emb):
+    q = emb.where("vec_id < 20")
+    exact = {(r.query_id, r.neighbor_id) for r in
+             similarity.cosine_topk(q, emb, k=1, broadcast_corpus=True).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in
+           similarity.lsh_cosine_topk(q, emb, k=1, n_planes=12, bands=6).collect()}
+    # recall@1 of the banded LSH against brute force — generous bound,
+    # the point is the plumbing is sound, not a tuned index
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_cosine_pairs_threshold(emb):
+    res = similarity.cosine_pairs_above(emb, threshold=0.9, limit_ids=50)
+    assert all(r.a < r.b for r in res.collect())
+
+
+# -------------------------------------------------------------- textstats
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), (None,), ("hello, world! 42",)], "text string"
+    )
+    got = df.select(textstats.token_count("text").alias("n")).collect()
+    assert [r.n for r in got] == [3, 0, 0, 3]
+    bpe = df.select(textstats.bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    assert bpe[3].n == 5  # ['hello', ',', 'world', '!', '42']
+
+
+def test_detect_lang(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house", "en"),
+            ("el perro y la casa de los gatos", "es"),
+            ("der hund und die katze ist ein tier", "de"),
+            ("zzz qqq xxx", "und"),
+        ],
+        "text string, want string",
+    )
+    got = df.select("want", textstats.detect_lang(F.col("text")).alias("got")).collect()
+    assert all(r.want == r.got for r in got)
+
+
+def test_quality_features(docs):
+    q = textstats.quality_features(docs)
+    rows = q.select("q_score", "q_tokens", "q_punct_ratio").collect()
+    assert all(0.0 <= r.q_score <= 1.0 for r in rows)
+    assert all(r.q_tokens > 0 for r in rows)
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "other text")],
+        "id long, text string",
+    )
+    fps = df.select("id", textstats.doc_fingerprint(F.col("text")).alias("fp")).collect()
+    by = {r.id: r.fp for r in fps}
+    assert by[0] == by[1] != by[2]  # normalization-stable
+    w = df.select("id", textstats.winnow_fingerprints(F.col("text")).alias("w")).collect()
+    wby = {r.id: tuple(r.w) for r in w}
+    assert wby[0] == wby[1] != wby[2]
+
+
+# -------------------------------------------------------------- multimodal
+def test_multimodal_features(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic: same payload → same feature
+    again = {r.media_id: r.feature for r in extract_features(media, dim=8).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = synth_media(spark, 2)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)
+
+
+def test_frame_sampling(spark):
+    media = synth_media(spark, 30)
+    frames = sample_frames(media, every_n=10)
+    rows = frames.collect()
+    vids = media.where("kind = 'video'").select("media_id", "meta.n_frames").collect()
+    expected = sum((v.n_frames + 9) // 10 for v in vids)
+    assert len(rows) == expected
+    assert all(r.frame_idx % 10 == 0 for r in rows)
