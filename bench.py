@@ -22,7 +22,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from biosd_feature_annotator_spark.session import get_spark  # noqa: E402
-from biosd_feature_annotator_spark.sources.lexicon import load_lexicon  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -50,8 +49,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
-    lex = load_lexicon(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "tests", "golden", "lexicon.json"))
+    # production-sized dictionary: the token-indexed matcher is
+    # dictionary-size-independent, and a 14-term toy lexicon would
+    # understate real mention-scan work (biosd_feature_annotator_spark/synth.py)
+    from biosd_feature_annotator_spark.synth import bench_lexicon
+
+    lex = bench_lexicon(5000)
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -22,8 +22,9 @@ def with_turn_order(df: DataFrame) -> DataFrame:
     return df.withColumn("turn_no", F.row_number().over(w))
 
 
-def with_conversation_context(df: DataFrame, n_prev: int = 1) -> DataFrame:
-    """Adds prev_text/prev_role lag columns — the conversation-context
+def with_prev_turn_columns(df: DataFrame, n_prev: int = 1) -> DataFrame:
+    """Adds prev_text/prev_role lag columns (window/lag form; the grouped-map
+    applyInPandas form with richer features lives in operators/context.py) — the conversation-context
     features the extractor can use for predicate routing (e.g. a number in
     an assistant turn answering an 'age?' user turn)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")

@@ -32,6 +32,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def entity_stats(triples: DataFrame) -> DataFrame:
+    """A3 hot-entity statistics: mention counts + approximate distinct
+    subjects per object. approx_count_distinct (HLL) keeps the state
+    per-group constant-size — the scale-safe form of the reference's
+    progress counters."""
+    return (
+        triples.where(F.col("obj_kind") == "term")
+        .groupBy("obj")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.approx_count_distinct("subj").alias("approx_subjects"),
+            F.countDistinct("pred").alias("n_preds"),
+        )
+    )
+
+
 def salted_min(df: DataFrame, key: str, val: str, n_salt: int = 8) -> DataFrame:
     """Two-phase min aggregation (SURVEY.md J3): partial min on
     (key, salt) — map-side combinable and skew-proof — then final min on

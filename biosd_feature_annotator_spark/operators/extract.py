@@ -116,33 +116,76 @@ def extract_from_text(text: str | None, lex: Lexicon) -> list[dict]:
     if not text or not text.strip():
         return []
     out: list[dict] = []
-    age_ctx = bool(_AGE_CTX_RE.search(text))
+    has_digit = any(c.isdigit() for c in text)
+    # age context is only consulted for value mentions; skipped on
+    # digit-free turns that can't produce any
+    age_ctx = bool(_AGE_CTX_RE.search(text)) if has_digit else False
 
-    # --- X5 term mentions (on the original text)
+    # --- X5 term mentions (on the original text), token-indexed scan:
+    # O(tokens + matches) regardless of dictionary size (see
+    # Lexicon.matcher_index). Semantics match the old regex alternation:
+    # word-boundary anchored (tokenization), leftmost-longest,
+    # non-overlapping, case-insensitive, whitespace-collapsing (the final
+    # surface_map lookup on the normalized raw span enforces exact
+    # punctuation like 'h. sapiens').
     matched_tids: set[str] = set()
-    for m in lex.pattern().finditer(text):
-        surf = m.group(0)
-        nrm = norm_surface(surf)
-        hit = lex.surface_map.get(nrm)
-        if not hit:
-            continue
-        tid, kind = hit
-        matched_tids.add(tid)
-        out.append(
-            dict(kind="term", surface=surf, match_norm=nrm, match_kind=kind,
-                 begin=m.start(), end=m.end(), obj=None, num=None, lo=None,
-                 hi=None, unit=None, age_ctx=age_ctx)
-        )
-    # MEDIUM path: all label tokens present, but no exact surface match
-    toks = {t.lower() for t in _TOKEN_RE.findall(text)}
-    for tid, label_toks in lex.token_labels:
-        if tid not in matched_tids and all(t in toks for t in label_toks):
-            nrm = " ".join(label_toks)
-            out.append(
-                dict(kind="term", surface=nrm, match_norm=nrm, match_kind="tokens",
-                     begin=-1, end=-1, obj=None, num=None, lo=None, hi=None,
-                     unit=None, age_ctx=age_ctx)
-            )
+    idx = lex.matcher_index()
+    toks_pos = [(m.group(0).lower(), m.start(), m.end())
+                for m in _TOKEN_RE.finditer(text)]
+    i = 0
+    n_toks = len(toks_pos)
+    while i < n_toks:
+        cands = idx.get(toks_pos[i][0])
+        if cands:
+            for seq, _surf_key in cands:  # longest first
+                j = i + len(seq)
+                if j > n_toks:
+                    continue
+                if all(toks_pos[i + k][0] == seq[k] for k in range(1, len(seq))):
+                    b, e = toks_pos[i][1], toks_pos[j - 1][2]
+                    # include trailing '.' of abbreviations ('E.' in 'E. coli'
+                    # is split by tokenization; norm check validates)
+                    # the normalized raw span (includes any inter-token
+                    # punctuation, e.g. the '.' of 'E. coli') must be a
+                    # known surface — this is what keeps token matching
+                    # exactly as strict as the old regex alternation
+                    nrm = norm_surface(text[b:e])
+                    hit = lex.surface_map.get(nrm)
+                    if hit:
+                        tid, kind = hit
+                        matched_tids.add(tid)
+                        out.append(
+                            dict(kind="term", surface=text[b:e], match_norm=nrm,
+                                 match_kind=kind, begin=b, end=e, obj=None,
+                                 num=None, lo=None, hi=None, unit=None,
+                                 age_ctx=age_ctx, _tid=tid)
+                        )
+                        i = j - 1  # non-overlapping: resume after the match
+                        break
+        i += 1
+    # MEDIUM path: all label tokens present, but no exact surface match.
+    # Candidate terms come from the text's own tokens via the inverted
+    # label-token map — O(text_tokens + candidates), dictionary-size-free.
+    ltm = lex.label_token_map()
+    tokset = {t for t, _, _ in toks_pos}
+    seen_medium: set[str] = set()
+    for t in tokset:
+        for tid, label_toks in ltm.get(t, ()):
+            if tid in matched_tids or tid in seen_medium:
+                continue
+            if all(lt in tokset for lt in label_toks):
+                seen_medium.add(tid)
+                nrm = " ".join(label_toks)
+                out.append(
+                    dict(kind="term", surface=nrm, match_norm=nrm, match_kind="tokens",
+                         begin=-1, end=-1, obj=None, num=None, lo=None, hi=None,
+                         unit=None, age_ctx=age_ctx, _tid=tid)
+                )
+
+    # value extraction needs at least one digit anywhere; skip the 8 regex
+    # passes otherwise (fast path for prose-only turns)
+    if not has_digit:
+        return _dedupe_turn(out)
 
     # --- X3 dates (highest value precedence), with progressive masking
     masked = text
@@ -188,7 +231,46 @@ def extract_from_text(text: str | None, lex: Lexicon) -> list[dict]:
                  begin=b, end=e, obj=f"num:{fmt_num(v)}", num=v, lo=None,
                  hi=None, unit=unit, age_ctx=age_ctx)
         )
-    return out
+    return _dedupe_turn(out)
+
+
+_KIND_RANK = {"label": 0, "synonym": 1, "tokens": 2}
+
+
+def _dedupe_turn(mentions: list[dict]) -> list[dict]:
+    """Per-turn mention dedup — the in-extractor equivalent of a global
+    dropDuplicates(subj, pred, obj): every duplicate triple shares its
+    subject and therefore its source turn, so deduping here (pure Python,
+    free) removes TWO cluster-wide shuffles from the pipeline (the
+    best-link ranking window and the triple-level dropDuplicates).
+
+    Terms: keep the best match per term target — label ⊐ synonym ⊐
+    tokens, then earliest begin (so 'Homo sapiens' + 'human' in one turn
+    emits one HIGH link). Sound because Lexicon.surface_map is a
+    *function* surface→term; a multi-candidate dictionary must instead
+    run the ranked best_link window (operators/link.py W1).
+    Values: keep the first occurrence per (obj, unit)."""
+    if len(mentions) <= 1:
+        return mentions
+    best_terms: dict[str, dict] = {}
+    seen_vals: set[tuple] = set()
+    out = []
+    for m in mentions:
+        if m["kind"] == "term":
+            # rank by the term the surface resolves to, not the surface
+            key = m["_tid"]
+            cur = best_terms.get(key)
+            if cur is None or (
+                (_KIND_RANK[m["match_kind"]], m["begin"])
+                < (_KIND_RANK[cur["match_kind"]], cur["begin"])
+            ):
+                best_terms[key] = m
+        else:
+            k = (m["obj"], m["unit"])
+            if k not in seen_vals:
+                seen_vals.add(k)
+                out.append(m)
+    return out + sorted(best_terms.values(), key=lambda m: (m["begin"], m["match_norm"]))
 
 
 # ------------------------------------------------------------- Spark side
@@ -203,6 +285,7 @@ _MENTION_COLS = [
     "conv_id", "turn_idx", "subj", "kind", "surface", "match_norm",
     "match_kind", "begin", "end", "obj", "num", "lo", "hi", "unit", "age_ctx",
 ]
+_MENTION_FIELDS = _MENTION_COLS[3:]  # produced by extract_from_text
 
 
 def extract_mentions(transcripts, lex: Lexicon):
@@ -213,18 +296,28 @@ def extract_mentions(transcripts, lex: Lexicon):
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lex.pattern()  # compile once per task
+        lex.matcher_index()  # build the trie index once per task
+        lex.label_token_map()
         for pdf in batches:
-            rows = []
+            # columnar accumulation (dict-of-lists): ~2x cheaper to build
+            # + convert to Arrow than a list of per-mention dicts
+            cols: dict[str, list] = {c: [] for c in _MENTION_COLS}
+            append = {c: cols[c].append for c in _MENTION_COLS}
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
             ):
-                for m in extract_from_text(text, lex):
-                    m["conv_id"] = conv_id
-                    m["turn_idx"] = int(turn_idx)
-                    m["subj"] = f"{conv_id}:{turn_idx}"
-                    rows.append(m)
-            yield pd.DataFrame(rows, columns=_MENTION_COLS)
+                ms = extract_from_text(text, lex)
+                if not ms:
+                    continue
+                subj = f"{conv_id}:{turn_idx}"
+                ti = int(turn_idx)
+                for m in ms:
+                    append["conv_id"](conv_id)
+                    append["turn_idx"](ti)
+                    append["subj"](subj)
+                    for k in _MENTION_FIELDS:
+                        append[k](m[k])
+            yield pd.DataFrame(cols)
 
     from pyspark.sql import functions as F
 

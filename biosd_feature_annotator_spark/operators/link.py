@@ -101,7 +101,6 @@ def term_triples_from_linked(linked: DataFrame) -> DataFrame:
             "conv_id",
             "turn_idx",
         )
-        .dropDuplicates(["subj", "pred", "obj"])
     )
 
 
@@ -118,7 +117,7 @@ def value_triples(mentions: DataFrame) -> DataFrame:
         F.lit("extract").alias("provenance"),
         "conv_id",
         "turn_idx",
-    ).dropDuplicates(["subj", "pred", "obj"])
+    )
 
 
 def structural_triples(transcripts: DataFrame) -> DataFrame:
@@ -160,8 +159,14 @@ def structural_triples(transcripts: DataFrame) -> DataFrame:
 def assemble_triples(
     transcripts: DataFrame, mentions: DataFrame, lex_df: DataFrame
 ) -> DataFrame:
-    """U1: union of the three triple streams, stable column order."""
+    """U1: union of the three triple streams, stable column order.
+
+    Extraction triples (term+value) are deduplicated in ONE shuffle after
+    their union (duplicates arise when the same (subj, pred, obj) is hit
+    via different surfaces or repeated values in a turn); structural
+    triples are dup-free by construction and skip the shuffle."""
     t = term_triples(mentions, lex_df)
     v = value_triples(mentions)
     s = structural_triples(transcripts)
-    return t.unionByName(v).unionByName(s).select(*TRIPLE_COLS)
+    extracted = t.unionByName(v).dropDuplicates(["subj", "pred", "obj"])
+    return extracted.unionByName(s).select(*TRIPLE_COLS)

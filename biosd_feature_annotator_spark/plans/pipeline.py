@@ -41,16 +41,44 @@ def annotate(
     lex: Lexicon,
     repartition: int | None = None,
     build_graph: bool = True,
+    cache_mentions: bool = True,
+    ranked_linking: bool = False,
 ) -> dict[str, DataFrame]:
     """Assemble the full plan; returns lazy DataFrames keyed by table name:
-    mentions, triples, and (if build_graph) nodes + edges."""
-    n = repartition or spark.sparkContext.defaultParallelism * 2
-    src = transcripts.repartition(n, F.col("conv_id"))
+    mentions, triples, and (if build_graph) nodes + edges.
+
+    cache_mentions: the mention frame feeds two union branches (term vs
+    value triples) and canonicalization — without a persist Spark would
+    re-run the regex extraction once per consumer (measured 2-3× wall).
+    MEMORY_AND_DISK so the 100 TB case degrades to local-disk spill; on a
+    cluster a materialized intermediate table is the equivalent stage
+    checkpoint."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the one mandated shuffle (BASELINE.json): conversation co-location.
+    # repartition=0 skips it — correct when the source is already laid out
+    # by bucket(conv_id) (write_transcripts / the Iceberg partition spec),
+    # reusing the storage partitioning instead of re-shuffling 100 TB.
+    if repartition == 0:
+        src = transcripts
+    else:
+        n = repartition or spark.sparkContext.defaultParallelism * 2
+        src = transcripts.repartition(n, F.col("conv_id"))
 
     mentions = extract_mentions(src, lex)
+    if cache_mentions:
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
     lex_df = lexicon_df(spark, lex)
-    linked = best_link(link_entities(mentions, lex_df))
-
+    # Lexicon.surface_map is a *function* surface→term and the extractor
+    # dedupes mentions per turn (operators/extract._dedupe_turn), so the
+    # unioned triple stream is already duplicate-free and the ranked
+    # best-link window (W1) is a provable no-op — the hot path runs with
+    # ZERO shuffles after the initial conv_id repartition. Set
+    # ranked_linking=True for multi-candidate dictionaries, which restores
+    # the confidence-ranked window.
+    linked = link_entities(mentions, lex_df)
+    if ranked_linking:
+        linked = best_link(linked)
     triples = (
         term_triples_from_linked(linked)
         .unionByName(value_triples(mentions))

@@ -85,6 +85,55 @@ class Lexicon:
             self._regex = re.compile(rf"(?<!\w)(?:{alts})(?!\w)", re.IGNORECASE)
         return self._regex
 
+    _hint: re.Pattern | None = None
+    _first_tok_index: dict | None = None
+    _label_token_map: dict | None = None
+
+    def label_token_map(self) -> dict[str, tuple]:
+        """token → (term_ids of multi-token labels containing it). Lets the
+        MEDIUM containment path check only *candidate* terms surfaced by
+        the text's own tokens — O(text_tokens + candidates), not
+        O(dictionary)."""
+        if self._label_token_map is None:
+            m: dict[str, list] = {}
+            for tid, toks in self.token_labels:
+                for t in toks:
+                    m.setdefault(t, []).append((tid, toks))
+            self._label_token_map = {k: tuple(v) for k, v in m.items()}
+        return self._label_token_map
+
+    def matcher_index(self) -> dict[str, list[tuple[tuple[str, ...], str]]]:
+        """Token-indexed surface dictionary (the 'broadcast trie'):
+        first-token → [(token_tuple, canonical_surface)] sorted longest
+        first. Scanning is O(text_tokens + matches) and INDEPENDENT of
+        dictionary size — a 10^6-surface ontology costs the same per byte
+        as 14 terms, unlike a regex alternation which is
+        O(alternatives × text). Used by operators/extract.py X5."""
+        if self._first_tok_index is None:
+            idx: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+            tok_re = re.compile(r"\w+")
+            for surf in self.surface_map:
+                toks = tuple(tok_re.findall(surf))
+                if not toks:
+                    continue
+                idx.setdefault(toks[0], []).append((toks, surf))
+            for v in idx.values():
+                v.sort(key=lambda t: -len(t[0]))
+            self._first_tok_index = idx
+        return self._first_tok_index
+
+    def token_hint(self) -> re.Pattern:
+        """Cheap pre-filter for the MEDIUM token-containment path: fires
+        only when some multi-token-label token occurs at all, so the
+        per-text token-set build is skipped on ~all filler text."""
+        if self._hint is None:
+            toks = sorted({t for _, lt in self.token_labels for t in lt})
+            self._hint = re.compile(
+                r"(?<!\w)(?:" + "|".join(map(re.escape, toks)) + r")(?!\w)",
+                re.IGNORECASE,
+            )
+        return self._hint
+
     def term_pred(self, term_id: str) -> str | None:
         for t in self.terms:
             if t["term_id"] == term_id:

@@ -49,7 +49,9 @@ def annotate_stream(
 
     def process_batch(batch_df, batch_id: int) -> None:
         mentions = extract_mentions(batch_df, lex)
-        linked = best_link(link_entities(mentions, lex_df))
+        # per-turn dedup in the extractor + functional dictionary → no
+        # ranking window / dedup shuffle needed (see plans/pipeline.py)
+        linked = link_entities(mentions, lex_df)
         triples = term_triples_from_linked(linked).unionByName(value_triples(mentions))
         triples.write.mode("append").parquet(out_path)
 

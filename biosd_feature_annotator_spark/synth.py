@@ -51,6 +51,39 @@ _RICH = [
 _EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
 
 
+def bench_lexicon(n_extra: int = 5000):
+    """The golden lexicon extended with n_extra deterministic synthetic
+    ontology terms (two-token pseudo-Latin labels + one synonym each).
+    Production entity dictionaries are 10^3-10^6 surfaces, not 14 — bench
+    and scaling runs use this so the mention-scan cost per byte reflects
+    a real deployment. Golden correctness tests keep the frozen lexicon."""
+    import hashlib
+
+    from .sources.lexicon import Lexicon, load_lexicon
+
+    base = load_lexicon(os.path.join(GOLDEN_DIR, "lexicon.json"))
+    syll = ["ba", "co", "du", "fe", "gi", "ha", "ju", "ka", "lo", "mu",
+            "ne", "pi", "qo", "ru", "sa", "ti"]
+
+    def word(seed: str) -> str:
+        h = hashlib.md5(seed.encode()).digest()
+        return "".join(syll[b % 16] for b in h[:4])
+
+    terms = list(base.terms)
+    for i in range(n_extra):
+        label = f"{word(f'a{i}')} {word(f'b{i}')}"
+        terms.append(
+            {
+                "term_id": f"SYN_{i:06d}",
+                "iri": f"synth://term/{i}",
+                "label": label,
+                "synonyms": [word(f"c{i}") + word(f"d{i}")],
+                "pred": "hasEntity",
+            }
+        )
+    return Lexicon(terms=terms)
+
+
 def golden_cases() -> list[dict]:
     with open(os.path.join(GOLDEN_DIR, "golden_triples.json")) as f:
         return json.load(f)["cases"]
@@ -100,6 +133,7 @@ def synth_transcripts(
     n_turns: int,
     rich_rate: float = 0.3,
     partitions: int | None = None,
+    filler_words: int = 7,
 ) -> DataFrame:
     """~n_turns synthetic turns, generated distributively.
 
@@ -117,8 +151,10 @@ def synth_transcripts(
 
     h = lambda salt: F.pmod(F.xxhash64(g, F.lit(salt)), F.lit(1_000_000_007))  # noqa: E731
 
+    # filler_words controls realism: 7 ≈ terse labels (tests), 40+ ≈ real
+    # conversational turns (bench) — extraction cost scales with text length
     filler = F.concat_ws(
-        " ", *[_pick(_WORDS, h(10 + i)) for i in range(7)]
+        " ", *[_pick(_WORDS, h(10 + i)) for i in range(filler_words)]
     )
     n1 = F.pmod(h(20), F.lit(90)) + 1
     n2 = n1 + F.pmod(h(21), F.lit(50)) + 1
