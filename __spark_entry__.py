@@ -2,8 +2,9 @@
 
 entry(spark)   — flagship: the full KG-construction pipeline (extraction →
                  linking → triples) over a deterministic transcript corpus.
-queries()      — one entry per implemented operator family from SURVEY.md §2
-                 plus the training-data ops (dedup / similarity / textstats).
+queries()      — 45 entries, one per implemented operator family from
+                 SURVEY.md §2 plus the training-data ops (dedup /
+                 similarity / textstats / multimodal).
 oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible entry;
                  omitted only for ops whose semantics DuckDB cannot replicate
                  bit-for-bit (LSH/minhash/simhash candidate generation uses
@@ -464,6 +465,88 @@ def q_transcripts_kg(spark, sf):
     return entry(spark)
 
 
+def q_doc_bpe_tokens(spark, sf):
+    """BPE-shaped sub-word token counting (textstats) — oracle-matched
+    regexp tokenization."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", _ts.bpe_ish_token_count(F.col("text")).alias("n_bpe")
+    )
+
+
+def q_sessionize_events(spark, sf):
+    """Batch sessionization: per-user sessions split at >30 min gaps
+    (lag + conditional cumulative sum — the batch twin of the streaming
+    session_window T3)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn("sess_no", F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+def q_top_sources(spark, sf):
+    """O2 top-k with deterministic tie-break."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("source").agg(F.count("*").alias("n"),
+                                F.sum("n_chars").alias("chars"))
+        .orderBy(F.desc("n"), F.asc("source"))
+        .limit(10)
+    )
+
+
+def q_phonetic_strings(spark, sf):
+    """Spark-only string functions (soundex/initcap/translate) — DuckDB
+    has no soundex, so rows-only."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.soundex("c_mktsegment").alias("seg_sound"),
+        F.initcap(F.lower("c_name")).alias("name_cap"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+    )
+
+
+def q_winnow_docs(spark, sf):
+    """Winnowing-style robust fingerprints (xxhash64 — rows-only)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", _ts.winnow_fingerprints(F.col("text")).cast("array<string>")).alias("winnow"),
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal binary-column plumbing (deterministic stub codec —
+    rows-only; no SQL equivalent of the pandas-UDF decode)."""
+    from biosd_feature_annotator_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 200)
+    feats = extract_features(media, dim=8, fake=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.aggregate(F.transform("feature", lambda x: x.cast("double")),
+                            F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+    )
+
+
+def q_entity_stats_kg(spark, sf):
+    """A3 hot-entity stats over the flagship pipeline's triples
+    (approx_count_distinct HLL — rows-only)."""
+    from biosd_feature_annotator_spark.operators.canonicalize import entity_stats
+
+    return entity_stats(entry(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/joins/aggs/windows/sets/scalars (SURVEY.md §2.4-2.9)
@@ -501,12 +584,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_extract_numbers": q_doc_extract_numbers,
         "emb_norms": q_emb_norms,
         "emb_cosine_pairs": q_emb_cosine_pairs,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "sessionize_events": q_sessionize_events,
+        "top_sources": q_top_sources,
         # rows-only (no SQL equivalent — see oracle_sql docstring)
         "emb_ann_topk": q_emb_ann_topk,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash": q_docs_simhash,
         "approx_distinct": q_approx_distinct,
         "transcripts_kg": q_transcripts_kg,
+        "phonetic_strings": q_phonetic_strings,
+        "winnow_docs": q_winnow_docs,
+        "multimodal_features": q_multimodal_features,
+        "entity_stats_kg": q_entity_stats_kg,
     }
 
 
@@ -815,6 +905,41 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 7
             WHERE a.vec_id < 100
         """,
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '([A-Za-z]{1,6}|\\d+|[^\\sA-Za-z\\d])', 1)) AS BIGINT)
+                       AS n_bpe
+            FROM documents
+        """,
+        "sessionize_events": """
+            SELECT user_id, sess_no, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM (
+                SELECT user_id, value,
+                       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1
+                                     ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS sess_no
+                FROM (
+                    SELECT user_id, ts, event_id, value,
+                           CAST(epoch(ts) AS BIGINT)
+                             - CAST(epoch(lag(ts) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id
+                               )) AS BIGINT) AS gap
+                    FROM events
+                )
+            ) GROUP BY user_id, sess_no
+        """,
+        "top_sources": """
+            SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY source
+            ORDER BY n DESC, source ASC LIMIT 10
+        """,
+        # phonetic_strings, winnow_docs, multimodal_features,
+        # entity_stats_kg: rows-only (soundex / xxhash64 / pandas-UDF
+        # codec / HLL have no DuckDB equivalent).
         # emb_ann_topk, docs_minhash_pairs, docs_simhash, approx_distinct,
         # transcripts_kg: rows-only — xxhash64-based LSH banding, HLL
         # sketches, and pandas-UDF extraction have no DuckDB equivalent.
