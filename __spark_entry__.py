@@ -141,6 +141,8 @@ def q_asof_last_signup(spark, sf):
             F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
         )
         .where(F.col("event_type") == "purchase")
+        # ts is TIMESTAMP_NTZ (parquet without tz metadata) — collected as
+        # naive datetimes on both engines, so raw timestamps are tz-proof
         .select("event_id", "user_id", "ts", "last_signup")
     )
 
