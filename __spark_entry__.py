@@ -2,7 +2,7 @@
 
 entry(spark)   — flagship: the full KG-construction pipeline (extraction →
                  linking → triples) over a deterministic transcript corpus.
-queries()      — 45 entries, one per implemented operator family from
+queries()      — 46 entries, one per implemented operator family from
                  SURVEY.md §2 plus the training-data ops (dedup /
                  similarity / textstats / multimodal).
 oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible entry;
@@ -433,6 +433,15 @@ def q_emb_cosine_pairs(spark, sf):
 
 # ----------------------------------------------- rows-only (non-SQL) entries
 
+def q_emb_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (threshold form; the filter
+    compares identical IEEE doubles on both engines)."""
+    e = _t(spark, sf, "embeddings")
+    return _sim.cosine_pairs_above(e, threshold=0.35, limit_ids=150).select(
+        "a", "b", F.round("cos", 3).alias("cos")
+    )
+
+
 def q_emb_ann_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 20)
@@ -586,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_extract_numbers": q_doc_extract_numbers,
         "emb_norms": q_emb_norms,
         "emb_cosine_pairs": q_emb_cosine_pairs,
+        "emb_near_dup": q_emb_near_dup,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
@@ -906,6 +916,24 @@ def oracle_sql() -> dict[str, str]:
                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) AS cos
             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 7
             WHERE a.vec_id < 100
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id AND a.vec_id < 150 AND b.vec_id < 150
+            WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(a.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(b.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
         """,
         "doc_bpe_tokens": """
             SELECT doc_id,

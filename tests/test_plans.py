@@ -84,3 +84,46 @@ def test_extraction_reads_only_needed_columns(spark, lexicon, tpath):
     # extraction needs conv_id, turn_idx, text — not role/tool/ts
     assert "text" in read_schema
     assert "role" not in read_schema and "tool" not in read_schema
+
+
+def test_zero_shuffle_hot_path(spark, lexicon):
+    """With a conv_id-bucketed source (repartition=0) the triple plan must
+    contain NO Exchange — the 100 TB design claim, asserted on the real
+    physical plan."""
+    from biosd_feature_annotator_spark.plans.pipeline import annotate
+    from biosd_feature_annotator_spark.synth import synth_transcripts
+
+    tr = synth_transcripts(spark, 300)
+    triples = annotate(spark, tr, lexicon, build_graph=False,
+                       repartition=0, cache_mentions=False)["triples"]
+    plan = plan_of(triples)
+    # broadcast exchange for the dictionary is fine; data exchanges are not
+    data_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "SinglePartition" not in ln
+    ]
+    assert not data_exchanges, data_exchanges
+
+
+def test_skewed_hot_entity_pipeline(spark, lexicon):
+    """Skew stress (SURVEY.md M7): ~30% of turns mention the same entity;
+    pipeline + canonicalization stay correct (salted CC handles the star)."""
+    from pyspark.sql import functions as F
+
+    from biosd_feature_annotator_spark.plans.pipeline import annotate
+    from biosd_feature_annotator_spark.synth import synth_transcripts
+
+    tr = synth_transcripts(spark, 2000).withColumn(
+        "text",
+        F.when(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(10)) < 3,
+               F.concat(F.col("text"), F.lit(" sampled from Homo sapiens donor")))
+        .otherwise(F.col("text")),
+    )
+    out = annotate(spark, tr, lexicon)
+    n_hot = out["triples"].where(
+        (F.col("pred") == "hasOrganism") & (F.col("obj") == "NCBITaxon_9606")
+    ).count()
+    n_turns = tr.count()
+    assert n_hot >= 0.25 * n_turns
+    node = out["nodes"].where("node_id = 'NCBITaxon_9606'").collect()[0]
+    assert node.n_mentions >= n_hot
