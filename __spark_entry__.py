@@ -168,6 +168,9 @@ def q_moving_avg(spark, sf):
 
 
 def q_range_frame_sum(spark, sf):
+    # unix_timestamp is session-tz-dependent; pin UTC so the epoch matches
+    # DuckDB's epoch() (which treats NTZ as UTC) even across DST edges
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
@@ -489,6 +492,7 @@ def q_sessionize_events(spark, sf):
     """Batch sessionization: per-user sessions split at >30 min gaps
     (lag + conditional cumulative sum — the batch twin of the streaming
     session_window T3)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see q_range_frame_sum
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
