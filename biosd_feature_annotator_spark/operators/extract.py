@@ -288,16 +288,44 @@ _MENTION_COLS = [
 _MENTION_FIELDS = _MENTION_COLS[3:]  # produced by extract_from_text
 
 
+# per-worker-process lexicon cache: a pickled Lexicon object (15k+ terms,
+# built indexes) costs O(0.5 s) to deserialize PER TASK; shipping the raw
+# terms as one JSON string (near-free to unpickle) and building the
+# Lexicon once per python worker process removes that cost from every
+# task after the first. The asymmetry matters for scaling: at high
+# parallelism all first-tasks land in a single wave, so per-task
+# deserialization is pure critical-path loss.
+_LEX_CACHE: dict[int, Lexicon] = {}
+
+
+def _lexicon_from_json(terms_json: str) -> Lexicon:
+    key = hash(terms_json)
+    lex = _LEX_CACHE.get(key)
+    if lex is None:
+        import json as _json
+
+        lex = Lexicon(terms=_json.loads(terms_json))
+        lex.matcher_index()
+        lex.label_token_map()
+        _LEX_CACHE.clear()  # only ever one active dictionary per worker
+        _LEX_CACHE[key] = lex
+    return lex
+
+
 def extract_mentions(transcripts, lex: Lexicon):
     """transcripts(conv_id, turn_idx, text, ...) → mentions DataFrame.
 
     Single partition-local mapInPandas pass; blank/NULL text rows are
     filtered JVM-side first (SURVEY.md P2) so Arrow never ships them.
+    The dictionary travels as a JSON string and is compiled once per
+    worker process (see _LEX_CACHE).
     """
+    import json as _json
+
+    terms_json = _json.dumps(lex.terms, sort_keys=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lex.matcher_index()  # build the trie index once per task
-        lex.label_token_map()
+        lex = _lexicon_from_json(terms_json)
         for pdf in batches:
             # columnar accumulation (dict-of-lists): ~2x cheaper to build
             # + convert to Arrow than a list of per-mention dicts

@@ -1,0 +1,62 @@
+"""Guards on the driver contract (__spark_entry__): key alignment, column
+naming discipline, and flagship schema stability — cheap failures here are
+expensive CORRECTNESS_r{N}.json failures later."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 46
+    # every oracle-less query is intentionally rows-only (documented set)
+    rows_only = set(q) - set(o)
+    assert rows_only == {
+        "emb_ann_topk", "docs_minhash_pairs", "docs_simhash",
+        "approx_distinct", "transcripts_kg", "phonetic_strings",
+        "winnow_docs", "multimodal_features", "entity_stats_kg",
+    }
+
+
+def test_oracle_sql_references_only_registered_views():
+    registered = set(
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    )
+    for name, sql in entrymod.oracle_sql().items():
+        ctes = set(re.findall(r"(\w+)\s+AS\s*\(", sql))
+        tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql))
+        unknown = tables - registered - ctes - {"generate_series"}
+        assert not unknown, f"{name} references unregistered {unknown}"
+
+
+def test_queries_run_and_columns_match_oracle_aliases(spark):
+    """Column names must match between Spark and SQL (the driver sorts
+    columns by name before hashing). Checked structurally for every
+    oracle-backed query at sf0.001 without executing DuckDB."""
+    oracles = entrymod.oracle_sql()
+    for name, fn in entrymod.queries().items():
+        if name not in oracles:
+            continue
+        df = fn(spark, SF)
+        # every Spark output column name must appear verbatim in the SQL
+        # (as a source column or an AS alias) — catches the classic
+        # sum_qty vs sum(l_quantity) hash-mismatch before the driver does
+        sql_l = oracles[name].lower()
+        missing = [c for c in df.columns if c.lower() not in sql_l]
+        assert not missing, f"{name}: Spark columns {missing} absent from oracle SQL"
+
+
+def test_entry_schema_stable(spark):
+    df = entrymod.entry(spark)
+    assert [f.name for f in df.schema.fields] == [
+        "subj", "pred", "obj", "obj_kind", "conf", "confidence",
+        "unit", "provenance", "conv_id", "turn_idx",
+    ]
+    assert df.limit(1).count() == 1
