@@ -33,6 +33,7 @@ Frozen semantics (FIXTURES.md §3, mirrored by tests/golden):
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Iterator
 from datetime import date
@@ -70,7 +71,7 @@ TIME_UNITS = {"year", "week", "month", "day"}
 def fmt_num(v: float) -> str:
     """Shortest round-trip serialization; integral floats print as ints
     (num:40, not num:40.0) — frozen in FIXTURES.md §3."""
-    if v == int(v) and abs(v) < 1e15:
+    if math.isfinite(v) and v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)
 
@@ -208,6 +209,8 @@ def extract_from_text(text: str | None, lex: Lexicon) -> list[dict]:
     for rx in (_RANGE_RE, _BETWEEN_RE):
         for m in rx.finditer(masked):
             lo, hi = float(m.group(1)), float(m.group(2))
+            if not (math.isfinite(lo) and math.isfinite(hi)):
+                continue  # overflowing literals (e.g. 9e999) are not values
             if lo > hi:
                 lo, hi = hi, lo
             unit = _unit_after(masked, m.end(), lex.unit_map)
@@ -224,6 +227,8 @@ def extract_from_text(text: str | None, lex: Lexicon) -> list[dict]:
     # --- X1 numbers on date+range-masked text
     for m in _NUM_RE.finditer(masked):
         v = float(m.group(1))
+        if not math.isfinite(v):
+            continue  # overflowing literals (e.g. 9e999) are not values
         unit = _unit_after(masked, m.end(), lex.unit_map)
         b, e = m.span()
         out.append(
