@@ -448,7 +448,7 @@ def q_emb_near_dup(spark, sf):
 def q_emb_ann_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    return _sim.lsh_cosine_topk(q, e, k=3, n_planes=12, bands=6).select(
+    return _sim.lsh_cosine_topk(q, e, k=3, n_planes=12, bands=6, dim=64).select(
         "query_id", "neighbor_id", F.round("cos", 3).alias("cos"), "rank"
     )
 

@@ -34,6 +34,27 @@ def norm_text_col(col) -> F.Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def hash64(col, seed: int | None = None, hasher: str = "xx") -> F.Column:
+    """64-bit-ish hash of a column, two interchangeable kernels:
+
+    - "xx"  — xxhash64, the fast JVM-native default (production path).
+    - "md5" — the top 60 bits of md5 as a non-negative long
+      (conv(substr(md5(s || '#seed'), 1, 15), 16, 10)). ~3× slower but
+      *engine-portable*: DuckDB computes the identical value via
+      CAST('0x' || substr(md5(s), 1, 15) AS BIGINT), which is what makes
+      the whole MinHash/SimHash/winnowing family independently
+      verifiable by the driver's SQL oracle. Identical distribution
+      properties; the scale design (banded equi-joins, map-side
+      combinable mins) is hasher-agnostic.
+    """
+    if hasher == "xx":
+        return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+    s = col.cast("string")
+    if seed is not None:
+        s = F.concat(s, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 # ------------------------------------------------------------------ exact
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -77,7 +98,9 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # --------------------------------------------------------------- shingles
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hasher: str = "xx"
+) -> DataFrame:
     """(doc, shingle_hash) — distinct word n-grams per doc, hashed JVM-side.
     Shingling is pure array algebra: split → transform over a sequence of
     start offsets → slice/join — no UDF, no shuffle."""
@@ -89,20 +112,23 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return (
         df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.length("shingle") > 0)
-        .select("doc", F.xxhash64("shingle").alias("sh"))
+        .select("doc", hash64(F.col("shingle"), hasher=hasher).alias("sh"))
         .dropDuplicates(["doc", "sh"])
     )
 
 
 # ---------------------------------------------------------------- MinHash
 
-def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 16, hasher: str = "xx"
+) -> DataFrame:
     """(doc, sig array<long>): sig[k] = min over shingles of
-    xxhash64(sh, k). One hash-aggregate; partial aggregation makes it
+    hash64(sh, k). One hash-aggregate; partial aggregation makes it
     map-side combinable, so the shuffle carries one row per (doc) not per
     (doc, shingle)."""
     aggs = [
-        F.min(F.xxhash64("sh", F.lit(k))).alias(f"h{k}") for k in range(num_hashes)
+        F.min(hash64(F.col("sh"), seed=k, hasher=hasher)).alias(f"h{k}")
+        for k in range(num_hashes)
     ]
     sig = shingled.groupBy("doc").agg(*aggs)
     return sig.select(
@@ -111,24 +137,30 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, max_bucket: int = 50
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4,
+    max_bucket: int = 50, hasher: str = "xx",
 ) -> DataFrame:
     """Band the signature, bucket-join. (a, b) pairs with a < b.
     max_bucket drops degenerate buckets (boilerplate) — the skew guard;
-    dropped buckets are exactly the ones exact-dedup already catches."""
-    n = signatures.select(F.size("sig")).first()[0]
-    rows_per_band = n // bands
+    dropped buckets are exactly the ones exact-dedup already catches.
+
+    num_hashes is passed by the caller (minhash_near_duplicates already
+    knows it) instead of probed from the data — a .first() here would be
+    a driver-side action at plan-build time that re-executes the whole
+    upstream signature plan and crashes on empty input."""
+    rows_per_band = num_hashes // bands
     banded = signatures.select(
         "doc",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
+                    hash64(
                         F.concat_ws(",", *[
                             F.element_at("sig", b * rows_per_band + r + 1)
                             for r in range(rows_per_band)
-                        ])
+                        ]),
+                        hasher=hasher,
                     ).alias("bh"),
                 )
                 for b in range(bands)
@@ -172,36 +204,45 @@ def verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> D
 def minhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str,
     shingle_n: int = 3, num_hashes: int = 16, bands: int = 4,
-    threshold: float = 0.7,
+    threshold: float = 0.7, hasher: str = "xx",
 ) -> DataFrame:
-    """Full MinHash→LSH→exact-verify pipeline. Returns (a, b, jaccard)."""
-    sh = word_shingles(df, id_col, text_col, shingle_n)
-    sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands)
+    """Full MinHash→LSH→exact-verify pipeline. Returns (a, b, jaccard).
+    hasher="md5" switches every hash to the engine-portable md5 kernel
+    (see hash64) so a SQL oracle can replicate the exact candidate set."""
+    sh = word_shingles(df, id_col, text_col, shingle_n, hasher=hasher)
+    sig = minhash_signatures(sh, num_hashes, hasher=hasher)
+    cand = lsh_candidate_pairs(sig, num_hashes, bands, hasher=hasher)
     return verify_jaccard(cand, sh, threshold)
 
 
 # ---------------------------------------------------------------- SimHash
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, simhash long): 64-bit majority-vote signature over token
-    hashes. The 64 bit-votes are plain conditional sums — wide but fully
-    codegen'd, one aggregate."""
+def simhash_bits(hasher: str) -> int:
+    """Signature width per hasher: xxhash64 gives 64 bits; the portable
+    md5 kernel keeps 60 (15 hex digits → non-negative long)."""
+    return 64 if hasher == "xx" else 60
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, hasher: str = "xx") -> DataFrame:
+    """(doc, simhash long): 64-bit (60 for md5) majority-vote signature
+    over token hashes. The bit-votes are plain conditional sums — wide but
+    fully codegen'd, one aggregate."""
+    n_bits = simhash_bits(hasher)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("tok"),
     ).where(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    h = hash64(F.col("tok"), hasher=hasher)
     votes = toks.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseXOR(term)
@@ -209,17 +250,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    hasher: str = "xx",
 ) -> DataFrame:
-    """Near-dups by SimHash: 4×16-bit band bucketing (any pair with
-    Hamming ≤ 3 shares ≥ 1 exact band), exact popcount verify."""
-    sig = simhash(df, id_col, text_col)
+    """Near-dups by SimHash: 4-band bucketing (any pair with Hamming ≤ 3
+    shares ≥ 1 exact band by pigeonhole), exact popcount verify."""
+    n_bits = simhash_bits(hasher)
+    band_w = n_bits // 4
+    band_mask = (1 << band_w) - 1
+    sig = simhash(df, id_col, text_col, hasher=hasher)
     bands = sig.select(
         "doc", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                F.shiftright("simhash", b * band_w).bitwiseAND(F.lit(band_mask)).alias("bh"),
             )
             for b in range(4)
         ])).alias("bb"),

@@ -242,6 +242,17 @@ def extract_from_text(text: str | None, lex: Lexicon) -> list[dict]:
 _KIND_RANK = {"label": 0, "synonym": 1, "tokens": 2}
 
 
+def _value_pred(m: dict) -> str:
+    """Python twin of operators/link.route_predicates (P5) — used only for
+    the per-turn dedup key so it matches the triple's real identity."""
+    is_age = bool(m["age_ctx"]) and m["unit"] in TIME_UNITS
+    if m["kind"] == "number":
+        return "hasAge" if is_age else "hasNumber"
+    if m["kind"] == "range":
+        return "hasAgeRange" if is_age else "hasRange"
+    return "hasDate"
+
+
 def _dedupe_turn(mentions: list[dict]) -> list[dict]:
     """Per-turn mention dedup — the in-extractor equivalent of a global
     dropDuplicates(subj, pred, obj): every duplicate triple shares its
@@ -254,7 +265,12 @@ def _dedupe_turn(mentions: list[dict]) -> list[dict]:
     emits one HIGH link). Sound because Lexicon.surface_map is a
     *function* surface→term; a multi-candidate dictionary must instead
     run the ranked best_link window (operators/link.py W1).
-    Values: keep the first occurrence per (obj, unit)."""
+    Values: keep the first occurrence per (obj, pred) — the TRUE triple
+    identity (subj is constant within a turn). Keying on (obj, unit)
+    would let '72 kg and 72 cm' emit two (subj, hasNumber, num:72) rows
+    that assemble_triples' dropDuplicates([subj, pred, obj]) collapses,
+    diverging the zero-shuffle path from the generic one. pred is
+    computed here exactly as operators/link.route_predicates does."""
     if len(mentions) <= 1:
         return mentions
     best_terms: dict[str, dict] = {}
@@ -271,7 +287,7 @@ def _dedupe_turn(mentions: list[dict]) -> list[dict]:
             ):
                 best_terms[key] = m
         else:
-            k = (m["obj"], m["unit"])
+            k = (m["obj"], _value_pred(m))
             if k not in seen_vals:
                 seen_vals.add(k)
                 out.append(m)

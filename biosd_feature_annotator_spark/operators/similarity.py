@@ -98,9 +98,16 @@ def lsh_cosine_topk(
     id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
     n_planes: int = 16, bands: int = 4, dim: int | None = None, seed: int = 7,
 ) -> DataFrame:
-    """ANN top-k: candidates share ≥1 LSH band, re-ranked by exact cosine."""
+    """ANN top-k: candidates share ≥1 LSH band, re-ranked by exact cosine.
+
+    dim (the embedding width) must be supplied by the caller — probing it
+    with corpus.first() would be a driver-side action at plan-build time
+    (an extra job per call, and a TypeError on an empty corpus)."""
     if dim is None:
-        dim = len(corpus.select(vec).first()[0])
+        raise ValueError(
+            "lsh_cosine_topk requires dim= (embedding width); it is not "
+            "probed from the data to keep plan construction action-free"
+        )
     planes = _planes(n_planes, dim, seed)
     per_band = n_planes // bands
     mask = (1 << per_band) - 1

@@ -73,18 +73,30 @@ def annotate(
     # dedupes mentions per turn (operators/extract._dedupe_turn), so the
     # unioned triple stream is already duplicate-free and the ranked
     # best-link window (W1) is a provable no-op — the hot path runs with
-    # ZERO shuffles after the initial conv_id repartition. Set
-    # ranked_linking=True for multi-candidate dictionaries, which restores
-    # the confidence-ranked window.
+    # ZERO shuffles after the initial conv_id repartition. The proof only
+    # holds while the dictionary is functional (one term per join key);
+    # lex.is_functional() guards it at runtime: a multi-candidate
+    # dictionary (two terms sharing a normalized label) silently loaded
+    # into the fast path would fan the link join out and emit duplicate,
+    # unranked triples — so W1 is force-enabled for it.
+    if not ranked_linking and not lex.is_functional():
+        ranked_linking = True
     linked = link_entities(mentions, lex_df)
     if ranked_linking:
         linked = best_link(linked)
-    triples = (
-        term_triples_from_linked(linked)
-        .unionByName(value_triples(mentions))
-        .unionByName(structural_triples(src))
-        .select(*TRIPLE_COLS)
-    )
+        # ranked path = multi-candidate dictionary: restore the global
+        # triple-identity dedup too (assemble_triples' contract) — two
+        # surfaces may still rank to the same term in one turn.
+        extracted = (
+            term_triples_from_linked(linked)
+            .unionByName(value_triples(mentions))
+            .dropDuplicates(["subj", "pred", "obj"])
+        )
+    else:
+        extracted = term_triples_from_linked(linked).unionByName(
+            value_triples(mentions)
+        )
+    triples = extracted.unionByName(structural_triples(src)).select(*TRIPLE_COLS)
 
     out: dict[str, DataFrame] = {"mentions": mentions, "triples": triples}
     if build_graph:

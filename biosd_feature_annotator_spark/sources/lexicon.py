@@ -51,7 +51,6 @@ class Lexicon:
     non_emitting: set[str] = field(default_factory=set)
     # multi-token labels for the MEDIUM token-containment path
     token_labels: list[tuple[str, tuple[str, ...]]] = field(default_factory=list)
-    _regex: re.Pattern | None = None
 
     def __post_init__(self) -> None:
         for t in self.terms:
@@ -65,29 +64,32 @@ class Lexicon:
             if pred == "(context)":
                 self.non_emitting.add(tid)
             # label wins over synonym on collision; first term wins ties
-            # (term order in the JSON is the deterministic tie-break)
+            # (term order in the JSON is the deterministic tie-break): a
+            # label only displaces an earlier *synonym* claim on the same
+            # surface, never an earlier label.
             for syn in map(norm_surface, t.get("synonyms", [])):
                 self.surface_map.setdefault(syn, (tid, "synonym"))
-            self.surface_map[label_n] = (tid, "label")
+            cur = self.surface_map.get(label_n)
+            if cur is None or cur[1] == "synonym":
+                self.surface_map[label_n] = (tid, "label")
             toks = tuple(label_n.split(" "))
             if len(toks) >= 2:
                 self.token_labels.append((tid, toks))
 
-    def pattern(self) -> re.Pattern:
-        """Alternation over every surface, longest-first (approximates
-        leftmost-longest), word-boundary anchored, case-insensitive.
-        Equivalent to an Aho-Corasick scan for this dictionary size; for
-        >100k-surface dictionaries swap in a real trie automaton here —
-        the call-sites only use .finditer()."""
-        if self._regex is None:
-            surfaces = sorted(self.surface_map, key=len, reverse=True)
-            alts = "|".join(re.escape(s).replace(r"\ ", r"\s+") for s in surfaces)
-            self._regex = re.compile(rf"(?<!\w)(?:{alts})(?!\w)", re.IGNORECASE)
-        return self._regex
-
-    _hint: re.Pattern | None = None
     _first_tok_index: dict | None = None
     _label_token_map: dict | None = None
+    _pred_map: dict | None = None
+
+    def is_functional(self) -> bool:
+        """True iff every join key the linker sees maps to exactly one
+        term: surface_map is a dict (functional by construction), so the
+        only fan-out risk is two distinct terms sharing a normalized
+        multi-token label (two 'tokens' rows with the same match_norm in
+        lexicon_df). plans/pipeline.annotate consults this to decide
+        whether the zero-shuffle path (no W1 best-link window) is sound."""
+        return len({" ".join(toks) for _, toks in self.token_labels}) == len(
+            self.token_labels
+        )
 
     def label_token_map(self) -> dict[str, tuple]:
         """token → (term_ids of multi-token labels containing it). Lets the
@@ -122,23 +124,10 @@ class Lexicon:
             self._first_tok_index = idx
         return self._first_tok_index
 
-    def token_hint(self) -> re.Pattern:
-        """Cheap pre-filter for the MEDIUM token-containment path: fires
-        only when some multi-token-label token occurs at all, so the
-        per-text token-set build is skipped on ~all filler text."""
-        if self._hint is None:
-            toks = sorted({t for _, lt in self.token_labels for t in lt})
-            self._hint = re.compile(
-                r"(?<!\w)(?:" + "|".join(map(re.escape, toks)) + r")(?!\w)",
-                re.IGNORECASE,
-            )
-        return self._hint
-
     def term_pred(self, term_id: str) -> str | None:
-        for t in self.terms:
-            if t["term_id"] == term_id:
-                return t["pred"]
-        return None
+        if self._pred_map is None:
+            self._pred_map = {t["term_id"]: t["pred"] for t in self.terms}
+        return self._pred_map.get(term_id)
 
 
 def load_lexicon(path: str) -> Lexicon:

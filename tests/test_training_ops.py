@@ -111,7 +111,7 @@ def test_lsh_recall_vs_bruteforce(emb):
     exact = {(r.query_id, r.neighbor_id) for r in
              similarity.cosine_topk(q, emb, k=1, broadcast_corpus=True).collect()}
     ann = {(r.query_id, r.neighbor_id) for r in
-           similarity.lsh_cosine_topk(q, emb, k=1, n_planes=12, bands=6).collect()}
+           similarity.lsh_cosine_topk(q, emb, k=1, n_planes=12, bands=6, dim=64).collect()}
     # recall@1 of the banded LSH against brute force — generous bound,
     # the point is the plumbing is sound, not a tuned index
     recall = len(exact & ann) / len(exact)
