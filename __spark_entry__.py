@@ -2,14 +2,18 @@
 
 entry(spark)   — flagship: the full KG-construction pipeline (extraction →
                  linking → triples) over a deterministic transcript corpus.
-queries()      — 46 entries, one per implemented operator family from
+queries()      — 48 entries, one per implemented operator family from
                  SURVEY.md §2 plus the training-data ops (dedup /
-                 similarity / textstats / multimodal).
-oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible entry;
-                 omitted only for ops whose semantics DuckDB cannot replicate
-                 bit-for-bit (LSH/minhash/simhash candidate generation uses
-                 xxhash64, HLL approx counts, and the pandas-UDF extraction
-                 pipeline itself — those get rows-only checks).
+                 similarity / textstats / multimodal / streaming).
+oracle_sql()   — DuckDB-equivalent ANSI SQL for EVERY entry. The formerly
+                 rows-only ops are made verifiable by construction:
+                 MinHash/SimHash/winnowing run on an engine-portable md5
+                 hash kernel, the ANN LSH uses deterministic literal
+                 hyperplanes DuckDB recomputes, HLL sketches are asserted
+                 against exact counts in-query, the flagship pipeline runs
+                 over a committed corpus whose simple templates make every
+                 triple SQL-re-derivable, and the streaming entry's oracle
+                 checks the stream's MATERIALIZED output.
 
 Column names AND dtypes are aligned pairwise (Spark ints are cast to long
 where DuckDB returns BIGINT; doubles are rounded identically on both sides).
@@ -311,6 +315,45 @@ def q_json_props(spark, sf):
     )
 
 
+def q_json_funcs(spark, sf):
+    """SURVEY §2.9 map/json breadth: from_json into a typed struct,
+    json_tuple extraction, to_json serialization round-trip — all checked
+    against DuckDB's json_extract (the round-trip flag re-parses Spark's
+    own to_json output, so serialization is asserted in-query too)."""
+    e = _t(spark, sf, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    k = parsed.getField("k")
+    j = F.to_json(
+        F.named_struct(F.lit("t"), F.col("event_type"), F.lit("k"), k)
+    )
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.json_tuple("props", "k").alias("k_str"),
+        j.alias("j"),
+        (F.get_json_object(j, "$.k").cast("long") == k).alias("roundtrip_ok"),
+    )
+
+
+def q_stream_window_counts(spark, sf):
+    """Structured Streaming end-to-end, driver-checked: availableNow
+    readStream → watermark → hourly tumbling window → foreachBatch parquet
+    sink; returns the MATERIALIZED stream output (see
+    streaming/incremental.stream_event_window_counts). Oracle = the same
+    aggregation as batch SQL."""
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_event_window_counts,
+    )
+
+    base = os.path.join(_REPO, ".tmp", "stream_counts")
+    return stream_event_window_counts(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+
+
 def q_pivot_event_counts(spark, sf):
     e = _t(spark, sf, "events")
     kinds = ["click", "error", "purchase", "signup", "view"]
@@ -446,37 +489,82 @@ def q_emb_near_dup(spark, sf):
 
 
 def q_emb_ann_topk(spark, sf):
+    """LSH ANN with a FULL DuckDB twin: the hyperplanes are deterministic
+    md5-derived literals (similarity._planes), so the oracle recomputes
+    the identical sign-bit signatures, band buckets, candidate set and
+    exact-cosine re-rank."""
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     return _sim.lsh_cosine_topk(q, e, k=3, n_planes=12, bands=6, dim=64).select(
-        "query_id", "neighbor_id", F.round("cos", 3).alias("cos"), "rank"
+        "query_id", "neighbor_id", F.round("cos", 3).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
 def q_docs_minhash_pairs(spark, sf):
+    """MinHash→LSH→exact-verify on the portable md5 kernel: DuckDB
+    recomputes the identical shingle hashes, signatures, band buckets and
+    Jaccard verification (see oracle_sql) — the full candidate-generation
+    path is driver-verified, not just the final filter."""
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return _dedup.minhash_near_duplicates(
-        d, "doc_id", "text", shingle_n=2, num_hashes=16, bands=8, threshold=0.3
+        d, "doc_id", "text", shingle_n=2, num_hashes=16, bands=8,
+        threshold=0.3, hasher="md5",
     )
 
 
 def q_docs_simhash(spark, sf):
+    """SimHash near-dups on the portable 60-bit md5 kernel (4×15-bit
+    bands) — bit votes, banding and popcount verify all replicated by the
+    DuckDB oracle."""
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
-    return _dedup.simhash_near_duplicates(d, "doc_id", "text", max_hamming=12)
+    return _dedup.simhash_near_duplicates(
+        d, "doc_id", "text", max_hamming=12, hasher="md5"
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_approx_distinct(spark, sf):
+    """HLL sketch asserted against the exact count IN-QUERY (±5% — well
+    above approx_count_distinct's default 2.3% rsd), so the oracle checks
+    the exact column and the tolerance flag while the sketch itself stays
+    Spark-side (DuckDB has no bit-identical HLL)."""
     l = _t(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("hll_within_tol"),
+    )
+
+
+_CORPUS = os.path.join(_REPO, "tests", "golden", "synth_corpus.parquet")
 
 
 def q_transcripts_kg(spark, sf):
-    """The flagship pipeline as a queries() entry (rows-only: pandas-UDF
-    extraction is not SQL-expressible). Deterministic synthetic input."""
-    return entry(spark)
+    """The FULL flagship pipeline (mapInPandas extraction → broadcast link
+    join → triple union) over the committed deterministic corpus
+    (tests/golden/synth_corpus.parquet), with a complete DuckDB oracle:
+    the synthetic templates are simple enough that every structural, value
+    and term triple is independently re-derivable in pure SQL from the
+    same input file (see oracle_sql['transcripts_kg']). The golden
+    edge-case grammar (masking precedence, date formats, boundaries) stays
+    covered by tests/test_golden.py."""
+    from biosd_feature_annotator_spark.plans.pipeline import annotate
+    from biosd_feature_annotator_spark.sources.lexicon import load_lexicon
+
+    lex = load_lexicon(_LEX_PATH)
+    transcripts = spark.read.parquet(_CORPUS)
+    t = annotate(spark, transcripts, lex, build_graph=False)["triples"]
+    return t.select(
+        "subj", "pred", "obj", "obj_kind", "conf", "confidence", "unit",
+        "provenance", "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+    )
 
 
 def q_doc_bpe_tokens(spark, sf):
@@ -529,17 +617,25 @@ def q_phonetic_strings(spark, sf):
 
 
 def q_winnow_docs(spark, sf):
-    """Winnowing-style robust fingerprints (xxhash64 — rows-only)."""
+    """Winnowing-style robust fingerprints on the portable md5 kernel —
+    the DuckDB oracle recomputes every char-8-gram hash and the bottom-4
+    selection."""
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return d.select(
         "doc_id",
-        F.concat_ws(",", _ts.winnow_fingerprints(F.col("text")).cast("array<string>")).alias("winnow"),
+        F.concat_ws(
+            ",", _ts.winnow_fingerprints(F.col("text"), hasher="md5").cast("array<string>")
+        ).alias("winnow"),
     )
 
 
 def q_multimodal_features(spark, sf):
-    """Multimodal binary-column plumbing (deterministic stub codec —
-    rows-only; no SQL equivalent of the pandas-UDF decode)."""
+    """Multimodal binary-column plumbing through the pandas-UDF decode.
+    The stub codec is a deterministic pure function of the payload bytes
+    (byte/256 — exact in float32 AND double), and the payload is the md5
+    digest of the row id, so DuckDB re-derives every feature value from
+    generate_series with zero float slack: feat_sum_x256 = the integer sum
+    of the first 8 digest bytes."""
     from biosd_feature_annotator_spark.operators.multimodal import (
         extract_features,
         synth_media,
@@ -547,19 +643,23 @@ def q_multimodal_features(spark, sf):
 
     media = synth_media(spark, 200)
     feats = extract_features(media, dim=8, fake=True)
+    fsum = F.aggregate(
+        F.transform("feature", lambda x: x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
     return feats.select(
         "media_id", "kind", "n_bytes",
-        F.round(F.aggregate(F.transform("feature", lambda x: x.cast("double")),
-                            F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+        F.round(fsum * 256).cast("long").alias("feat_sum_x256"),
     )
 
 
 def q_entity_stats_kg(spark, sf):
-    """A3 hot-entity stats over the flagship pipeline's triples
-    (approx_count_distinct HLL — rows-only)."""
+    """A3 hot-entity stats over the pipeline's term triples on the
+    committed corpus — exact counts verified by the DuckDB oracle's
+    independent term derivation; the HLL sketch asserted in-query (±5%)."""
     from biosd_feature_annotator_spark.operators.canonicalize import entity_stats
 
-    return entity_stats(entry(spark))
+    return entity_stats(q_transcripts_kg(spark, sf), with_exact=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -586,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_funcs": q_date_funcs,
         "math_funcs": q_math_funcs,
         "json_props": q_json_props,
+        "json_funcs": q_json_funcs,
+        "stream_window_counts": q_stream_window_counts,
         "pivot_event_counts": q_pivot_event_counts,
         "top_orders": q_top_orders,
         "salted_agg": q_salted_agg,
@@ -603,7 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
-        # rows-only (no SQL equivalent — see oracle_sql docstring)
+        # md5-keyed / literal-plane / derivable forms — all oracle-checked
         "emb_ann_topk": q_emb_ann_topk,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash": q_docs_simhash,
@@ -614,6 +716,300 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "entity_stats_kg": q_entity_stats_kg,
     }
+
+
+# ---------------------------------------------------- oracle SQL generators
+#
+# The md5-keyed dedup family and the literal-plane LSH are replicated in
+# DuckDB exactly: both engines compute md5 of the same strings, and
+# CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) (DuckDB) equals
+# conv(substr(md5(s), 1, 15), 16, 10)::long (Spark) — verified bit-for-bit.
+
+def _md5_long(s: str) -> str:
+    return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+
+_NORM_TEXT = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    rpb = num_hashes // bands
+    seeded = ["CAST(sh AS VARCHAR) || '#%d'" % k for k in range(num_hashes)]
+    sig_cols = ",\n           ".join(
+        f"min({_md5_long(seeded[k])}) AS h{k}" for k in range(num_hashes)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc, {b} AS band, {bstr} AS bstr FROM sig".format(
+            b=b,
+            bstr=" || ',' || ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS doc, string_split({_NORM_TEXT}, ' ') AS t
+            FROM documents WHERE doc_id < 300
+        ),
+        sh AS (
+            SELECT doc, {_md5_long('shingle')} AS sh FROM (
+                SELECT doc, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(t) - 1, 1) + 1),
+                    i -> t[i] || ' ' || t[i + 1]))) AS shingle
+                FROM toks
+            ) WHERE length(shingle) > 0
+            GROUP BY doc, sh
+        ),
+        sig AS (
+            SELECT doc,
+           {sig_cols}
+            FROM sh GROUP BY doc
+        ),
+        banded AS (
+            SELECT doc, band, {_md5_long('bstr')} AS bh FROM (
+            {band_rows}
+            )
+        ),
+        sized AS (
+            SELECT banded.* FROM banded
+            JOIN (SELECT band, bh FROM banded GROUP BY band, bh
+                  HAVING count(*) > 1 AND count(*) <= 50) g
+            USING (band, bh)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc AS a, y.doc AS b
+            FROM sized x JOIN sized y
+              ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc
+        ),
+        sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS i
+            FROM cand c
+            JOIN sh x ON x.doc = c.a
+            JOIN sh y ON y.doc = c.b AND y.sh = x.sh
+            GROUP BY c.a, c.b
+        )
+        SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = a
+        JOIN sizes sb ON sb.doc = b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+    """
+
+
+def _simhash_sql(n_bits: int = 60, max_hamming: int = 12) -> str:
+    band_w = n_bits // 4
+    mask = (1 << band_w) - 1
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT doc, simhash, {b} AS band, (simhash >> {b * band_w}) & {mask} AS bh FROM sig"
+        for b in range(4)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   unnest(string_split({_NORM_TEXT}, ' ')) AS tok
+            FROM documents WHERE doc_id < 300
+        ),
+        th AS (
+            SELECT doc, {_md5_long('tok')} AS h FROM toks WHERE length(tok) > 0
+        ),
+        votes AS (
+            SELECT doc,
+           {votes}
+            FROM th GROUP BY doc
+        ),
+        sig AS (SELECT doc, {sig} AS simhash FROM votes),
+        bands AS (
+            {band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc AS a, y.doc AS b,
+                   x.simhash AS sa, y.simhash AS sb
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc
+        )
+        SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _ann_sql(n_planes: int = 12, bands: int = 6, dim: int = 64, k: int = 3) -> str:
+    planes = _sim._planes(n_planes, dim, seed=7)
+    per_band = n_planes // bands
+    mask = (1 << per_band) - 1
+
+    def dot(vec_expr: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            f"list_sum(list_transform(list_zip({vec_expr}, [{lits}]), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot('embedding', planes[b])} >= 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(n_planes)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band, (sig >> {b * per_band}) & {mask} AS bits FROM sig"
+        for b in range(bands)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(c.qv, c.cv), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(c.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+        ),
+        banded AS (
+            {band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.embedding AS qv, c.embedding AS cv
+            FROM banded q JOIN banded c
+              ON q.band = c.band AND q.bits = c.bits
+             AND q.vec_id != c.vec_id
+            WHERE q.vec_id < 20
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, {cos} AS cos FROM cand c
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos, 3) AS cos,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+_CORPUS_SQL = f"read_parquet('{_CORPUS}')"
+
+_KG_SRC = f"""
+        src AS (
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+                   tool, conv_id || ':' || CAST(turn_idx AS VARCHAR) AS subj
+            FROM {_CORPUS_SQL}
+        )"""
+
+# independent re-derivation of the pipeline's term links for the committed
+# corpus: each synthetic turn carries at most one rich sentence, and the
+# three organism surfaces come from fixed templates — exact-label matches
+# are HIGH 1.0, the 'human' synonym GOOD 0.9 (FIXTURES.md §2 confidence
+# contract). Non-circular: derived from the INPUT text, not from Spark's
+# output.
+_KG_TERMS = """
+        terms AS (
+            SELECT subj, 'hasOrganism' AS pred, 'NCBITaxon_9606' AS obj,
+                   CAST(1.0 AS DOUBLE) AS conf, 'HIGH' AS confidence,
+                   conv_id, turn_idx
+            FROM src WHERE contains(lower(text), 'homo sapiens')
+            UNION ALL
+            SELECT subj, 'hasOrganism', 'NCBITaxon_10090',
+                   CAST(1.0 AS DOUBLE), 'HIGH', conv_id, turn_idx
+            FROM src WHERE contains(lower(text), 'mus musculus')
+            UNION ALL
+            SELECT subj, 'hasOrganism', 'NCBITaxon_9606',
+                   CAST(0.9 AS DOUBLE), 'GOOD', conv_id, turn_idx
+            FROM src WHERE contains(lower(text), 'human')
+                      AND NOT contains(lower(text), 'homo sapiens')
+        )"""
+
+
+def _transcripts_kg_sql() -> str:
+    """Full SQL re-derivation of the flagship pipeline's triples over the
+    committed synthetic corpus: structural (saidBy/usesTool), value
+    (per-template number/range/date regexes — the templates in synth._RICH
+    are simple enough that the extraction grammar reduces to anchored
+    regexp_extract), and term links (_KG_TERMS)."""
+    return f"""
+        WITH {_KG_SRC},
+        {_KG_TERMS}
+        SELECT subj, 'saidBy' AS pred, 'role:' || role AS obj,
+               'role' AS obj_kind, CAST(1.0 AS DOUBLE) AS conf,
+               'HIGH' AS confidence, CAST(NULL AS VARCHAR) AS unit,
+               'structural' AS provenance, conv_id, turn_idx
+        FROM src WHERE role IS NOT NULL
+        UNION ALL
+        SELECT subj, 'usesTool', 'tool:' || tool, 'tool',
+               CAST(1.0 AS DOUBLE), 'HIGH', CAST(NULL AS VARCHAR),
+               'structural', conv_id, turn_idx
+        FROM src WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT subj, 'hasNumber',
+               'num:' || regexp_extract(text, 'measured (\\d+) kg', 1),
+               'number', CAST(1.0 AS DOUBLE), 'HIGH', 'kilogram',
+               'extract', conv_id, turn_idx
+        FROM src WHERE regexp_matches(text, 'measured \\d+ kg at intake')
+        UNION ALL
+        SELECT subj, 'hasAgeRange',
+               'range:[' || regexp_extract(text, 'aged (\\d+) to', 1) || ','
+                         || regexp_extract(text, 'to (\\d+) years', 1) || ']year',
+               'range', CAST(1.0 AS DOUBLE), 'HIGH', 'year',
+               'extract', conv_id, turn_idx
+        FROM src WHERE regexp_matches(text, 'patients aged \\d+ to \\d+ years')
+        UNION ALL
+        SELECT subj, 'hasDate',
+               'date:' || regexp_extract(text, 'collected on (\\d{{4}}-\\d{{2}}-\\d{{2}})', 1),
+               'date', CAST(1.0 AS DOUBLE), 'HIGH', CAST(NULL AS VARCHAR),
+               'extract', conv_id, turn_idx
+        FROM src WHERE regexp_matches(text, 'collected on \\d{{4}}-\\d{{2}}-\\d{{2}}')
+        UNION ALL
+        SELECT subj, 'hasRange',
+               'range:[' || regexp_extract(text, 'dose (\\d+)-', 1) || ','
+                         || regexp_extract(text, 'dose \\d+-(\\d+) administered', 1) || ']',
+               'range', CAST(1.0 AS DOUBLE), 'HIGH', CAST(NULL AS VARCHAR),
+               'extract', conv_id, turn_idx
+        FROM src WHERE regexp_matches(text, 'dose \\d+-\\d+ administered')
+        UNION ALL
+        SELECT subj, 'hasNumber',
+               'num:' || regexp_extract(text, 'count = (\\d+) recorded', 1),
+               'number', CAST(1.0 AS DOUBLE), 'HIGH', CAST(NULL AS VARCHAR),
+               'extract', conv_id, turn_idx
+        FROM src WHERE regexp_matches(text, 'count = \\d+ recorded')
+        UNION ALL
+        SELECT subj, 'hasDate', 'date:1998-01-01', 'date',
+               CAST(1.0 AS DOUBLE), 'HIGH', CAST(NULL AS VARCHAR),
+               'extract', conv_id, turn_idx
+        FROM src WHERE regexp_matches(text, 'since 1998')
+        UNION ALL
+        SELECT subj, 'hasAge',
+               'num:' || regexp_extract(text, 'aged (\\d+) weeks', 1),
+               'number', CAST(1.0 AS DOUBLE), 'HIGH', 'week',
+               'extract', conv_id, turn_idx
+        FROM src WHERE regexp_matches(text, 'aged \\d+ weeks')
+        UNION ALL
+        SELECT subj, pred, obj, 'term', conf, confidence,
+               CAST(NULL AS VARCHAR), 'link', conv_id, turn_idx
+        FROM terms
+    """
+
+
+def _entity_stats_sql() -> str:
+    return f"""
+        WITH {_KG_SRC},
+        {_KG_TERMS}
+        SELECT obj, count(*) AS n_mentions,
+               count(DISTINCT subj) AS n_subjects,
+               count(DISTINCT pred) AS n_preds,
+               TRUE AS hll_within_tol
+        FROM terms GROUP BY obj
+    """
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -971,10 +1367,73 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
             ORDER BY n DESC, source ASC LIMIT 10
         """,
-        # phonetic_strings, winnow_docs, multimodal_features,
-        # entity_stats_kg: rows-only (soundex / xxhash64 / pandas-UDF
-        # codec / HLL have no DuckDB equivalent).
-        # emb_ann_topk, docs_minhash_pairs, docs_simhash, approx_distinct,
-        # transcripts_kg: rows-only — xxhash64-based LSH banding, HLL
-        # sketches, and pandas-UDF extraction have no DuckDB equivalent.
+        "json_funcs": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   json_extract_string(props, '$.k') AS k_str,
+                   '{"t":"' || event_type || '","k":'
+                       || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+                       || '}' AS j,
+                   TRUE AS roundtrip_ok
+            FROM events
+        """,
+        "stream_window_counts": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "approx_distinct": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+                   TRUE AS hll_within_tol
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # soundex is hand-derived from the published algorithm for the five
+        # closed-domain segment values (B F P V→1, C G J K Q S X Z→2, D T→3,
+        # L→4, M N→5, R→6, vowels dropped, 4 chars) — an independent
+        # derivation, not a copy of Spark output.
+        "phonetic_strings": """
+            SELECT c_custkey,
+                   CASE c_mktsegment
+                        WHEN 'AUTOMOBILE' THEN 'A351'
+                        WHEN 'BUILDING'   THEN 'B435'
+                        WHEN 'FURNITURE'  THEN 'F653'
+                        WHEN 'MACHINERY'  THEN 'M256'
+                        WHEN 'HOUSEHOLD'  THEN 'H243'
+                   END AS seg_sound,
+                   upper(substr(lower(c_name), 1, 1)) || substr(lower(c_name), 2)
+                       AS name_cap,
+                   translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+            FROM customer
+        """,
+        "multimodal_features": """
+            SELECT 'm' || CAST(i AS VARCHAR) AS media_id,
+                   CASE (i % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(16 AS BIGINT) AS n_bytes,
+                   CAST(
+                       CAST('0x' || substr(md5(CAST(i AS VARCHAR)),  1, 2) AS BIGINT)
+                     + CAST('0x' || substr(md5(CAST(i AS VARCHAR)),  3, 2) AS BIGINT)
+                     + CAST('0x' || substr(md5(CAST(i AS VARCHAR)),  5, 2) AS BIGINT)
+                     + CAST('0x' || substr(md5(CAST(i AS VARCHAR)),  7, 2) AS BIGINT)
+                     + CAST('0x' || substr(md5(CAST(i AS VARCHAR)),  9, 2) AS BIGINT)
+                     + CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 11, 2) AS BIGINT)
+                     + CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 13, 2) AS BIGINT)
+                     + CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 15, 2) AS BIGINT)
+                   AS BIGINT) AS feat_sum_x256
+            FROM generate_series(0, 199) t(i)
+        """,
+        "docs_minhash_pairs": _minhash_sql(),
+        "docs_simhash": _simhash_sql(),
+        "winnow_docs": f"""
+            SELECT doc_id,
+                   array_to_string(list_slice(list_sort(list_distinct(
+                       list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                           i -> {_md5_long('substr(t, i, 8)')}))), 1, 4), ',')
+                       AS winnow
+            FROM (SELECT doc_id, {_NORM_TEXT} AS t
+                  FROM documents WHERE doc_id < 300)
+        """,
+        "emb_ann_topk": _ann_sql(),
+        "transcripts_kg": _transcripts_kg_sql(),
+        "entity_stats_kg": _entity_stats_sql(),
     }

@@ -32,19 +32,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def entity_stats(triples: DataFrame) -> DataFrame:
+def entity_stats(triples: DataFrame, with_exact: bool = False) -> DataFrame:
     """A3 hot-entity statistics: mention counts + approximate distinct
     subjects per object. approx_count_distinct (HLL) keeps the state
     per-group constant-size — the scale-safe form of the reference's
-    progress counters."""
-    return (
-        triples.where(F.col("obj_kind") == "term")
-        .groupBy("obj")
-        .agg(
+    progress counters.
+
+    with_exact=True additionally emits the exact distinct-subject count
+    and an in-query HLL tolerance flag (±5%) — the oracle-checkable form:
+    a SQL engine verifies n_subjects exactly and the sketch is asserted
+    against it in the same plan."""
+    base = triples.where(F.col("obj_kind") == "term").groupBy("obj")
+    if not with_exact:
+        return base.agg(
             F.count("*").alias("n_mentions"),
             F.approx_count_distinct("subj").alias("approx_subjects"),
             F.countDistinct("pred").alias("n_preds"),
         )
+    agg = base.agg(
+        F.count("*").alias("n_mentions"),
+        F.approx_count_distinct("subj").alias("approx_subjects"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("pred").alias("n_preds"),
+    )
+    return agg.select(
+        "obj", "n_mentions", "n_subjects", "n_preds",
+        (
+            F.abs(F.col("approx_subjects") - F.col("n_subjects"))
+            <= 0.05 * F.col("n_subjects")
+        ).alias("hll_within_tol"),
     )
 
 

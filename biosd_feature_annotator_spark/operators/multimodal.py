@@ -53,12 +53,15 @@ FEATURE_SCHEMA = (
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a real codec: bytes → pseudo-pixels.
-    Same payload always yields the same array (test-stable)."""
+    Same payload always yields the same array (test-stable). The /256
+    divisor is a power of two so byte/256 is EXACT in float32 and double —
+    the SQL oracle recomputes the identical values with no float-precision
+    slack."""
     if payload is None or len(payload) == 0:
         return np.zeros(dim, dtype=np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
     reps = int(np.ceil(dim / arr.size))
-    return (np.tile(arr, reps)[:dim].astype(np.float32) / 255.0)
+    return (np.tile(arr, reps)[:dim].astype(np.float32) / 256.0)
 
 
 def extract_features(

@@ -111,12 +111,16 @@ def doc_fingerprint(text) -> Column:
     return F.md5(norm_text_col(text))
 
 
-def winnow_fingerprints(text, k: int = 8, keep: int = 4) -> Column:
+def winnow_fingerprints(text, k: int = 8, keep: int = 4, hasher: str = "xx") -> Column:
     """Winnowing-style robust fingerprint: bottom-`keep` hashes over the
-    char k-gram set — stable under small edits. Pure array algebra."""
+    char k-gram set — stable under small edits. Pure array algebra.
+    hasher="md5" swaps in the engine-portable kernel (dedup.hash64) so a
+    SQL oracle can recompute the identical fingerprint."""
+    from .dedup import hash64
+
     t = norm_text_col(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1))),
-        lambda i: F.xxhash64(F.substring(t, i, F.lit(k))),
+        lambda i: hash64(F.substring(t, i, F.lit(k)), hasher=hasher),
     )
     return F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)

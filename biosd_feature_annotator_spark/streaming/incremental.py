@@ -94,3 +94,72 @@ def dedup_stream(stream: DataFrame) -> DataFrame:
     return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )
+
+
+EVENT_STREAM_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_event_window_counts(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str
+) -> DataFrame:
+    """Driver-verifiable end-to-end streaming run (T1+T2+T3+T5): a REAL
+    readStream → watermark → tumbling-window aggregate → foreachBatch
+    parquet sink, executed with availableNow (catch-up batch semantics),
+    then the materialized output read back as a batch DataFrame. The
+    result is deterministic — epoch-aligned hourly windows over a static
+    input — so a plain batch SQL twin (time_bucket in DuckDB) verifies
+    what the stream actually wrote.
+
+    complete output mode keeps every window in state (correct here: the
+    check wants the full history; an unbounded production stream would
+    use update/append + watermark eviction)."""
+    import shutil
+
+    for p in (out_path, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    # watermarks require TIMESTAMP (not NTZ); pin UTC so the NTZ↔LTZ casts
+    # are wall-clock-preserving and the emitted window starts are the same
+    # naive datetimes a SQL engine computes with time_bucket
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the file-stream source wants a DIRECTORY of arriving files; the
+    # testdata layout is a single parquet file, so stage it into one (the
+    # realistic shape anyway — new files landing in a drop directory)
+    import os
+
+    if os.path.isfile(events_path):
+        in_dir = os.path.join(os.path.dirname(checkpoint.rstrip("/")), "in")
+        shutil.rmtree(in_dir, ignore_errors=True)
+        os.makedirs(in_dir)
+        shutil.copy(events_path, os.path.join(in_dir, "part-0.parquet"))
+        events_path = in_dir
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+    def write_batch(batch_df, _batch_id: int) -> None:
+        batch_df.select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type", "n", "sum_value",
+        ).write.mode("overwrite").parquet(out_path)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

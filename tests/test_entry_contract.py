@@ -11,17 +11,15 @@ import __spark_entry__ as entrymod
 SF = "/root/testdata/sf0.001"
 
 
-def test_oracle_keys_subset_of_queries():
+def test_every_query_has_an_oracle():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 46
-    # every oracle-less query is intentionally rows-only (documented set)
+    assert len(q) >= 48
+    # round 2: the formerly rows-only ops were re-keyed on engine-portable
+    # hashes / literal planes / committed corpora — EVERY query must now
+    # ship a DuckDB oracle (no rows-only column in CORRECTNESS_r{N})
     rows_only = set(q) - set(o)
-    assert rows_only == {
-        "emb_ann_topk", "docs_minhash_pairs", "docs_simhash",
-        "approx_distinct", "transcripts_kg", "phonetic_strings",
-        "winnow_docs", "multimodal_features", "entity_stats_kg",
-    }
+    assert rows_only == set(), f"queries without oracle: {rows_only}"
 
 
 def test_oracle_sql_references_only_registered_views():
@@ -32,7 +30,8 @@ def test_oracle_sql_references_only_registered_views():
     for name, sql in entrymod.oracle_sql().items():
         ctes = set(re.findall(r"(\w+)\s+AS\s*\(", sql))
         tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql))
-        unknown = tables - registered - ctes - {"generate_series"}
+        # read_parquet: the committed corpus fixture (transcripts_kg family)
+        unknown = tables - registered - ctes - {"generate_series", "read_parquet"}
         assert not unknown, f"{name} references unregistered {unknown}"
 
 

@@ -78,3 +78,30 @@ def test_windowed_rates(spark, stream_dirs, tmp_path):
     rows = spark.sql("select * from rates_tbl").collect()
     assert len(rows) > 0
     assert all(r.n_turns > 0 and r.w_end > r.w_start for r in rows)
+
+
+def test_stream_event_window_counts_matches_batch(spark, tmp_path):
+    """The driver-verifiable streaming entry: availableNow run over the
+    events table must materialize exactly the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_event_window_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_event_window_counts(
+        spark, f"{sf}/events.parquet", str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    want = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+                "event_type", "n", "sum_value")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
