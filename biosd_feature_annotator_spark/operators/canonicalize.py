@@ -78,10 +78,19 @@ def salted_min(df: DataFrame, key: str, val: str, n_salt: int = 8) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 10, n_salt: int = 8
+    edges: DataFrame, max_iter: int = 10, n_salt: int = 8,
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node id in
-    the component. Deterministic at any parallelism."""
+    the component. Deterministic at any parallelism.
+
+    fixed_rounds=N runs exactly N rounds as ONE lazy plan: no per-round
+    localCheckpoint, no convergence-probe job. Use it when the graph's
+    diameter is known (the functional-dictionary linking graph is a star
+    forest — every surface has exactly one term edge and '0:'-prefixed
+    term ids sort below '1:'-prefixed surfaces, so round 1 already elects
+    the term as every member's component). The general loop keeps the
+    changed-count fixpoint probe and per-round checkpoints (lineage cut)."""
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -91,9 +100,10 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    sym = sym.localCheckpoint(eager=True)
-    comp = comp.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    if fixed_rounds is None:
+        sym = sym.localCheckpoint(eager=True)
+        comp = comp.localCheckpoint(eager=True)
+    for _ in range(fixed_rounds if fixed_rounds is not None else max_iter):
         # push each node's current comp to its neighbors, take min incl. self
         pushed = (
             sym.join(comp, sym.src == comp.node)
@@ -112,25 +122,35 @@ def connected_components(
                 F.col("x.node").alias("node"),
                 F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
             )
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
         )
-        comp = new_comp
-        if changed == 0:
-            break
+        if fixed_rounds is None:
+            new_comp = new_comp.localCheckpoint(eager=True)
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), "node")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+        else:
+            comp = new_comp
     return comp
 
 
-def canonicalize(linked_mentions: DataFrame, n_salt: int = 8) -> tuple[DataFrame, DataFrame]:
+def canonicalize(
+    linked_mentions: DataFrame, n_salt: int = 8, fixed_rounds: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """linked term mentions → (nodes, edges) graph tables.
 
     nodes(node_id, node_kind, canonical_label, aliases, n_mentions)
     edges(src, dst, rel, weight)
+
+    fixed_rounds: forwarded to connected_components — pass 1 for a
+    functional dictionary (star-forest graph, provably converged after one
+    round; see plans/pipeline.annotate), None for the general fixpoint loop.
     """
     pairs = linked_mentions.select(
         F.concat(F.lit("1:"), "match_norm").alias("src"),
@@ -143,7 +163,9 @@ def canonicalize(linked_mentions: DataFrame, n_salt: int = 8) -> tuple[DataFrame
         .withColumn("rel", F.lit("linksTo"))
         .select("src", "dst", "rel", "weight")
     )
-    comp = connected_components(edges.select("src", "dst"), n_salt=n_salt)
+    comp = connected_components(
+        edges.select("src", "dst"), n_salt=n_salt, fixed_rounds=fixed_rounds
+    )
 
     # per-component rollup: canonical id = the (term-first) min node id
     members = comp.withColumn(

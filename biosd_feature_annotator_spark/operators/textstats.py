@@ -57,20 +57,41 @@ def lang_scores(text) -> Column:
 
 
 def detect_lang(text) -> Column:
-    """argmax over lang_scores; deterministic tie-break = lexicographic
-    lang code; 'und' when no marker hits at all."""
-    best = None
-    best_score = None
-    for lang in sorted(LANG_MARKERS):
-        markers = LANG_MARKERS[lang]
-        score = F.size(F.array_intersect(tokens_col(text), F.array(*[F.lit(m) for m in markers])))
-        if best is None:
-            best, best_score = F.lit(lang), score
-        else:
-            gt = score > best_score
-            best = F.when(gt, F.lit(lang)).otherwise(best)
-            best_score = F.when(gt, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    """argmax over per-language marker hits; deterministic tie-break =
+    first language (lexicographic) reaching the max; 'und' when no marker
+    hits at all.
+
+    The token array (a regexp_replace + split — the dominant per-row cost)
+    is bound ONCE as a higher-order-function lambda variable instead of
+    being re-evaluated per language: the old when-chain re-ran tokens_col
+    5×/row because Catalyst does not reliably CSE across a when cascade.
+    The fold's accumulator is likewise a lambda variable, so referencing
+    it in both branches of the comparison costs nothing."""
+    init = F.struct(F.lit(0).alias("score"), F.lit("und").alias("lang"))
+
+    def entries(tk) -> Column:
+        return F.array(*[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        tk, F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+                    )
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        ])
+
+    best = F.aggregate(
+        F.array(tokens_col(text)),  # single-element wrapper: binds toks once
+        init,
+        lambda acc, tk: F.aggregate(
+            entries(tk),
+            acc,
+            lambda b, x: F.when(x["score"] > b["score"], x).otherwise(b),
+        ),
+    )
+    return best["lang"]
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -170,10 +170,52 @@ def read_triples(spark: SparkSession, out_dir: str, run_id: str | None = None) -
     return spark.read.option("basePath", p).parquet(p)
 
 
-def purge_run(out_dir: str, run_id: str) -> None:
+def _rewrite_manifests(spark: SparkSession, out_dir: str, keep) -> None:
+    """Rewrite the manifest store keeping only rows matching `keep` —
+    write-to-temp + atomic directory swap, never overwrite-in-place while
+    reading (manifests are metadata-sized; on Iceberg this is a metadata
+    DELETE)."""
+    p = manifest_path(out_dir)
+    if not os.path.exists(p):
+        return
+    tmp = p + ".rewrite"
+    spark.read.parquet(p).where(keep).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(p)
+    os.rename(tmp, p)
+
+
+def purge_run(out_dir: str, run_id: str, spark: SparkSession | None = None) -> None:
     """S7: drop one run's data (local parquet backend: remove partition
-    dirs; Iceberg backend: DELETE FROM ... WHERE run_id=...)."""
+    dirs; Iceberg backend: DELETE FROM ... WHERE run_id=...).
+
+    With a SparkSession the run's manifest rows are dropped too —
+    otherwise a later resume=True of the same run_id would anti-join every
+    part out against the stale status='done' rows and silently produce no
+    output while reporting success."""
     for name in ("triples", "nodes", "edges"):
         p = os.path.join(out_dir, name, f"run_id={run_id}")
         if os.path.exists(p):
             shutil.rmtree(p)
+    if spark is not None:
+        _rewrite_manifests(spark, out_dir, F.col("run_id") != run_id)
+
+
+def purge_older_than(spark: SparkSession, out_dir: str, cutoff) -> list[str]:
+    """Retention purge (the reference's age-based annotation cleanup,
+    SURVEY.md §3.3): drop every run whose NEWEST manifest row is older
+    than `cutoff` (a timestamp or ISO string), data + manifests. Returns
+    the purged run_ids."""
+    m = read_manifests(spark, out_dir)
+    if m is None:
+        return []
+    old = (
+        m.groupBy("run_id")
+        .agg(F.max("ts").alias("newest"))
+        .where(F.col("newest") < F.lit(cutoff).cast("timestamp"))
+        .select("run_id")
+        .collect()
+    )
+    run_ids = sorted(r.run_id for r in old)
+    for rid in run_ids:
+        purge_run(out_dir, rid, spark=spark)
+    return run_ids

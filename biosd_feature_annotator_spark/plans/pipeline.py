@@ -100,7 +100,15 @@ def annotate(
 
     out: dict[str, DataFrame] = {"mentions": mentions, "triples": triples}
     if build_graph:
-        nodes, edges = canonicalize(linked)
+        # functional dictionary → the linking graph is a star forest
+        # (every surface has exactly one term edge and term ids sort below
+        # surface ids), so CC is provably converged after ONE round: run
+        # it probe-free as a single lazy plan instead of the checkpointed
+        # fixpoint loop (several fixed-cost jobs saved per run). The
+        # ranked/multi-candidate path keeps the general loop.
+        nodes, edges = canonicalize(
+            linked, fixed_rounds=1 if not ranked_linking else None
+        )
         out["nodes"] = nodes
         out["edges"] = edges
     return out

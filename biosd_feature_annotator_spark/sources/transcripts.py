@@ -40,9 +40,17 @@ def read_transcripts(
     conv_ids: list[str] | None = None,
     sample_frac: float | None = None,
     where: str | None = None,
+    max_text_len: int | None = None,
 ) -> DataFrame:
     """Scan transcripts from an Iceberg table name (contains no '/') or a
-    parquet path. All three scopings push down to the scan."""
+    parquet path. All three scopings push down to the scan.
+
+    max_text_len (SURVEY.md §2.2 P3, the reference's too-long-text guard):
+    drops turns whose text exceeds N chars with a JVM-side length predicate
+    — degenerate multi-MB turns (pasted blobs) never reach Arrow or the
+    Python workers. NULL/blank text is KEPT (length(NULL) is NULL, which a
+    plain <= filter would silently drop): those rows carry no extractable
+    text but still produce structural triples."""
     if "/" in path_or_table:
         df = spark.read.parquet(path_or_table)
     else:
@@ -62,6 +70,10 @@ def read_transcripts(
         df = df.where(F.col("conv_id").isin(conv_ids))
     if where:
         df = df.where(where)
+    if max_text_len is not None:
+        df = df.where(
+            F.col("text").isNull() | (F.length("text") <= max_text_len)
+        )
     if sample_frac is not None:
         df = df.sample(fraction=sample_frac, seed=42)
     return df

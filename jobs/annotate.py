@@ -28,6 +28,7 @@ from biosd_feature_annotator_spark.session import get_spark  # noqa: E402
 from biosd_feature_annotator_spark.sources.lexicon import load_lexicon  # noqa: E402
 from biosd_feature_annotator_spark.sources.transcripts import read_transcripts  # noqa: E402
 from biosd_feature_annotator_spark.plans.materialize import (  # noqa: E402
+    purge_older_than,
     purge_run,
     run_annotate,
 )
@@ -51,13 +52,26 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true", help="skip manifest-done parts (J4)")
     ap.add_argument("--no-graph", action="store_true", help="skip nodes/edges build")
     ap.add_argument("--purge", action="store_true", help="drop this run's outputs (S7) and exit")
+    ap.add_argument("--purge-older-than", default=None, metavar="TS",
+                    help="retention purge: drop every run older than this "
+                         "ISO timestamp (data + manifests) and exit")
+    ap.add_argument("--max-text-len", type=int, default=None,
+                    help="P3 guard: drop turns whose text exceeds N chars")
     ap.add_argument("--synth-turns", type=int, default=None,
                     help="generate a deterministic synthetic input of ~N turns")
     args = ap.parse_args()
 
     if args.purge:
-        purge_run(args.out, args.run_id)
+        spark = get_spark(master=args.master, app_name=f"purge-{args.run_id}")
+        purge_run(args.out, args.run_id, spark=spark)
         print(json.dumps({"purged": args.run_id}))
+        spark.stop()
+        return
+    if args.purge_older_than:
+        spark = get_spark(master=args.master, app_name="purge-retention")
+        purged = purge_older_than(spark, args.out, args.purge_older_than)
+        print(json.dumps({"purged_runs": purged}))
+        spark.stop()
         return
 
     spark = get_spark(master=args.master, app_name=f"annotate-{args.run_id}")
@@ -73,6 +87,7 @@ def main() -> None:
             args.input,
             conv_ids=args.conv_ids.split(",") if args.conv_ids else None,
             sample_frac=args.sample,
+            max_text_len=args.max_text_len,
         )
 
     lex = load_lexicon(args.lexicon)

@@ -47,3 +47,40 @@ def test_salted_min_equals_plain_min(spark):
     plain = {r.k: r.v for r in df.groupBy("k").agg(F.min("v").alias("v")).collect()}
     salted = {r.k: r.v for r in salted_min(df, "k", "v", n_salt=16).collect()}
     assert plain == salted
+
+
+def test_cc_fixed_rounds_matches_loop_on_star_forest(spark):
+    """The probe-free fixed_rounds=1 fast path (functional-dictionary star
+    forest: term ids '0:*' sort below surface ids '1:*') must produce the
+    identical component assignment as the general fixpoint loop."""
+    edges = [
+        ("1:human", "0:T9606"), ("1:homo sapiens", "0:T9606"),
+        ("1:h. sapiens", "0:T9606"), ("1:mouse", "0:T10090"),
+        ("1:mus musculus", "0:T10090"), ("1:rat", "0:T10116"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    loop = {(r.node, r.comp) for r in connected_components(df, max_iter=10).collect()}
+    fast = {(r.node, r.comp) for r in connected_components(df, fixed_rounds=1).collect()}
+    assert fast == loop
+    # and every component head is the term node
+    assert all(c.startswith("0:") for _, c in fast)
+
+
+def test_pipeline_graph_fast_path_matches_general(spark, lexicon):
+    """annotate(build_graph=True) nodes via fixed_rounds=1 == the general
+    CC loop on the same linked mentions (golden corpus)."""
+    from biosd_feature_annotator_spark.operators.canonicalize import canonicalize
+    from biosd_feature_annotator_spark.operators.extract import extract_mentions
+    from biosd_feature_annotator_spark.operators.link import link_entities
+    from biosd_feature_annotator_spark.sources.lexicon import lexicon_df
+    from biosd_feature_annotator_spark.synth import golden_transcripts
+
+    tr = golden_transcripts(spark)
+    linked = link_entities(extract_mentions(tr, lexicon), lexicon_df(spark, lexicon))
+    linked = linked.persist()
+    fast_nodes, _ = canonicalize(linked, fixed_rounds=1)
+    loop_nodes, _ = canonicalize(linked, fixed_rounds=None)
+    key = lambda r: (r.node_id, r.node_kind, r.canonical_label,
+                     tuple(r.aliases), r.n_mentions)  # noqa: E731
+    assert sorted(map(key, fast_nodes.collect())) == sorted(map(key, loop_nodes.collect()))
+    linked.unpersist()

@@ -102,3 +102,74 @@ def test_manifest_fingerprints_match_content(spark, lexicon, transcripts, tmp_pa
         (recomputed.n != stored.n) | (recomputed.fp != stored.fp)
     )
     assert diff.count() == 0
+
+
+def test_purge_with_spark_rewrites_manifests_and_resume_reprocesses(
+    spark, lexicon, transcripts, tmp_path
+):
+    """ADVICE r1: purge must not leave status='done' manifest rows behind —
+    a resumed re-run of a purged run_id would otherwise anti-join every
+    part out and silently 'succeed' with no output."""
+    out = str(tmp_path / "purge_m")
+    run_annotate(spark, transcripts, lexicon, out, "a", 4, build_graph=False)
+    run_annotate(spark, transcripts, lexicon, out, "b", 4, build_graph=False)
+    fp_a = table_fp(read_triples(spark, out, "a"))
+
+    purge_run(out, "a", spark=spark)
+    m = read_manifests(spark, out)
+    assert m.where("run_id = 'a'").count() == 0       # rows gone
+    assert m.where("run_id = 'b'").count() == 4       # other run intact
+
+    # resume of the purged run re-processes everything and restores data
+    run_annotate(spark, transcripts, lexicon, out, "a", 4, resume=True, build_graph=False)
+    assert table_fp(read_triples(spark, out, "a")) == fp_a
+    assert read_manifests(spark, out).where("run_id = 'a'").count() == 4
+
+
+def test_purge_older_than_retention(spark, lexicon, transcripts, tmp_path):
+    from biosd_feature_annotator_spark.plans.materialize import purge_older_than
+
+    out = str(tmp_path / "retention")
+    run_annotate(spark, transcripts, lexicon, out, "old", 4, build_graph=False)
+    run_annotate(spark, transcripts, lexicon, out, "new", 4, build_graph=False)
+    # cutoff between the two runs' manifest timestamps: nothing is older
+    # than epoch; everything is older than year 3000
+    assert purge_older_than(spark, out, "1990-01-01 00:00:00") == []
+    assert read_triples(spark, out, "old").count() > 0
+    purged = purge_older_than(spark, out, "3000-01-01 00:00:00")
+    assert purged == ["new", "old"]
+    assert not os.path.exists(os.path.join(out, "triples", "run_id=old"))
+    assert read_manifests(spark, out).count() == 0
+
+
+def test_max_text_len_guard(spark, tmp_path):
+    """P3: over-long turns are filtered JVM-side (visible as a Filter in
+    the plan) while NULL-text turns survive (they still carry structure)."""
+    import contextlib
+    import io
+
+    from biosd_feature_annotator_spark.sources.transcripts import (
+        read_transcripts,
+        write_transcripts,
+    )
+
+    rows = [
+        ("c0", 0, "user", "short turn", None),
+        ("c0", 1, "assistant", "x" * 5000, None),
+        ("c1", 0, "user", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1704067200)))
+    p = str(tmp_path / "len_guard")
+    write_transcripts(df, p, n_buckets=2)
+
+    got = read_transcripts(spark, p, max_text_len=1000)
+    kept = {(r.conv_id, r.turn_idx) for r in got.collect()}
+    assert kept == {("c0", 0), ("c1", 0)}  # long turn dropped, NULL kept
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "length(text" in plan and "Filter" in plan
