@@ -1,0 +1,522 @@
+"""JVM-only extraction backend: the whole-stage-codegen twin of
+operators/extract.py (X1-X5), with zero Python in the data path.
+
+Why it exists: the pandas-UDF extractor is the right default for complex
+per-row logic, but it pays Arrow IPC plus one Python worker per core — on
+a host where all cores share one memory subsystem that overhead is the
+dominant scaling loss (BENCH/BASELINE.md). This backend expresses the
+same grammar as Catalyst expressions (regexp_extract_all + array algebra
++ a broadcast gram join), so extraction stays inside whole-stage codegen
+and scales with plain JVM task parallelism. It is selected with
+``annotate(..., extraction="jvm")``.
+
+Semantics vs the Python extractor — identical on the engine's corpora
+(asserted by fingerprint-equality tests), with three documented edge
+divergences, none of which the frozen golden grammar exercises:
+
+1. masking replaces the matched FRAGMENT string everywhere in the turn
+   (literal replace) instead of span-masking by offset — an identical
+   date/range string elsewhere in the same turn is masked too (it would
+   have produced the same deduped triple anyway);
+2. term matching is all-occurrences over token n-grams rather than
+   leftmost-longest-consuming — equivalent unless two DIFFERENT terms'
+   surfaces overlap in the text (no such pair exists in the golden or
+   bench lexicons), and punctuation inside a surface is normalized away
+   ('h. sapiens' and 'h sapiens' both match; the Python matcher requires
+   the exact punctuated form);
+3. number serialization for exotic exponent literals (1e300) follows
+   Spark's double→string cast instead of Python repr.
+
+Shuffle profile: value extraction + masking is fully partition-local;
+term matching adds ONE partial-aggregated shuffle of mention-sized rows
+(best-match-per-term reduction after the broadcast gram join).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lexicon import Lexicon, norm_surface
+from .extract import MENTION_SCHEMA, TIME_UNITS  # noqa: F401  (schema parity)
+
+# the same grammar strings as operators/extract.py, in Java-regex form
+# (Python's re.IGNORECASE becomes an embedded (?i) flag)
+_NUM = r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_UNIT_TAIL = r"(?:[ \t]{1,3}([A-Za-z]+))?"
+_NUM_PAT = rf"(?<![\w./+-])({_NUM})(?!\w){_UNIT_TAIL}"
+_RANGE_PAT = (
+    rf"(?<![\w./+-])({_NUM})[ \t]{{0,3}}(?:-|–|to|\.\.)[ \t]{{0,3}}({_NUM})(?!\w){_UNIT_TAIL}"
+)
+_BETWEEN_PAT = rf"(?i)\bbetween\s+({_NUM})\s+and\s+({_NUM})(?!\w){_UNIT_TAIL}"
+
+_MONTHS = "jan feb mar apr may jun jul aug sep oct nov dec".split()
+_DATE_PATS = [
+    # (pattern, day_group, mon_group, year_group, mon_is_name, fixed)
+    (r"(?<![\w./+-])(\d{4})-(\d{2})-(\d{2})(?!\w)", 3, 2, 1, False),
+    (r"(?<![\w./+-])(\d{2})/(\d{2})/(\d{4})(?!\w)", 1, 2, 3, False),
+    (r"(?i)(?<![\w./+-])(\d{1,2})-([A-Za-z]{3,9})-(\d{4})(?!\w)", 1, 2, 3, True),
+    (r"(?i)\b(" + "|".join(_MONTHS) + r")[a-z]*\.?[ \t]+(\d{4})(?!\d)", None, 1, 2, True),
+    (r"(?i)\b(?:in|since|year)[ \t]+((?:19|20)\d{2})(?!\d)", None, None, 1, False),
+]
+
+_AGE_CTX_PAT = r"(?i)\b(age|aged|old)\b"
+_TOKEN_RE = re.compile(r"\w+")
+
+
+def _month_no_col(name_col) -> F.Column:
+    """lower(first-3-letters) → month number, mirroring extract._MONTH_NO
+    (any word with a valid 3-letter month prefix parses — frozen)."""
+    m = F.lower(F.substring(name_col, 1, 3))
+    expr = F.lit(None).cast("int")
+    for i, mon in enumerate(_MONTHS):
+        expr = F.when(m == mon, F.lit(i + 1)).otherwise(expr)
+    return expr
+
+
+def _fmt_num(v) -> F.Column:
+    """Spark twin of extract.fmt_num: integral doubles print as ints.
+    try_cast keeps the expression ANSI-safe for the non-finite literals
+    the ok-filter later drops (cast(inf as long) would throw)."""
+    as_long = v.try_cast("long")
+    is_int = as_long.isNotNull() & (v == as_long.cast("double")) & (F.abs(v) < 1e15)
+    return F.when(is_int, as_long.cast("string")).otherwise(v.cast("string"))
+
+
+def _unit_canon(unit_raw, lex: Lexicon) -> F.Column:
+    """Raw trailing word → canonical unit label via the (small) unit map
+    as a literal Catalyst map — the JVM twin of extract._unit_after.
+    try_element_at: a non-unit word is NULL, not an ANSI error."""
+    if not lex.unit_map:
+        return F.lit(None).cast("string")
+    entries = []
+    for k, v in sorted(lex.unit_map.items()):
+        entries.extend([F.lit(k), F.lit(v)])
+    return F.try_element_at(F.create_map(*entries), F.lower(unit_raw))
+
+
+def _finite(v) -> F.Column:
+    return ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+
+
+def _dedup_by_pred_obj(arr) -> F.Column:
+    """Keep the first struct per (pred, obj) inside one turn's value array
+    — extract._dedupe_turn's triple-identity contract, shuffle-free."""
+    return F.filter(
+        arr,
+        lambda x, i: ~F.exists(
+            F.slice(arr, 1, i),
+            lambda y: (y["pred"] == x["pred"]) & (y["obj"] == x["obj"]),
+        ),
+    )
+
+
+def value_mentions_jvm(transcripts: DataFrame, lex: Lexicon) -> DataFrame:
+    """X1-X4 as pure Catalyst: date ⊐ range ⊐ number precedence via a
+    LINEAR chain of regexp_replace masking stages, unit attachment via a
+    trailing capture, calendar validation via try_to_date (NULL on
+    invalid = Python's ValueError skip). Emits MENTION_SCHEMA rows with
+    kind ∈ {number, range, date}; begin/end are -1 (offsets are a
+    Python-path concept).
+
+    Performance note (measured 30×): masking must NOT be expressed as
+    per-fragment literal replaces inside higher-order lambdas — Catalyst's
+    subexpression elimination cannot see into LambdaFunction subtrees, so
+    each of the 8 grammar stages would re-evaluate every earlier stage and
+    the expression cost explodes combinatorially. Plain nested
+    regexp_replace keeps the chain lambda-free (one linear pass, CSE-able).
+    The one semantic consequence: a calendar-INVALID date-shaped string
+    (2019-13-45) is masked here but re-scanned as range/number by the
+    Python path — no corpus case exercises it (golden parity holds)."""
+    src = transcripts.where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        & F.col("text").rlike(r"\d")
+    ).select("conv_id", "turn_idx", "text")
+
+    t = F.col("text")
+    age_ctx = t.rlike(_AGE_CTX_PAT)
+
+    def date_structs(pat, dg, mg, yg, mon_is_name):
+        def build(x):
+            d = F.lit(1) if dg is None else F.regexp_extract(x, pat, dg).cast("int")
+            m = (
+                F.lit(1)
+                if mg is None
+                else (
+                    _month_no_col(F.regexp_extract(x, pat, mg))
+                    if mon_is_name
+                    else F.regexp_extract(x, pat, mg).cast("int")
+                )
+            )
+            y = F.regexp_extract(x, pat, yg).cast("int")
+            # try_to_date validates the real calendar (2019-02-30 → NULL)
+            # without ANSI exceptions — the twin of Python's ValueError skip
+            dt = F.try_to_date(
+                F.concat_ws("-", y.cast("string"), m.cast("string"), d.cast("string")),
+                "y-M-d",
+            )
+            return F.struct(
+                F.lit("date").alias("kind"),
+                x.alias("surface"),
+                F.concat(F.lit("date:"), dt.cast("string")).alias("obj"),
+                F.lit(None).cast("double").alias("num"),
+                F.lit(None).cast("double").alias("lo"),
+                F.lit(None).cast("double").alias("hi"),
+                F.lit(None).cast("string").alias("unit"),
+                dt.isNotNull().alias("ok"),
+            )
+
+        return build
+
+    # --- dates, in frozen priority order; each pattern extracts from the
+    # text as masked by all earlier patterns, then masks its own matches
+    stage = t
+    all_dates = None
+    for pat, dg, mg, yg, mon_is_name in _DATE_PATS:
+        frags = F.regexp_extract_all(stage, F.lit(pat), 0)
+        structs = F.filter(
+            F.transform(frags, date_structs(pat, dg, mg, yg, mon_is_name)),
+            lambda x: x["ok"],
+        )
+        all_dates = structs if all_dates is None else F.concat(all_dates, structs)
+        stage = F.regexp_replace(stage, pat, " ")
+
+    # --- ranges on date-masked text (plain form, then between-form)
+    def range_structs(pat):
+        def build(x):
+            lo = F.regexp_extract(x, pat, 1).cast("double")
+            hi = F.regexp_extract(x, pat, 2).cast("double")
+            lo2, hi2 = F.least(lo, hi), F.greatest(lo, hi)
+            unit = _unit_canon(F.nullif(F.regexp_extract(x, pat, 3), F.lit("")), lex)
+            return F.struct(
+                F.lit("range").alias("kind"),
+                x.alias("surface"),
+                F.concat(
+                    F.lit("range:["), _fmt_num(lo2), F.lit(","), _fmt_num(hi2),
+                    F.lit("]"), F.coalesce(unit, F.lit("")),
+                ).alias("obj"),
+                F.lit(None).cast("double").alias("num"),
+                lo2.alias("lo"),
+                hi2.alias("hi"),
+                unit.alias("unit"),
+                (_finite(lo) & _finite(hi)).alias("ok"),
+            )
+
+        return build
+
+    ranges = None
+    for pat in (_RANGE_PAT, _BETWEEN_PAT):
+        frags = F.regexp_extract_all(stage, F.lit(pat), 0)
+        structs = F.filter(F.transform(frags, range_structs(pat)), lambda x: x["ok"])
+        ranges = structs if ranges is None else F.concat(ranges, structs)
+        stage = F.regexp_replace(stage, pat, " ")
+
+    # --- numbers on date+range-masked text
+    def num_struct(x):
+        v = F.regexp_extract(x, _NUM_PAT, 1).cast("double")
+        unit = _unit_canon(F.nullif(F.regexp_extract(x, _NUM_PAT, 2), F.lit("")), lex)
+        return F.struct(
+            F.lit("number").alias("kind"),
+            x.alias("surface"),
+            F.concat(F.lit("num:"), _fmt_num(v)).alias("obj"),
+            v.alias("num"),
+            F.lit(None).cast("double").alias("lo"),
+            F.lit(None).cast("double").alias("hi"),
+            unit.alias("unit"),
+            _finite(v).alias("ok"),
+        )
+
+    nums = F.filter(
+        F.transform(F.regexp_extract_all(stage, F.lit(_NUM_PAT), 0), num_struct),
+        lambda x: x["ok"],
+    )
+
+    vals = F.concat(all_dates, ranges, nums)
+    # route predicates in-array so the per-turn (pred, obj) dedup —
+    # extract._dedupe_turn's contract — stays shuffle-free
+    is_age_unit = lambda x: x["unit"].isin(sorted(TIME_UNITS)) & age_ctx  # noqa: E731
+    routed = F.transform(
+        vals,
+        lambda x: x.withField(
+            "pred",
+            F.when((x["kind"] == "number") & is_age_unit(x), F.lit("hasAge"))
+            .when(x["kind"] == "number", F.lit("hasNumber"))
+            .when((x["kind"] == "range") & is_age_unit(x), F.lit("hasAgeRange"))
+            .when(x["kind"] == "range", F.lit("hasRange"))
+            .otherwise(F.lit("hasDate")),
+        ),
+    )
+    deduped = _dedup_by_pred_obj(routed)
+
+    exploded = src.select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(":", "conv_id", "turn_idx").alias("subj"),
+        age_ctx.alias("age_ctx"),
+        F.explode(deduped).alias("m"),
+    )
+    return exploded.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "subj",
+        F.col("m.kind").alias("kind"),
+        F.col("m.surface").alias("surface"),
+        F.lit(None).cast("string").alias("match_norm"),
+        F.lit(None).cast("string").alias("match_kind"),
+        F.lit(-1).alias("begin"),
+        F.lit(-1).alias("end"),
+        F.col("m.obj").alias("obj"),
+        F.col("m.num").alias("num"),
+        F.col("m.lo").alias("lo"),
+        F.col("m.hi").alias("hi"),
+        F.col("m.unit").alias("unit"),
+        "age_ctx",
+    )
+
+
+_BLOOM_BITS = 1 << 18  # 32 KiB bitset: ~3% FP at 10^4 keys, 1 xxh64 probe
+
+# pure-Python XXH64 (the public-domain xxHash algorithm) producing exactly
+# Spark's xxhash64(seed=42) on UTF-8 bytes — asserted by a unit test. Used
+# only at PLAN BUILD time to populate the Bloom literal; the per-row probe
+# is Spark's native xxhash64.
+_M64 = (1 << 64) - 1
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v = [(seed + _P1 + _P2) & _M64, (seed + _P2) & _M64, seed & _M64,
+             (seed - _P1) & _M64]
+        while i + 32 <= n:
+            for j in range(4):
+                k = int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
+                v[j] = (_rotl((v[j] + k * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M64
+        for vj in v:
+            h = ((h ^ ((_rotl((vj * _P2) & _M64, 31) * _P1) & _M64)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h = ((_rotl((h ^ ((_rotl((k * _P2) & _M64, 31) * _P1) & _M64)), 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i:i + 4], "little")
+        h = ((_rotl(h ^ ((k * _P1) & _M64), 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _bloom_words(tokens) -> list[int]:
+    """Driver-side Bloom filter build over a token set; the Spark-side
+    probe (_bloom_test) computes the identical xxhash64 bit, so membership
+    is exact-superset: no false negatives, ~3% false positives that the
+    gram join rejects anyway."""
+    words = [0] * (_BLOOM_BITS // 64)
+    for t in tokens:
+        h = xxh64(t.encode("utf-8")) % _BLOOM_BITS
+        words[h // 64] |= 1 << (h % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_test(bloom_lit: Column, tok: Column) -> Column:
+    """Pure-codegen membership probe: one native xxhash64 + array index +
+    shift — no string allocation. This is the 'broadcast trie' gate that
+    keeps per-token matching cost independent of dictionary size — the JVM
+    twin of the Python matcher's first-token index (Lexicon.matcher_index)."""
+    h = F.pmod(F.xxhash64(tok), F.lit(_BLOOM_BITS))
+    word = F.element_at(bloom_lit, (h / 64).cast("int") + 1)
+    # column-valued shift count: the SQL function accepts it, the python
+    # wrapper F.shiftright only takes a literal int
+    return F.call_function("shiftright", word, (h % 64).cast("int")).bitwiseAND(
+        F.lit(1)
+    ) == 1
+
+
+def _lexicon_grams(
+    spark: SparkSession, lex: Lexicon
+) -> tuple[DataFrame, int, set[str]]:
+    """(gram_key, match_norm, match_kind, term_id, kind_rank) — one row per
+    exact surface, keyed by its token-joined form. Returns the frame, the
+    max gram length, and the set of surface FIRST tokens (the Bloom keys)."""
+    rows = []
+    max_len = 1
+    first_toks: set[str] = set()
+    for surf, (tid, kind) in lex.surface_map.items():
+        toks = _TOKEN_RE.findall(surf)
+        if not toks:
+            continue
+        max_len = max(max_len, len(toks))
+        first_toks.add(toks[0])
+        rows.append((" ".join(toks), surf, kind, tid, 0 if kind == "label" else 1))
+    df = spark.createDataFrame(
+        rows,
+        "gram_key string, match_norm string, match_kind string, term_id string, kind_rank int",
+    )
+    return df, max_len, first_toks
+
+
+def _label_tokens(spark: SparkSession, lex: Lexicon) -> DataFrame:
+    """(tok, term_id, match_norm, n_toks) — the MEDIUM containment frame."""
+    rows = []
+    for tid, toks in lex.token_labels:
+        for tk in set(toks):
+            rows.append((tk, tid, " ".join(toks), len(set(toks))))
+    return spark.createDataFrame(
+        rows, "tok string, term_id string, match_norm string, n_toks int"
+    )
+
+
+def term_mentions_jvm(
+    spark: SparkSession, transcripts: DataFrame, lex: Lexicon
+) -> DataFrame:
+    """X5 as a broadcast gram join: explode the turn's 1..k-token windows,
+    hash-join them against the (tiny, broadcast) surface dictionary, keep
+    the best match per (turn, term) — label ⊐ synonym ⊐ tokens, then
+    earliest position (extract._dedupe_turn's term contract). The join is
+    shuffle-free; the best-match reduction is one partial-aggregated
+    shuffle of mention-sized rows."""
+    lex_grams, max_len, first_toks = _lexicon_grams(spark, lex)
+    label_toks = _label_tokens(spark, lex)
+    # F.lit(list) → a single array Literal; F.array(*lits) would be a
+    # CreateArray expression REBUILT on every lambda evaluation (measured:
+    # it more than ate the Bloom's savings)
+    exact_bloom = F.lit(_bloom_words(first_toks))
+    medium_bloom = F.lit(
+        _bloom_words({t for _, ts in lex.token_labels for t in ts})
+    )
+
+    src = transcripts.where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(":", "conv_id", "turn_idx").alias("subj"),
+        (F.col("text").rlike(_AGE_CTX_PAT) & F.col("text").rlike(r"\d")).alias("age_ctx"),
+        F.regexp_extract_all(F.lower("text"), F.lit(r"(\w+)"), 1).alias("toks"),
+    )
+
+    # candidate start positions: only tokens that pass the first-token
+    # Bloom gate grow grams — gram-string construction and the join input
+    # shrink ~50-100× (the overwhelming majority of turn tokens start no
+    # dictionary surface). No false negatives by construction. The whole
+    # candidate array is ONE expression so the hit scan runs once per row.
+    # closures via a factory, NOT `lambda i, k=k`: pyspark counts lambda
+    # parameters (defaults included) to decide whether to pass the array
+    # index, so a k=k default would silently turn these into
+    # (element, index) lambdas with k bound to the index.
+    def per_hit(i):
+        return F.filter(
+            F.array(*[
+                F.struct(
+                    F.array_join(F.slice("toks", i, k), " ").alias("gram"),
+                    i.alias("pos"),
+                    F.lit(k).alias("klen"),
+                )
+                for k in range(1, max_len + 1)
+            ]),
+            lambda s: s["klen"] + i - 1 <= F.size("toks"),
+        )
+
+    hits = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1))),
+        lambda i: (i <= F.size("toks"))
+        & _bloom_test(exact_bloom, F.element_at("toks", i)),
+    )
+    cands = F.flatten(F.transform(hits, per_hit))
+    grams = src.select(
+        "conv_id", "turn_idx", "subj", "age_ctx",
+        F.explode(cands).alias("g"),
+    ).select("conv_id", "turn_idx", "subj", "age_ctx",
+             F.col("g.gram").alias("gram"), F.col("g.pos").alias("pos"))
+
+    exact = grams.join(
+        F.broadcast(lex_grams), grams.gram == lex_grams.gram_key, "inner"
+    ).select(
+        "conv_id", "turn_idx", "subj", "age_ctx",
+        "match_norm", "match_kind", "term_id", "kind_rank", "pos",
+    )
+
+    # MEDIUM: all tokens of a multi-token label present anywhere in the
+    # turn; the exact path wins on the final min_by (kind_rank 2). The
+    # label-token Bloom gates the explode the same way.
+    tok_rows = src.select(
+        "conv_id", "turn_idx", "subj", "age_ctx",
+        F.explode(
+            F.filter(
+                F.array_distinct("toks"),
+                lambda tk: _bloom_test(medium_bloom, tk),
+            )
+        ).alias("tok"),
+    )
+    medium = (
+        tok_rows.join(F.broadcast(label_toks), "tok")
+        .groupBy("conv_id", "turn_idx", "subj", "age_ctx", "term_id",
+                 "match_norm", "n_toks")
+        .agg(F.countDistinct("tok").alias("hit"))
+        .where(F.col("hit") == F.col("n_toks"))
+        .select(
+            "conv_id", "turn_idx", "subj", "age_ctx", "match_norm",
+            F.lit("tokens").alias("match_kind"), "term_id",
+            F.lit(2).alias("kind_rank"),
+            F.lit(10**9).alias("pos"),
+        )
+    )
+
+    best = (
+        exact.unionByName(medium)
+        .groupBy("subj", "term_id")
+        .agg(
+            F.min_by(
+                F.struct("conv_id", "turn_idx", "age_ctx", "match_norm", "match_kind", "pos"),
+                F.struct("kind_rank", "pos", "match_norm"),
+            ).alias("m")
+        )
+    )
+    return best.select(
+        F.col("m.conv_id").alias("conv_id"),
+        F.col("m.turn_idx").cast("int").alias("turn_idx"),
+        "subj",
+        F.lit("term").alias("kind"),
+        F.col("m.match_norm").alias("surface"),
+        F.col("m.match_norm").alias("match_norm"),
+        F.col("m.match_kind").alias("match_kind"),
+        F.col("m.pos").alias("begin"),
+        F.lit(-1).alias("end"),
+        F.lit(None).cast("string").alias("obj"),
+        F.lit(None).cast("double").alias("num"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        F.lit(None).cast("string").alias("unit"),
+        F.col("m.age_ctx").alias("age_ctx"),
+    )
+
+
+def extract_mentions_jvm(
+    spark: SparkSession, transcripts: DataFrame, lex: Lexicon
+) -> DataFrame:
+    """Drop-in JVM twin of extract.extract_mentions: same MENTION_SCHEMA
+    column set, zero Python workers."""
+    return value_mentions_jvm(transcripts, lex).unionByName(
+        term_mentions_jvm(spark, transcripts, lex)
+    )

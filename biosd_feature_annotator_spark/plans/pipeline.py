@@ -43,6 +43,7 @@ def annotate(
     build_graph: bool = True,
     cache_mentions: bool = True,
     ranked_linking: bool = False,
+    extraction: str = "python",
 ) -> dict[str, DataFrame]:
     """Assemble the full plan; returns lazy DataFrames keyed by table name:
     mentions, triples, and (if build_graph) nodes + edges.
@@ -52,7 +53,14 @@ def annotate(
     re-run the regex extraction once per consumer (measured 2-3× wall).
     MEMORY_AND_DISK so the 100 TB case degrades to local-disk spill; on a
     cluster a materialized intermediate table is the equivalent stage
-    checkpoint."""
+    checkpoint.
+
+    extraction: "python" (the iterator-pandas-UDF extractor — default) or
+    "jvm" (operators/extract_jvm — the whole-stage-codegen backend with
+    zero Python workers; same triples on the engine's corpora, documented
+    edge divergences in its module docstring). The JVM backend is what the
+    scaling bench measures at N vs 4N cores: it removes Arrow IPC and
+    Python-worker contention from the scaling path."""
     from pyspark.storagelevel import StorageLevel
 
     # the one mandated shuffle (BASELINE.json): conversation co-location.
@@ -65,7 +73,12 @@ def annotate(
         n = repartition or spark.sparkContext.defaultParallelism * 2
         src = transcripts.repartition(n, F.col("conv_id"))
 
-    mentions = extract_mentions(src, lex)
+    if extraction == "jvm":
+        from ..operators.extract_jvm import extract_mentions_jvm
+
+        mentions = extract_mentions_jvm(spark, src, lex)
+    else:
+        mentions = extract_mentions(src, lex)
     if cache_mentions:
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
     lex_df = lexicon_df(spark, lex)
