@@ -501,6 +501,18 @@ def q_emb_ann_topk(spark, sf):
     )
 
 
+def q_emb_ivf_topk(spark, sf):
+    """IVF ANN (coarse cells → probe → exact re-rank) with a full DuckDB
+    twin: the centroids are deterministic md5-derived literals, so the
+    oracle recomputes cell assignment, probing and the re-rank exactly."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return _sim.ivf_cosine_topk(q, e, k=3, n_cells=8, n_probe=2, dim=64).select(
+        "query_id", "neighbor_id", F.round("cos", 3).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_docs_minhash_pairs(spark, sf):
     """MinHash→LSH→exact-verify on the portable md5 kernel: DuckDB
     recomputes the identical shingle hashes, signatures, band buckets and
@@ -707,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash": q_docs_simhash,
         "approx_distinct": q_approx_distinct,
@@ -885,6 +898,63 @@ def _ann_sql(n_planes: int = 12, bands: int = 6, dim: int = 64, k: int = 3) -> s
         ),
         scored AS (
             SELECT query_id, neighbor_id, {cos} AS cos FROM cand c
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos, 3) AS cos,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivf_sql(n_cells: int = 8, n_probe: int = 2, dim: int = 64, k: int = 3) -> str:
+    import math
+
+    cents = _sim._planes(n_cells, dim, seed=11)
+    cent_rows = "\n            UNION ALL ".join(
+        "SELECT {i} AS cell, {dot} / {norm!r} AS sim, vec_id, embedding FROM embeddings".format(
+            i=i,
+            norm=math.sqrt(sum(x * x for x in c)),
+            dot=(
+                "list_sum(list_transform(list_zip(embedding, ["
+                + ", ".join(repr(x) for x in c)
+                + "]), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            ),
+        )
+        for i, c in enumerate(cents)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(q.qv, c.cv), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+        WITH sims AS (
+            {cent_rows}
+        ),
+        ranked_cells AS (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell DESC) AS rc
+            FROM sims
+        ),
+        corpus AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv, cell
+            FROM ranked_cells WHERE rc = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS qv, cell
+            FROM ranked_cells WHERE rc <= {n_probe} AND vec_id < 20
+        ),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id, {cos} AS cos
+            FROM probes q JOIN corpus c USING (cell)
+            WHERE q.query_id != c.neighbor_id
         ),
         ranked AS (
             SELECT query_id, neighbor_id, cos,
@@ -1434,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE doc_id < 300)
         """,
         "emb_ann_topk": _ann_sql(),
+        "emb_ivf_topk": _ivf_sql(),
         "transcripts_kg": _transcripts_kg_sql(),
         "entity_stats_kg": _entity_stats_sql(),
     }

@@ -84,13 +84,19 @@ def connected_components(
     """edges(src, dst) → (node, component) with component = min node id in
     the component. Deterministic at any parallelism.
 
-    fixed_rounds=N runs exactly N rounds as ONE lazy plan: no per-round
-    localCheckpoint, no convergence-probe job. Use it when the graph's
-    diameter is known (the functional-dictionary linking graph is a star
-    forest — every surface has exactly one term edge and '0:'-prefixed
-    term ids sort below '1:'-prefixed surfaces, so round 1 already elects
-    the term as every member's component). The general loop keeps the
-    changed-count fixpoint probe and per-round checkpoints (lineage cut)."""
+    fixed_rounds=N runs exactly N rounds with no per-round localCheckpoint
+    and no convergence-probe job. Use it when the graph's diameter is
+    known (the functional-dictionary linking graph is a star forest —
+    every surface has exactly one term edge and '0:'-prefixed term ids
+    sort below '1:'-prefixed surfaces, so round 1 already elects the term
+    as every member's component). The general loop keeps the
+    changed-count fixpoint probe and per-round checkpoints (lineage cut).
+
+    The SEED checkpoints below stay in both modes: sym/comp are referenced
+    several times per round (push + self-min + pointer-jump self-join),
+    and without materialization the upstream edge derivation re-executes
+    per reference — measured 3× slower than the probe loop it was meant
+    to beat."""
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -100,10 +106,10 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    if fixed_rounds is None:
-        sym = sym.localCheckpoint(eager=True)
-        comp = comp.localCheckpoint(eager=True)
-    for _ in range(fixed_rounds if fixed_rounds is not None else max_iter):
+    sym = sym.localCheckpoint(eager=True)
+    comp = comp.localCheckpoint(eager=True)
+    n_rounds = fixed_rounds if fixed_rounds is not None else max_iter
+    for r in range(n_rounds):
         # push each node's current comp to its neighbors, take min incl. self
         pushed = (
             sym.join(comp, sym.src == comp.node)
@@ -114,15 +120,20 @@ def connected_components(
         # pointer jumping (path compression): comp(v) ← comp(comp(v)).
         # Neighbor-min alone moves the min one hop per round (O(diameter));
         # with jumping each round roughly halves pointer depth → O(log n)
-        # rounds even on path graphs.
-        x, y = new_comp.alias("x"), new_comp.alias("y")
-        new_comp = (
-            x.join(y, F.col("x.comp") == F.col("y.node"), "left")
-            .select(
-                F.col("x.node").alias("node"),
-                F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
+        # rounds even on path graphs. In fixed-rounds mode the jump only
+        # helps BETWEEN rounds (after the last min round it is the
+        # identity for any graph whose declared round budget converged —
+        # the star-forest case), and the self-join would double-compute
+        # the un-checkpointed round, so it is skipped on the final round.
+        if fixed_rounds is None or r < n_rounds - 1:
+            x, y = new_comp.alias("x"), new_comp.alias("y")
+            new_comp = (
+                x.join(y, F.col("x.comp") == F.col("y.node"), "left")
+                .select(
+                    F.col("x.node").alias("node"),
+                    F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
+                )
             )
-        )
         if fixed_rounds is None:
             new_comp = new_comp.localCheckpoint(eager=True)
             changed = (

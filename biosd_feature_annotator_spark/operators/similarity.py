@@ -13,9 +13,13 @@ Two paths, same contract (query_id, neighbor_id, cos):
   bucket instead of an N×Q product. Re-rank candidates with exact cosine.
   Recall is tunable via n_planes/bands (more bands → more candidates).
 
-An IVF variant would follow the same shape (coarse k-means assignment →
-probe nearest cells); LSH is chosen here because it needs no trained
-centroids and stays deterministic.
+- ``ivf_cosine_topk`` — the IVF shape: coarse assignment of every vector
+  to its nearest centroid (cells), queries probe the ``n_probe`` nearest
+  cells, exact re-rank inside the probed cells. Centroids here are
+  deterministic md5-derived unit-free points (no training pass — the
+  point is the partitioning shape: candidate generation is an equi-join
+  on cell id, shuffle-partitionable by cell at 10^9 vectors; swap in
+  k-means centroids for recall tuning and nothing else changes).
 """
 
 from __future__ import annotations
@@ -135,6 +139,61 @@ def lsh_cosine_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _dot_lit(vec_col, point: list[float]) -> F.Column:
+    lits = F.array(*[F.lit(x) for x in point])
+    return F.aggregate(
+        F.zip_with(_vecd(vec_col), lits, lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+
+
+def ivf_assign(vec_col, centroids: list[list[float]], n_probe: int = 1) -> F.Column:
+    """Cell ids of the n_probe nearest centroids (by cosine against the
+    shared-norm-free dot product — centroids are compared to the SAME
+    vector, so the vector's own norm cancels; centroid norms are folded in
+    as literals). Pure Catalyst, deterministic."""
+    import math
+
+    scored = F.array(*[
+        F.struct(
+            (_dot_lit(vec_col, c) / math.sqrt(sum(x * x for x in c))).alias("sim"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    best = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return F.transform(best, lambda s: s["cell"])
+
+
+def ivf_cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
+    n_cells: int = 8, n_probe: int = 2, dim: int = 64, seed: int = 11,
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their single nearest cell, queries
+    probe their n_probe nearest cells, exact cosine re-rank inside the
+    probed cells. Candidate generation is an equi-join on cell id —
+    shuffle-partitionable (or broadcast for small query sets), never an
+    N×Q product."""
+    cents = _planes(n_cells, dim, seed)
+    c = corpus.select(
+        F.col(id_c).alias("neighbor_id"), F.col(vec).alias("cv"),
+        F.element_at(ivf_assign(F.col(vec), cents, 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_q).alias("query_id"), F.col(vec).alias("qv"),
+        F.explode(ivf_assign(F.col(vec), cents, n_probe)).alias("cell"),
+    )
+    cand = q.join(c, "cell").where(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

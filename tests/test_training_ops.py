@@ -194,3 +194,21 @@ def test_frame_sampling(spark):
     expected = sum((v.n_frames + 9) // 10 for v in vids)
     assert len(rows) == expected
     assert all(r.frame_idx % 10 == 0 for r in rows)
+
+
+def test_ivf_topk_recall(emb):
+    """IVF cells + probing find a decent share of true nearest neighbors —
+    generous bound (untrained hash-derived centroids; the contract is the
+    candidate-generation shape, not a tuned index)."""
+    q = emb.where("vec_id < 20")
+    exact = {(r.query_id, r.neighbor_id) for r in
+             similarity.cosine_topk(q, emb, k=1, broadcast_corpus=True).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in
+           similarity.ivf_cosine_topk(q, emb, k=1, n_cells=8, n_probe=3, dim=64).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.4, f"recall {recall}"
+    # every query got k results (cells are never empty at these sizes)
+    by_q = {}
+    for qq, _ in ivf:
+        by_q[qq] = by_q.get(qq, 0) + 1
+    assert len(by_q) == len(exact)

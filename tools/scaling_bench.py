@@ -285,11 +285,16 @@ visible rather than asserted:
 {curve_rows}
 
 The "jvm" rows are the zero-Python extraction backend
-(operators/extract_jvm.py, annotate(extraction="jvm")): whole-stage-codegen
-regex + Bloom-gated broadcast gram join, fingerprint-identical output
+(operators/extract_jvm.py, annotate(extraction="jvm")): codegen regex +
+Bloom-gated broadcast gram join, fingerprint-identical output
 (parity-tested against the pandas path on the synth AND golden corpora).
-It removes Arrow IPC and Python workers from the measurement entirely —
-scaling evidence independent of the Python runtime.
+It removes Arrow IPC and Python workers from the measurement entirely.
+Its lower absolute throughput and efficiency are understood, not hidden:
+its term stage pays interpreted higher-order-function evaluation plus a
+best-match aggregation shuffle, both of which parallelize worse than the
+pandas path's partition-local kernel — the production default remains the
+pandas path, and the jvm rows exist as a second, Python-free witness of
+the same determinism and of the box's (not the engine's) saturation.
 
 **Determinism across parallelism**: output bit_xor fingerprint identical
 across every rep at both headline levels: {same_fp}
