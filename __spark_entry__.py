@@ -525,6 +525,49 @@ def q_docs_minhash_pairs(spark, sf):
     )
 
 
+def q_docs_dedup_clusters(spark, sf):
+    """A2 connected components, driver-verified end-to-end: md5-MinHash
+    near-duplicate pairs become an edge list, the distributed hash-min +
+    pointer-jumping CC elects min-doc cluster heads, and DuckDB re-derives
+    the same clusters with a recursive transitive closure. Node ids are
+    zero-padded so the CC's string-min equals the numeric min."""
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    pairs = _dedup.minhash_near_duplicates(
+        d, "doc_id", "text", shingle_n=2, num_hashes=16, bands=8,
+        threshold=0.3, hasher="md5",
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").cast("long").alias("doc"),
+        F.col("comp").cast("long").alias("cluster"),
+    )
+
+
+def q_stream_user_stats(spark, sf):
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-user running event/value totals maintained as explicit group
+    state, run with availableNow and materialized; oracle = the same
+    totals as batch SQL (single catch-up batch ⇒ the final state equals
+    the batch aggregate)."""
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_user_running_stats,
+    )
+
+    base = os.path.join(_REPO, ".tmp", "stream_user_stats")
+    return stream_user_running_stats(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+
+
 def q_docs_simhash(spark, sf):
     """SimHash near-dups on the portable 60-bit md5 kernel (4×15-bit
     bands) — bit votes, banding and popcount verify all replicated by the
@@ -721,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_dedup_clusters": q_docs_dedup_clusters,
+        "stream_user_stats": q_stream_user_stats,
         "docs_simhash": q_docs_simhash,
         "approx_distinct": q_approx_distinct,
         "transcripts_kg": q_transcripts_kg,
@@ -745,7 +790,9 @@ def _md5_long(s: str) -> str:
 _NORM_TEXT = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
+def _minhash_ctes(num_hashes: int = 16, bands: int = 8) -> str:
+    """The md5-MinHash pipeline as a CTE chain ending in mh(a, b, jaccard)
+    — shared by the pair query and the dedup-clusters (CC) query."""
     rpb = num_hashes // bands
     seeded = ["CAST(sh AS VARCHAR) || '#%d'" % k for k in range(num_hashes)]
     sig_cols = ",\n           ".join(
@@ -760,8 +807,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id AS doc, string_split({_NORM_TEXT}, ' ') AS t
             FROM documents WHERE doc_id < 300
         ),
@@ -802,12 +848,39 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
             JOIN sh x ON x.doc = c.a
             JOIN sh y ON y.doc = c.b AND y.sh = x.sh
             GROUP BY c.a, c.b
+        ),
+        mh AS (
+            SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc = a
+            JOIN sizes sb ON sb.doc = b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+        )"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()}\n        SELECT a, b, jaccard FROM mh"
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the near-duplicate graph, re-derived in
+    SQL via a recursive transitive closure (small candidate graph, so the
+    closure is cheap) — the independent oracle for A2's distributed
+    hash-min/pointer-jumping implementation."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes()},
+        e AS (
+            SELECT a AS x, b AS y FROM mh
+            UNION
+            SELECT b AS x, a AS y FROM mh
+        ),
+        reach AS (
+            SELECT x, y FROM e
+            UNION
+            SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x
         )
-        SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc = a
-        JOIN sizes sb ON sb.doc = b
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+        SELECT x AS doc, least(x, min(y)) AS cluster
+        FROM reach GROUP BY x
     """
 
 
@@ -1493,6 +1566,12 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 199) t(i)
         """,
         "docs_minhash_pairs": _minhash_sql(),
+        "docs_dedup_clusters": _dedup_clusters_sql(),
+        "stream_user_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY user_id
+        """,
         "docs_simhash": _simhash_sql(),
         "winnow_docs": f"""
             SELECT doc_id,

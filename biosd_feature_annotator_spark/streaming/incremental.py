@@ -102,6 +102,22 @@ EVENT_STREAM_SCHEMA = (
 )
 
 
+def _stage_single_file(events_path: str, checkpoint: str) -> str:
+    """The file-stream source wants a DIRECTORY of arriving files; the
+    testdata layout is a single parquet file, so stage it into one (the
+    realistic shape anyway — new files landing in a drop directory)."""
+    import os
+    import shutil
+
+    if not os.path.isfile(events_path):
+        return events_path
+    in_dir = os.path.join(os.path.dirname(checkpoint.rstrip("/")), "in")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+    shutil.copy(events_path, os.path.join(in_dir, "part-0.parquet"))
+    return in_dir
+
+
 def stream_event_window_counts(
     spark: SparkSession, events_path: str, out_path: str, checkpoint: str
 ) -> DataFrame:
@@ -125,17 +141,7 @@ def stream_event_window_counts(
     # are wall-clock-preserving and the emitted window starts are the same
     # naive datetimes a SQL engine computes with time_bucket
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the file-stream source wants a DIRECTORY of arriving files; the
-    # testdata layout is a single parquet file, so stage it into one (the
-    # realistic shape anyway — new files landing in a drop directory)
-    import os
-
-    if os.path.isfile(events_path):
-        in_dir = os.path.join(os.path.dirname(checkpoint.rstrip("/")), "in")
-        shutil.rmtree(in_dir, ignore_errors=True)
-        os.makedirs(in_dir)
-        shutil.copy(events_path, os.path.join(in_dir, "part-0.parquet"))
-        events_path = in_dir
+    events_path = _stage_single_file(events_path, checkpoint)
 
     stream = (
         spark.readStream.schema(EVENT_STREAM_SCHEMA)
@@ -156,6 +162,66 @@ def stream_event_window_counts(
 
     q = (
         agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
+def stream_user_running_stats(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (SURVEY §2.11): per-user running
+    totals maintained as explicit group state via applyInPandasWithState —
+    the shape a 100 TB incremental pipeline uses for anything Spark's
+    built-in stateful ops can't express (running counters, per-entity
+    accumulators, custom eviction). State is (n_events, sum_value) per
+    user; each micro-batch folds its rows in and emits the UPDATED rows.
+
+    Run here with availableNow over a staged single-file drop directory
+    (⇒ exactly one micro-batch), so the materialized final state equals
+    the batch aggregate — which is what makes it independently
+    SQL-verifiable."""
+    import shutil
+
+    import pandas as pd
+
+    for p in (out_path, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+    events_path = _stage_single_file(events_path, checkpoint)
+
+    stream = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(events_path)
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n],
+             "sum_value": [round(total, 2)]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        updated.writeStream.outputMode("update")
         .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -105,3 +105,26 @@ def test_stream_event_window_counts_matches_batch(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_user_running_stats_matches_batch(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: final state after an
+    availableNow catch-up run equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_user_running_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_user_running_stats(
+        spark, f"{sf}/events.parquet", str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    want = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
