@@ -76,6 +76,15 @@ def main() -> None:
     extras["turns_per_sec"] = round(n_turns / dt, 1)
     extras["triples_per_sec"] = round(n_triples / dt, 1)
 
+    # the zero-Python backend on the same corpus (same triples, measured
+    # separately so its cost profile is visible, not hidden)
+    spark.catalog.clearCache()
+    transcripts.persist()
+    transcripts.count()
+    t0 = time.time()
+    force(annotate(spark, transcripts, lex, build_graph=False, extraction="jvm")["triples"])
+    timings["kg_annotate_jvm"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     graph = annotate(spark, transcripts.where("conv_id like 'c0000000%'"), lex)
     force(graph["nodes"])

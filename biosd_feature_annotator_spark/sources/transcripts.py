@@ -18,6 +18,8 @@ Input schema (mandated by BASELINE.json input_hint):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,8 +44,12 @@ def read_transcripts(
     where: str | None = None,
     max_text_len: int | None = None,
 ) -> DataFrame:
-    """Scan transcripts from an Iceberg table name (contains no '/') or a
-    parquet path. All three scopings push down to the scan.
+    """Scan transcripts from an Iceberg table name (contains no '/'), a
+    parquet path, or a JSONL drop directory/file (*.jsonl → the custom
+    jsonl_transcripts Python DataSource, sources/jsonl.py). All three
+    scopings push down to the parquet/Iceberg scan; on JSONL they are
+    plain post-scan filters (interchange format — compact to columnar
+    before analytical scans).
 
     max_text_len (SURVEY.md §2.2 P3, the reference's too-long-text guard):
     drops turns whose text exceeds N chars with a JVM-side length predicate
@@ -51,7 +57,16 @@ def read_transcripts(
     Python workers. NULL/blank text is KEPT (length(NULL) is NULL, which a
     plain <= filter would silently drop): those rows carry no extractable
     text but still produce structural triples."""
-    if "/" in path_or_table:
+    if path_or_table.endswith(".jsonl") or (
+        "/" in path_or_table
+        and os.path.isdir(path_or_table)
+        and any(f.endswith(".jsonl") for f in os.listdir(path_or_table))
+    ):
+        from .jsonl import JsonlTranscriptDataSource
+
+        spark.dataSource.register(JsonlTranscriptDataSource)
+        df = spark.read.format("jsonl_transcripts").load(path_or_table)
+    elif "/" in path_or_table:
         df = spark.read.parquet(path_or_table)
     else:
         df = spark.read.table(path_or_table)
