@@ -1244,7 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "range_frame_sum": """
             SELECT event_id, user_id,
                    round(sum(value) OVER (PARTITION BY user_id
-                         ORDER BY CAST(epoch(ts) AS BIGINT)
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum
             FROM events
         """,
@@ -1497,10 +1497,10 @@ def oracle_sql() -> dict[str, str]:
                        ) AS BIGINT) AS sess_no
                 FROM (
                     SELECT user_id, ts, event_id, value,
-                           CAST(epoch(ts) AS BIGINT)
-                             - CAST(epoch(lag(ts) OVER (
+                           CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER (
                                    PARTITION BY user_id ORDER BY ts, event_id
-                               )) AS BIGINT) AS gap
+                               ))) AS BIGINT) AS gap
                     FROM events
                 )
             ) GROUP BY user_id, sess_no
