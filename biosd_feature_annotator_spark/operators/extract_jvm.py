@@ -276,7 +276,11 @@ def value_mentions_jvm(transcripts: DataFrame, lex: Lexicon) -> DataFrame:
     )
 
 
-_BLOOM_BITS = 1 << 18  # 32 KiB bitset: ~3% FP at 10^4 keys, 1 xxh64 probe
+# Bloom sizing: ~32 bits/key (≈3% FP at 1 probe), clamped to [2^12, 2^18]
+# bits. Adaptive because the literal's py4j transfer costs ~0.5 ms per
+# element — a fixed 4096-long bitset added ~2 s of PLAN-BUILD time per
+# query even for a 14-term dictionary.
+_BLOOM_MIN_BITS, _BLOOM_MAX_BITS = 12, 18
 
 # pure-Python XXH64 (the public-domain xxHash algorithm) producing exactly
 # Spark's xxhash64(seed=42) on UTF-8 bytes — asserted by a unit test. Used
@@ -327,24 +331,39 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h
 
 
-def _bloom_words(tokens) -> list[int]:
-    """Driver-side Bloom filter build over a token set; the Spark-side
-    probe (_bloom_test) computes the identical xxhash64 bit, so membership
-    is exact-superset: no false negatives, ~3% false positives that the
-    gram join rejects anyway."""
-    words = [0] * (_BLOOM_BITS // 64)
-    for t in tokens:
-        h = xxh64(t.encode("utf-8")) % _BLOOM_BITS
+# per-process cache of built Bloom literals: the list→array-Literal py4j
+# conversion dominates repeated plan construction otherwise. A Column is
+# an unresolved expression tree — safe to reuse across queries/sessions.
+_BLOOM_CACHE: dict[frozenset, tuple[Column, int]] = {}
+
+
+def _bloom_lit(tokens) -> tuple[Column, int]:
+    """Driver-side Bloom filter over a token set as (array literal,
+    m_bits); the Spark-side probe (_bloom_test) computes the identical
+    xxhash64 bit, so membership is exact-superset: no false negatives,
+    ~3% false positives that the gram join rejects anyway."""
+    key = frozenset(tokens)
+    hit = _BLOOM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = max(len(key), 1)
+    m_bits = 1 << max(_BLOOM_MIN_BITS, min(_BLOOM_MAX_BITS, (32 * n).bit_length()))
+    words = [0] * (m_bits // 64)
+    for t in key:
+        h = xxh64(t.encode("utf-8")) % m_bits
         words[h // 64] |= 1 << (h % 64)
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    lit = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+    _BLOOM_CACHE[key] = (lit, m_bits)
+    return lit, m_bits
 
 
-def _bloom_test(bloom_lit: Column, tok: Column) -> Column:
+def _bloom_test(bloom: tuple[Column, int], tok: Column) -> Column:
     """Pure-codegen membership probe: one native xxhash64 + array index +
     shift — no string allocation. This is the 'broadcast trie' gate that
     keeps per-token matching cost independent of dictionary size — the JVM
     twin of the Python matcher's first-token index (Lexicon.matcher_index)."""
-    h = F.pmod(F.xxhash64(tok), F.lit(_BLOOM_BITS))
+    bloom_lit, m_bits = bloom
+    h = F.pmod(F.xxhash64(tok), F.lit(m_bits))
     word = F.element_at(bloom_lit, (h / 64).cast("int") + 1)
     # column-valued shift count: the SQL function accepts it, the python
     # wrapper F.shiftright only takes a literal int
@@ -401,10 +420,8 @@ def term_mentions_jvm(
     # F.lit(list) → a single array Literal; F.array(*lits) would be a
     # CreateArray expression REBUILT on every lambda evaluation (measured:
     # it more than ate the Bloom's savings)
-    exact_bloom = F.lit(_bloom_words(first_toks))
-    medium_bloom = F.lit(
-        _bloom_words({t for _, ts in lex.token_labels for t in ts})
-    )
+    exact_bloom = _bloom_lit(first_toks)
+    medium_bloom = _bloom_lit({t for _, ts in lex.token_labels for t in ts})
 
     src = transcripts.where(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
