@@ -2,9 +2,11 @@
 
 entry(spark)   — flagship: the full KG-construction pipeline (extraction →
                  linking → triples) over a deterministic transcript corpus.
-queries()      — 48 entries, one per implemented operator family from
-                 SURVEY.md §2 plus the training-data ops (dedup /
-                 similarity / textstats / multimodal / streaming).
+queries()      — one entry per implemented operator family from SURVEY.md
+                 §2 plus the training-data ops (dedup / similarity /
+                 textstats / multimodal / streaming); the authoritative
+                 count is len(queries()), asserted in
+                 tests/test_entry_contract.py.
 oracle_sql()   — DuckDB-equivalent ANSI SQL for EVERY entry. The formerly
                  rows-only ops are made verifiable by construction:
                  MinHash/SimHash/winnowing run on an engine-portable md5
@@ -171,14 +173,21 @@ def q_moving_avg(spark, sf):
     )
 
 
+def _epoch_ntz(col: str) -> F.Column:
+    """Seconds since epoch of a TIMESTAMP_NTZ column, floor semantics,
+    computed as pure wall-clock arithmetic between two NTZ operands — no
+    session-timezone dependence at all (asserted under a non-UTC session
+    in tests), matching DuckDB's CAST(floor(epoch(ts)) AS BIGINT)."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    ).cast("long")
+
+
 def q_range_frame_sum(spark, sf):
-    # unix_timestamp is session-tz-dependent; pin UTC so the epoch matches
-    # DuckDB's epoch() (which treats NTZ as UTC) even across DST edges
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts").cast("long"))
+        .orderBy(_epoch_ntz("ts"))
         .rangeBetween(-3600, 0)
     )
     return e.select(
@@ -326,7 +335,10 @@ def q_json_funcs(spark, sf):
     j = F.to_json(
         F.named_struct(F.lit("t"), F.col("event_type"), F.lit("k"), k)
     )
-    return e.select(
+    # guard: rows with a missing/null k are excluded on BOTH sides — Spark's
+    # to_json drops null fields while the oracle's string concat yields
+    # NULL, so the two forms only agree on non-null k (ADVICE r2)
+    return e.where(k.isNotNull()).select(
         "event_id",
         k.alias("k"),
         F.json_tuple("props", "k").alias("k_str"),
@@ -635,10 +647,12 @@ def q_sessionize_events(spark, sf):
     """Batch sessionization: per-user sessions split at >30 min gaps
     (lag + conditional cumulative sum — the batch twin of the streaming
     session_window T3)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see q_range_frame_sum
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # per-timestamp floored epoch, then difference — NOT timestampdiff of
+    # the pair, which truncates the raw interval and disagrees with
+    # floor(a)-floor(b) on sub-second components (the oracle's form)
+    gap = _epoch_ntz("ts") - F.lag(_epoch_ntz("ts")).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = e.withColumn("sess_no", F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
@@ -709,12 +723,29 @@ def q_multimodal_features(spark, sf):
 
 
 def q_entity_stats_kg(spark, sf):
-    """A3 hot-entity stats over the pipeline's term triples on the
-    committed corpus — exact counts verified by the DuckDB oracle's
-    independent term derivation; the HLL sketch asserted in-query (±5%)."""
-    from biosd_feature_annotator_spark.operators.canonicalize import entity_stats
+    """A3 hot-entity stats over the engine's term triples on the committed
+    corpus — exact counts verified by the DuckDB oracle's independent term
+    derivation; the HLL sketch asserted in-query (±5%).
 
-    return entity_stats(q_transcripts_kg(spark, sf), with_exact=True)
+    STANDALONE plan (r3): runs only the term path — extraction →
+    broadcast link join → term triples → entity_stats — over the 1823-row
+    committed corpus, instead of recomputing the whole flagship pipeline
+    (value + structural triples are irrelevant to entity stats and the
+    oracle). Same operators, same semantics, a fraction of the cost — so
+    a harness time budget cannot drop this entry."""
+    from biosd_feature_annotator_spark.operators.canonicalize import entity_stats
+    from biosd_feature_annotator_spark.operators.extract import extract_mentions
+    from biosd_feature_annotator_spark.operators.link import (
+        link_entities,
+        term_triples_from_linked,
+    )
+    from biosd_feature_annotator_spark.sources.lexicon import lexicon_df, load_lexicon
+
+    lex = load_lexicon(_LEX_PATH)
+    corpus = spark.read.parquet(_CORPUS).coalesce(4)
+    mentions = extract_mentions(corpus, lex)
+    terms = term_triples_from_linked(link_entities(mentions, lexicon_df(spark, lex)))
+    return entity_stats(terms, with_exact=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -769,10 +800,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "approx_distinct": q_approx_distinct,
         "transcripts_kg": q_transcripts_kg,
+        # registered immediately after the flagship (not last): a harness
+        # time budget truncating the tail must not drop the A3 row again
+        "entity_stats_kg": q_entity_stats_kg,
         "phonetic_strings": q_phonetic_strings,
         "winnow_docs": q_winnow_docs,
         "multimodal_features": q_multimodal_features,
-        "entity_stats_kg": q_entity_stats_kg,
     }
 
 
@@ -1511,14 +1544,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, source ASC LIMIT 10
         """,
         "json_funcs": """
-            SELECT event_id,
-                   CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-                   json_extract_string(props, '$.k') AS k_str,
-                   '{"t":"' || event_type || '","k":'
-                       || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
-                       || '}' AS j,
-                   TRUE AS roundtrip_ok
-            FROM events
+            SELECT event_id, k, k_str, j,
+                   CAST(json_extract(j, '$.k') AS BIGINT) = k AS roundtrip_ok
+            FROM (
+                SELECT event_id,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                       json_extract_string(props, '$.k') AS k_str,
+                       '{"t":"' || event_type || '","k":'
+                           || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+                           || '}' AS j
+                FROM events
+                WHERE json_extract(props, '$.k') IS NOT NULL
+            )
         """,
         "stream_window_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,

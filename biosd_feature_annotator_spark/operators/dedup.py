@@ -103,12 +103,19 @@ def word_shingles(
 ) -> DataFrame:
     """(doc, shingle_hash) — distinct word n-grams per doc, hashed JVM-side.
     Shingling is pure array algebra: split → transform over a sequence of
-    start offsets → slice/join — no UDF, no shuffle."""
+    start offsets → slice/join — no UDF, no shuffle.
+
+    Standard shingling semantics: a doc with fewer than n tokens emits NO
+    shingles (slice would otherwise pad down to a short gram — which the
+    SQL oracles' t[i] || ' ' || t[i+1] form drops as NULL; ADVICE r2)."""
     toks = F.split(norm_text_col(F.col(text_col)), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.length("shingle") > 0)

@@ -67,6 +67,38 @@ _TOKEN_RE = re.compile(r"\w+")
 
 TIME_UNITS = {"year", "week", "month", "day"}
 
+# P5 predicate routing — the SINGLE source of truth (ADVICE r2: this used
+# to live as three hand-maintained copies). Consumed by (a) _value_pred,
+# the per-turn dedup key in the Python extractor; (b) pred_when_chain, the
+# Catalyst when/otherwise form used by operators/link.route_predicates AND
+# the JVM backend's in-array routing (extract_jvm). An edit here changes
+# all three together; tests/test_extract_jvm.py's fingerprint parity is
+# the guard.
+PRED_ROUTING: dict[tuple[str, bool], str] = {
+    ("number", True): "hasAge",
+    ("number", False): "hasNumber",
+    ("range", True): "hasAgeRange",
+    ("range", False): "hasRange",
+    ("date", True): "hasDate",
+    ("date", False): "hasDate",
+}
+
+
+def pred_when_chain(kind_col, is_age_col):
+    """PRED_ROUTING as a codegen'd Catalyst when/otherwise chain. The
+    age-qualified branch of each kind precedes the unqualified one so a
+    NULL is_age (NULL unit) falls through to the non-age predicate —
+    matching the Python form's `bool(age_ctx) and unit in TIME_UNITS`."""
+    from pyspark.sql import functions as F
+
+    expr = None
+    for kind in ("number", "range"):
+        for flag in (True, False):
+            cond = (kind_col == kind) & is_age_col if flag else (kind_col == kind)
+            branch = F.lit(PRED_ROUTING[(kind, flag)])
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr.otherwise(F.lit(PRED_ROUTING[("date", False)]))
+
 
 def fmt_num(v: float) -> str:
     """Shortest round-trip serialization; integral floats print as ints
@@ -243,14 +275,11 @@ _KIND_RANK = {"label": 0, "synonym": 1, "tokens": 2}
 
 
 def _value_pred(m: dict) -> str:
-    """Python twin of operators/link.route_predicates (P5) — used only for
-    the per-turn dedup key so it matches the triple's real identity."""
+    """PRED_ROUTING applied to one mention dict — used only for the
+    per-turn dedup key so it matches the triple's real identity (the same
+    table drives link.route_predicates and the JVM backend)."""
     is_age = bool(m["age_ctx"]) and m["unit"] in TIME_UNITS
-    if m["kind"] == "number":
-        return "hasAge" if is_age else "hasNumber"
-    if m["kind"] == "range":
-        return "hasAgeRange" if is_age else "hasRange"
-    return "hasDate"
+    return PRED_ROUTING[(m["kind"], is_age)]
 
 
 def _dedupe_turn(mentions: list[dict]) -> list[dict]:

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.lexicon import Lexicon, norm_surface
-from .extract import MENTION_SCHEMA, TIME_UNITS  # noqa: F401  (schema parity)
+from .extract import MENTION_SCHEMA, TIME_UNITS, pred_when_chain  # noqa: F401  (schema parity)
 
 # the same grammar strings as operators/extract.py, in Java-regex form
 # (Python's re.IGNORECASE becomes an embedded (?i) flag)
@@ -235,18 +235,12 @@ def value_mentions_jvm(transcripts: DataFrame, lex: Lexicon) -> DataFrame:
 
     vals = F.concat(all_dates, ranges, nums)
     # route predicates in-array so the per-turn (pred, obj) dedup —
-    # extract._dedupe_turn's contract — stays shuffle-free
+    # extract._dedupe_turn's contract — stays shuffle-free. The chain is
+    # generated from extract.PRED_ROUTING (single source of truth).
     is_age_unit = lambda x: x["unit"].isin(sorted(TIME_UNITS)) & age_ctx  # noqa: E731
     routed = F.transform(
         vals,
-        lambda x: x.withField(
-            "pred",
-            F.when((x["kind"] == "number") & is_age_unit(x), F.lit("hasAge"))
-            .when(x["kind"] == "number", F.lit("hasNumber"))
-            .when((x["kind"] == "range") & is_age_unit(x), F.lit("hasAgeRange"))
-            .when(x["kind"] == "range", F.lit("hasRange"))
-            .otherwise(F.lit("hasDate")),
-        ),
+        lambda x: x.withField("pred", pred_when_chain(x["kind"], is_age_unit(x))),
     )
     deduped = _dedup_by_pred_obj(routed)
 

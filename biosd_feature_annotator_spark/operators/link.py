@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .extract import TIME_UNITS
+from .extract import TIME_UNITS, pred_when_chain
 
 TRIPLE_COLS = [
     "subj", "pred", "obj", "obj_kind", "conf", "confidence", "unit",
@@ -70,16 +70,12 @@ def best_link(scored: DataFrame) -> DataFrame:
 
 
 def route_predicates(value_mentions: DataFrame) -> DataFrame:
-    """P5: route number/range/date mentions to predicates."""
+    """P5: route number/range/date mentions to predicates — the Catalyst
+    form of extract.PRED_ROUTING (single source of truth)."""
     is_age = F.col("age_ctx") & F.col("unit").isin(sorted(TIME_UNITS))
-    pred = (
-        F.when((F.col("kind") == "number") & is_age, F.lit("hasAge"))
-        .when(F.col("kind") == "number", F.lit("hasNumber"))
-        .when((F.col("kind") == "range") & is_age, F.lit("hasAgeRange"))
-        .when(F.col("kind") == "range", F.lit("hasRange"))
-        .otherwise(F.lit("hasDate"))
+    return value_mentions.withColumn(
+        "pred", pred_when_chain(F.col("kind"), is_age)
     )
-    return value_mentions.withColumn("pred", pred)
 
 
 def term_triples(mentions: DataFrame, lex_df: DataFrame) -> DataFrame:

@@ -27,6 +27,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -79,27 +80,69 @@ class JsonlTranscriptReader(DataSourceReader):
                 )
 
 
+@dataclass
+class JsonlCommitMessage(WriterCommitMessage):
+    staged: str = ""
+    final: str = ""
+    n_rows: int = 0
+
+
 class JsonlTranscriptWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    """Failure-safe two-phase writer (standard FileOutputCommitter shape):
+
+    - write() streams each task's rows into a task-attempt-unique STAGED
+      file (`.part-<pid>-<attempt>.jsonl.tmp` — hidden from the reader's
+      `*.jsonl` glob), so a crashed/killed task, or two speculative
+      attempts of the same partition, can never collide on or corrupt a
+      final part file;
+    - commit() runs on the driver only after every task succeeded: it
+      performs the destructive overwrite cleanup (deferred from plan
+      time), renames each winning attempt's staged file to its final
+      `part-<pid>.jsonl` name, and sweeps losing attempts' leftovers;
+    - abort() deletes all staged files, leaving pre-existing data intact —
+      a failed overwrite job is a no-op on the destination.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("jsonl_transcripts requires a path (…save(path))")
 
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        staged = os.path.join(self.path, f".part-{pid:05d}-{attempt}.jsonl.tmp")
+        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
         n = 0
-        with open(out, "w", encoding="utf-8") as fh:
+        with open(staged, "w", encoding="utf-8") as fh:
             for row in iterator:
                 o = {k: getattr(row, k) for k in _FIELDS}
                 if o["ts"] is not None:
                     o["ts"] = o["ts"].isoformat()
                 fh.write(json.dumps(o) + "\n")
                 n += 1
-        return WriterCommitMessage()
+        return JsonlCommitMessage(staged=staged, final=final, n_rows=n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "*.jsonl")):
+                os.remove(old)
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.replace(m.staged, m.final)
+        for leftover in glob.glob(os.path.join(self.path, ".part-*.jsonl.tmp")):
+            os.remove(leftover)
+
+    def abort(self, messages):
+        for leftover in glob.glob(os.path.join(self.path, ".part-*.jsonl.tmp")):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
 
 
 class JsonlTranscriptDataSource(DataSource):
@@ -116,8 +159,4 @@ class JsonlTranscriptDataSource(DataSource):
         return JsonlTranscriptReader(self.options)
 
     def writer(self, schema, overwrite: bool):
-        if overwrite:
-            import shutil
-
-            shutil.rmtree(self.options.get("path", ""), ignore_errors=True)
-        return JsonlTranscriptWriter(self.options)
+        return JsonlTranscriptWriter(self.options, overwrite)

@@ -196,15 +196,23 @@ def stream_user_running_stats(
     stream = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(events_path)
 
     def update(key, pdfs, state):
+        # SQL NULL-sum semantics (ADVICE r2): only non-null values fold
+        # into the total, and a user with NO non-null values reports NULL
+        # (state total stays None), exactly like sum(value) in SQL. The
+        # round(…, 2) on emit assumes availableNow's single catch-up batch
+        # (documented): across many micro-batches the float accumulation
+        # order could differ from a batch sum at .005 boundaries.
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
+            vals = pdf["value"].dropna()
+            if len(vals):
+                total = (total or 0.0) + float(vals.sum())
         state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n],
-             "sum_value": [round(total, 2)]}
+             "sum_value": [None if total is None else round(total, 2)]}
         )
 
     from pyspark.sql.streaming.state import GroupStateTimeout

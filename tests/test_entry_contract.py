@@ -59,3 +59,37 @@ def test_entry_schema_stable(spark):
         "unit", "provenance", "conv_id", "turn_idx",
     ]
     assert df.limit(1).count() == 1
+
+
+def test_epoch_queries_are_timezone_invariant(spark):
+    """The r2 in-query spark.conf.set(timeZone) mutations are gone; the
+    epoch-keyed queries must now produce identical results under ANY
+    session timezone (pure NTZ wall-clock arithmetic)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for name in ("range_frame_sum", "sessionize_events"):
+                rows = sorted(map(tuple, qs[name](spark, sf).collect()))
+                results.setdefault(name, []).append(rows)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} differs across session timezones"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_no_query_mutates_session_conf():
+    """Queries must read, never write, ambient session conf (VERDICT r2):
+    grep the entry file for in-query conf.set calls outside streaming
+    helpers (which own their job-level conf)."""
+    import inspect
+
+    import __spark_entry__ as entrymod
+
+    src = inspect.getsource(entrymod)
+    assert "spark.conf.set" not in src

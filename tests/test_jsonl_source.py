@@ -87,3 +87,29 @@ def test_read_transcripts_routes_jsonl(spark, tmp_path):
     assert got.count() == src.count()
     scoped = read_transcripts(spark, p, conv_ids=["c0000000000"])
     assert 0 < scoped.count() < src.count()
+
+
+def test_failed_overwrite_preserves_existing_data(spark, tmp_path):
+    """ADVICE r2: the writer must be two-phase — a job that fails mid-write
+    leaves the pre-existing export untouched (no destructive rmtree at plan
+    time, no partial part files a later read silently consumes)."""
+    src = synth_transcripts(spark, 60)
+    p = str(tmp_path / "export")
+    src.write.format("jsonl_transcripts").mode("overwrite").save(p)
+    before = sorted(map(_key, spark.read.format("jsonl_transcripts").load(p).collect()))
+
+    def boom(batches):
+        raise RuntimeError("simulated task failure")
+        yield  # pragma: no cover
+
+    bad = synth_transcripts(spark, 60).mapInPandas(
+        boom,
+        schema="conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp",
+    )
+    with pytest.raises(Exception):
+        bad.write.format("jsonl_transcripts").mode("overwrite").save(p)
+
+    after = sorted(map(_key, spark.read.format("jsonl_transcripts").load(p).collect()))
+    assert after == before  # old export fully intact
+    assert not [f for f in os.listdir(p) if f.endswith(".tmp")]  # staging swept
