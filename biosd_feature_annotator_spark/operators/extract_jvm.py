@@ -121,22 +121,28 @@ def value_mentions_jvm(transcripts: DataFrame, lex: Lexicon) -> DataFrame:
     kind ∈ {number, range, date}; begin/end are -1 (offsets are a
     Python-path concept).
 
-    Performance note (measured 30×): masking must NOT be expressed as
-    per-fragment literal replaces inside higher-order lambdas — Catalyst's
-    subexpression elimination cannot see into LambdaFunction subtrees, so
-    each of the 8 grammar stages would re-evaluate every earlier stage and
-    the expression cost explodes combinatorially. Plain nested
-    regexp_replace keeps the chain lambda-free (one linear pass, CSE-able).
-    The one semantic consequence: a calendar-INVALID date-shaped string
-    (2019-13-45) is masked here but re-scanned as range/number by the
-    Python path — no corpus case exercises it (golden parity holds)."""
+    Performance notes (measured 30×):
+
+    - masking must NOT be expressed as per-fragment literal replaces
+      inside higher-order lambdas — Catalyst's subexpression elimination
+      cannot see into LambdaFunction subtrees, so each of the 8 grammar
+      stages would re-evaluate every earlier stage and the expression cost
+      explodes combinatorially. The one semantic consequence: a
+      calendar-INVALID date-shaped string (2019-13-45) is masked here but
+      re-scanned as range/number by the Python path — no corpus case
+      exercises it (golden parity holds).
+    - each masking stage and its fragment array are STAGED as named
+      projection columns (r3): a stage attribute is referenced twice (its
+      own extract + the next stage's replace), which blocks
+      CollapseProject from re-inlining, so the logical tree stays linear
+      — smaller analysis/optimizer input and less generated code than the
+      nested-expression form."""
     src = transcripts.where(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
         & F.col("text").rlike(r"\d")
     ).select("conv_id", "turn_idx", "text")
 
-    t = F.col("text")
-    age_ctx = t.rlike(_AGE_CTX_PAT)
+    age_ctx = F.col("text").rlike(_AGE_CTX_PAT)
 
     def date_structs(pat, dg, mg, yg, mon_is_name):
         def build(x):
@@ -171,17 +177,27 @@ def value_mentions_jvm(transcripts: DataFrame, lex: Lexicon) -> DataFrame:
         return build
 
     # --- dates, in frozen priority order; each pattern extracts from the
-    # text as masked by all earlier patterns, then masks its own matches
-    stage = t
+    # text as masked by all earlier patterns, then masks its own matches.
+    # Fragments and masked stages become projection columns (see above).
+    df = src
+    prev = "text"
+    all_pats = [p[0] for p in _DATE_PATS] + [_RANGE_PAT, _BETWEEN_PAT]
+    for i, pat in enumerate(all_pats):
+        nxt = f"_s{i + 1}"
+        df = df.withColumns({
+            f"_f{i}": F.regexp_extract_all(F.col(prev), F.lit(pat), 0),
+            nxt: F.regexp_replace(F.col(prev), pat, " "),
+        })
+        prev = nxt
+    df = df.withColumn("_f7", F.regexp_extract_all(F.col(prev), F.lit(_NUM_PAT), 0))
+
     all_dates = None
-    for pat, dg, mg, yg, mon_is_name in _DATE_PATS:
-        frags = F.regexp_extract_all(stage, F.lit(pat), 0)
+    for i, (pat, dg, mg, yg, mon_is_name) in enumerate(_DATE_PATS):
         structs = F.filter(
-            F.transform(frags, date_structs(pat, dg, mg, yg, mon_is_name)),
+            F.transform(F.col(f"_f{i}"), date_structs(pat, dg, mg, yg, mon_is_name)),
             lambda x: x["ok"],
         )
         all_dates = structs if all_dates is None else F.concat(all_dates, structs)
-        stage = F.regexp_replace(stage, pat, " ")
 
     # --- ranges on date-masked text (plain form, then between-form)
     def range_structs(pat):
@@ -207,11 +223,12 @@ def value_mentions_jvm(transcripts: DataFrame, lex: Lexicon) -> DataFrame:
         return build
 
     ranges = None
-    for pat in (_RANGE_PAT, _BETWEEN_PAT):
-        frags = F.regexp_extract_all(stage, F.lit(pat), 0)
-        structs = F.filter(F.transform(frags, range_structs(pat)), lambda x: x["ok"])
+    for i, pat in enumerate((_RANGE_PAT, _BETWEEN_PAT)):
+        structs = F.filter(
+            F.transform(F.col(f"_f{len(_DATE_PATS) + i}"), range_structs(pat)),
+            lambda x: x["ok"],
+        )
         ranges = structs if ranges is None else F.concat(ranges, structs)
-        stage = F.regexp_replace(stage, pat, " ")
 
     # --- numbers on date+range-masked text
     def num_struct(x):
@@ -228,10 +245,7 @@ def value_mentions_jvm(transcripts: DataFrame, lex: Lexicon) -> DataFrame:
             _finite(v).alias("ok"),
         )
 
-    nums = F.filter(
-        F.transform(F.regexp_extract_all(stage, F.lit(_NUM_PAT), 0), num_struct),
-        lambda x: x["ok"],
-    )
+    nums = F.filter(F.transform(F.col("_f7"), num_struct), lambda x: x["ok"])
 
     vals = F.concat(all_dates, ranges, nums)
     # route predicates in-array so the per-turn (pred, obj) dedup —
@@ -244,7 +258,7 @@ def value_mentions_jvm(transcripts: DataFrame, lex: Lexicon) -> DataFrame:
     )
     deduped = _dedup_by_pred_obj(routed)
 
-    exploded = src.select(
+    exploded = df.select(
         "conv_id",
         "turn_idx",
         F.concat_ws(":", "conv_id", "turn_idx").alias("subj"),
@@ -325,9 +339,8 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h
 
 
-# per-process cache of built Bloom literals: the list→array-Literal py4j
-# conversion dominates repeated plan construction otherwise. A Column is
-# an unresolved expression tree — safe to reuse across queries/sessions.
+# per-process cache of built Bloom literals. A Column is an unresolved
+# expression tree — safe to reuse across queries/sessions.
 _BLOOM_CACHE: dict[frozenset, tuple[Column, int]] = {}
 
 
@@ -335,7 +348,14 @@ def _bloom_lit(tokens) -> tuple[Column, int]:
     """Driver-side Bloom filter over a token set as (array literal,
     m_bits); the Spark-side probe (_bloom_test) computes the identical
     xxhash64 bit, so membership is exact-superset: no false negatives,
-    ~3% false positives that the gram join rejects anyway."""
+    ~3% false positives that the gram join rejects anyway.
+
+    The bitset ships as ONE CSV string literal that Catalyst's
+    ConstantFolding evaluates into the array Literal at optimization time
+    (split+cast of a foldable input — verified to fold even inside
+    higher-order-function lambda bodies). F.lit(python_list) marshals
+    element-by-element over py4j at ~0.5 ms/element — a 4096-word bitset
+    cost ~2.3 s of plan-build wall; the folded form is ~8 ms."""
     key = frozenset(tokens)
     hit = _BLOOM_CACHE.get(key)
     if hit is not None:
@@ -346,7 +366,10 @@ def _bloom_lit(tokens) -> tuple[Column, int]:
     for t in key:
         h = xxh64(t.encode("utf-8")) % m_bits
         words[h // 64] |= 1 << (h % 64)
-    lit = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+    csv = ",".join(
+        str(w - (1 << 64) if w >= (1 << 63) else w) for w in words
+    )
+    lit = F.split(F.lit(csv), ",").cast("array<bigint>")
     _BLOOM_CACHE[key] = (lit, m_bits)
     return lit, m_bits
 
@@ -366,12 +389,24 @@ def _bloom_test(bloom: tuple[Column, int], tok: Column) -> Column:
     ) == 1
 
 
+# per-process cache of the dictionary-derived frames: createDataFrame of a
+# few thousand rows costs ~0.5 s of py4j marshalling per call, and every
+# query over the same dictionary re-derives identical frames. Keyed by
+# (session, lexicon) object identity; values hold strong refs so ids can't
+# be recycled. Invalidated implicitly when the session or lexicon dies.
+_FRAME_CACHE: dict[tuple, tuple] = {}
+
+
 def _lexicon_grams(
     spark: SparkSession, lex: Lexicon
 ) -> tuple[DataFrame, int, set[str]]:
     """(gram_key, match_norm, match_kind, term_id, kind_rank) — one row per
     exact surface, keyed by its token-joined form. Returns the frame, the
     max gram length, and the set of surface FIRST tokens (the Bloom keys)."""
+    ck = ("grams", id(spark), id(lex))
+    hit = _FRAME_CACHE.get(ck)
+    if hit is not None:
+        return hit[2:]
     rows = []
     max_len = 1
     first_toks: set[str] = set()
@@ -386,18 +421,48 @@ def _lexicon_grams(
         rows,
         "gram_key string, match_norm string, match_kind string, term_id string, kind_rank int",
     )
+    _FRAME_CACHE[ck] = (spark, lex, df, max_len, first_toks)
     return df, max_len, first_toks
 
 
-def _label_tokens(spark: SparkSession, lex: Lexicon) -> DataFrame:
-    """(tok, term_id, match_norm, n_toks) — the MEDIUM containment frame."""
-    rows = []
-    for tid, toks in lex.token_labels:
+def _label_anchors(
+    spark: SparkSession, lex: Lexicon
+) -> tuple[DataFrame, set[str]]:
+    """MEDIUM containment as an ANCHOR index: one row per multi-token
+    label, keyed by its rarest token (global document frequency across the
+    label set, ties broken lexicographically), carrying the remaining
+    tokens for an in-row verify. Joining on the single anchor instead of
+    every label token (the r2 inverted index) does two things at once:
+
+    - the broadcast-join fanout drops from sum(|label|) rows per matching
+      token to at most one row per (turn, anchor) — and rare anchors match
+      almost never;
+    - containment becomes row-local (forall token ∈ toks), so the
+      countDistinct==n_toks groupBy — a whole shuffle stage — disappears.
+
+    Returns (frame(tok, term_id, match_norm, req), anchor-token set)."""
+    ck = ("anchors", id(spark), id(lex))
+    hit = _FRAME_CACHE.get(ck)
+    if hit is not None:
+        return hit[2:]
+    df_count: dict[str, int] = {}
+    for _tid, toks in lex.token_labels:
         for tk in set(toks):
-            rows.append((tk, tid, " ".join(toks), len(set(toks))))
-    return spark.createDataFrame(
-        rows, "tok string, term_id string, match_norm string, n_toks int"
+            df_count[tk] = df_count.get(tk, 0) + 1
+    rows = []
+    anchor_toks: set[str] = set()
+    for tid, toks in lex.token_labels:
+        uniq = sorted(set(toks))
+        anchor = min(uniq, key=lambda tk: (df_count[tk], tk))
+        anchor_toks.add(anchor)
+        rows.append(
+            (anchor, tid, " ".join(toks), [tk for tk in uniq if tk != anchor])
+        )
+    df = spark.createDataFrame(
+        rows, "tok string, term_id string, match_norm string, req array<string>"
     )
+    _FRAME_CACHE[ck] = (spark, lex, df, anchor_toks)
+    return df, anchor_toks
 
 
 def term_mentions_jvm(
@@ -406,16 +471,14 @@ def term_mentions_jvm(
     """X5 as a broadcast gram join: explode the turn's 1..k-token windows,
     hash-join them against the (tiny, broadcast) surface dictionary, keep
     the best match per (turn, term) — label ⊐ synonym ⊐ tokens, then
-    earliest position (extract._dedupe_turn's term contract). The join is
-    shuffle-free; the best-match reduction is one partial-aggregated
-    shuffle of mention-sized rows."""
+    earliest position (extract._dedupe_turn's term contract). Both the
+    exact-gram and the anchor-keyed containment joins are shuffle-free
+    broadcasts; the ONLY shuffle is the final partial-aggregated
+    best-match reduction of mention-sized rows."""
     lex_grams, max_len, first_toks = _lexicon_grams(spark, lex)
-    label_toks = _label_tokens(spark, lex)
-    # F.lit(list) → a single array Literal; F.array(*lits) would be a
-    # CreateArray expression REBUILT on every lambda evaluation (measured:
-    # it more than ate the Bloom's savings)
+    label_anchors, anchor_toks = _label_anchors(spark, lex)
     exact_bloom = _bloom_lit(first_toks)
-    medium_bloom = _bloom_lit({t for _, ts in lex.token_labels for t in ts})
+    anchor_bloom = _bloom_lit(anchor_toks)
 
     src = transcripts.where(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
@@ -430,36 +493,40 @@ def term_mentions_jvm(
     # candidate start positions: only tokens that pass the first-token
     # Bloom gate grow grams — gram-string construction and the join input
     # shrink ~50-100× (the overwhelming majority of turn tokens start no
-    # dictionary surface). No false negatives by construction. The whole
-    # candidate array is ONE expression so the hit scan runs once per row.
-    # closures via a factory, NOT `lambda i, k=k`: pyspark counts lambda
-    # parameters (defaults included) to decide whether to pass the array
-    # index, so a k=k default would silently turn these into
-    # (element, index) lambdas with k bound to the index.
-    def per_hit(i):
-        return F.filter(
-            F.array(*[
-                F.struct(
-                    F.array_join(F.slice("toks", i, k), " ").alias("gram"),
-                    i.alias("pos"),
-                    F.lit(k).alias("klen"),
-                )
-                for k in range(1, max_len + 1)
-            ]),
-            lambda s: s["klen"] + i - 1 <= F.size("toks"),
-        )
-
+    # dictionary surface). No false negatives by construction. The hit
+    # scan is the ONE remaining higher-order function (a per-token
+    # interpreted Bloom probe); everything downstream is
+    # explode-then-codegen (r3): hit positions become ROWS first, then
+    # gram construction, the length-bound filter and the dictionary probe
+    # all run as top-level whole-stage-codegen expressions instead of
+    # interpreted array lambdas — and per-row work after the explode is
+    # proportional to Bloom HITS, not turn tokens.
     hits = F.filter(
         F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1))),
         lambda i: (i <= F.size("toks"))
         & _bloom_test(exact_bloom, F.element_at("toks", i)),
     )
-    cands = F.flatten(F.transform(hits, per_hit))
-    grams = src.select(
-        "conv_id", "turn_idx", "subj", "age_ctx",
-        F.explode(cands).alias("g"),
-    ).select("conv_id", "turn_idx", "subj", "age_ctx",
-             F.col("g.gram").alias("gram"), F.col("g.pos").alias("pos"))
+    hitrows = src.select(
+        "conv_id", "turn_idx", "subj", "age_ctx", "toks",
+        F.size("toks").alias("ntoks"),
+        F.explode(hits).alias("pos"),
+    )
+    kgrams = F.array(*[
+        F.struct(
+            F.array_join(F.slice("toks", F.col("pos"), k), " ").alias("gram"),
+            F.lit(k).alias("klen"),
+        )
+        for k in range(1, max_len + 1)
+    ])
+    grams = (
+        hitrows.select(
+            "conv_id", "turn_idx", "subj", "age_ctx", "ntoks", "pos",
+            F.explode(kgrams).alias("g"),
+        )
+        .where(F.col("pos") + F.col("g.klen") - 1 <= F.col("ntoks"))
+        .select("conv_id", "turn_idx", "subj", "age_ctx",
+                F.col("g.gram").alias("gram"), "pos")
+    )
 
     exact = grams.join(
         F.broadcast(lex_grams), grams.gram == lex_grams.gram_key, "inner"
@@ -470,22 +537,21 @@ def term_mentions_jvm(
 
     # MEDIUM: all tokens of a multi-token label present anywhere in the
     # turn; the exact path wins on the final min_by (kind_rank 2). The
-    # label-token Bloom gates the explode the same way.
+    # anchor design (_label_anchors): join only the label's rarest token,
+    # then verify the remaining tokens row-locally — a broadcast join plus
+    # a filter, NO containment shuffle. The anchor Bloom gate inside the
+    # HOF keeps the explode proportional to anchor hits, and the join key
+    # is unique per (turn, term) so the result needs no dedup.
+    anchor_hits = F.filter(
+        F.array_distinct("toks"), lambda tk: _bloom_test(anchor_bloom, tk)
+    )
     tok_rows = src.select(
-        "conv_id", "turn_idx", "subj", "age_ctx",
-        F.explode(
-            F.filter(
-                F.array_distinct("toks"),
-                lambda tk: _bloom_test(medium_bloom, tk),
-            )
-        ).alias("tok"),
+        "conv_id", "turn_idx", "subj", "age_ctx", "toks",
+        F.explode(anchor_hits).alias("tok"),
     )
     medium = (
-        tok_rows.join(F.broadcast(label_toks), "tok")
-        .groupBy("conv_id", "turn_idx", "subj", "age_ctx", "term_id",
-                 "match_norm", "n_toks")
-        .agg(F.countDistinct("tok").alias("hit"))
-        .where(F.col("hit") == F.col("n_toks"))
+        tok_rows.join(F.broadcast(label_anchors), "tok")
+        .where(F.forall("req", lambda r: F.array_contains("toks", r)))
         .select(
             "conv_id", "turn_idx", "subj", "age_ctx", "match_norm",
             F.lit("tokens").alias("match_kind"), "term_id",

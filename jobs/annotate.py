@@ -59,6 +59,9 @@ def main() -> None:
                     help="P3 guard: drop turns whose text exceeds N chars")
     ap.add_argument("--synth-turns", type=int, default=None,
                     help="generate a deterministic synthetic input of ~N turns")
+    ap.add_argument("--extraction", choices=("python", "jvm"), default="python",
+                    help="extraction backend: iterator-pandas-UDF (default) "
+                         "or the zero-Python whole-stage-codegen twin")
     args = ap.parse_args()
 
     if args.purge:
@@ -101,6 +104,7 @@ def main() -> None:
         n_parts=args.n_parts,
         resume=args.resume,
         build_graph=not args.no_graph,
+        extraction=args.extraction,
     )
     rows = manifest.groupBy().sum("n_rows", "n_triples").collect()[0]
     wall = time.time() - t0
