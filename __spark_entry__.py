@@ -19,6 +19,13 @@ oracle_sql()   — DuckDB-equivalent ANSI SQL for EVERY entry. The formerly
 
 Column names AND dtypes are aligned pairwise (Spark ints are cast to long
 where DuckDB returns BIGINT; doubles are rounded identically on both sides).
+
+Rounded-double tie margins are AUDITED, not assumed: tools/
+oracle_round_audit.py strips every round() from the oracle SQL and
+measures each column's distance to its nearest .5 tie boundary in ulps
+(ORACLE_AUDIT.md holds the per-SF table; ≥1000 ulps everywhere). Money
+sums use exact DECIMAL arithmetic and MinHash emits integer Jaccard
+components, so the riskiest columns have no rounding at all.
 """
 
 from __future__ import annotations
@@ -63,6 +70,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------- relational operators
 
+def _revenue_dec() -> F.Column:
+    """Money aggregation in EXACT decimal arithmetic (r3 float-risk fix):
+    a double sum of ~1e8-scale revenue rounded to 4 decimals had only
+    single-digit ULPs of tie-margin at sf0.1 (tools/oracle_round_audit) —
+    one summation-order difference between engines could flip the hash.
+    DECIMAL products/sums are exact and order-independent, so both engines
+    produce the identical value, cast once to double at the end."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double")
+
+
 def q_pricing_summary(spark, sf):
     l = _t(spark, sf, "lineitem")
     return (
@@ -70,7 +89,7 @@ def q_pricing_summary(spark, sf):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            _revenue_dec().alias("revenue"),
             F.round(F.sum("l_discount"), 2).alias("sum_disc"),
             F.count("*").alias("count_order"),
         )
@@ -87,7 +106,7 @@ def q_star_join_revenue(spark, sf):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            _revenue_dec().alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -197,9 +216,11 @@ def q_range_frame_sum(spark, sf):
 
 def q_cube_orders(spark, sf):
     o = _t(spark, sf, "orders")
+    # exact decimal money sum — see _revenue_dec
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), total.alias("total"))
     )
 
 
@@ -304,7 +325,11 @@ def q_math_funcs(spark, sf):
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
         F.greatest("l_tax", "l_discount").alias("gmax"),
         F.least("l_tax", "l_discount").alias("gmin"),
-        F.round(F.log10("l_extendedprice"), 6).alias("lg"),
+        # d=4 (not 6): log10 fractions are uniform, so the min tie-margin
+        # over N rows is ~1/(2N) at ANY digit count — but ulp-relative
+        # safety scales with 10^-d, and d=6 left only ~640 ulps at sf0.1
+        # (tools/oracle_round_audit); d=4 restores ~2e5 ulps
+        F.round(F.log10("l_extendedprice"), 4).alias("lg"),
         F.round(F.sqrt("l_quantity"), 6).alias("sq"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("pm"),
     )
@@ -529,12 +554,15 @@ def q_docs_minhash_pairs(spark, sf):
     """MinHash→LSH→exact-verify on the portable md5 kernel: DuckDB
     recomputes the identical shingle hashes, signatures, band buckets and
     Jaccard verification (see oracle_sql) — the full candidate-generation
-    path is driver-verified, not just the final filter."""
+    path is driver-verified, not just the final filter. The hashed output
+    carries the EXACT integer Jaccard components (inter, uni) instead of a
+    rounded double — no value in this result can round differently across
+    engines (VERDICT r2 float-risk item)."""
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return _dedup.minhash_near_duplicates(
         d, "doc_id", "text", shingle_n=2, num_hashes=16, bands=8,
         threshold=0.3, hasher="md5",
-    )
+    ).select("a", "b", "inter", "uni")
 
 
 def q_docs_dedup_clusters(spark, sf):
@@ -883,7 +911,7 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 8) -> str:
             GROUP BY c.a, c.b
         ),
         mh AS (
-            SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+            SELECT a, b, i AS inter, sa.n + sb.n - i AS uni
             FROM inter
             JOIN sizes sa ON sa.doc = a
             JOIN sizes sb ON sb.doc = b
@@ -892,7 +920,7 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 8) -> str:
 
 
 def _minhash_sql() -> str:
-    return f"WITH {_minhash_ctes()}\n        SELECT a, b, jaccard FROM mh"
+    return f"WITH {_minhash_ctes()}\n        SELECT a, b, inter, uni FROM mh"
 
 
 def _dedup_clusters_sql() -> str:
@@ -1207,7 +1235,10 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
                    round(sum(l_discount), 2) AS sum_disc,
                    count(*) AS count_order
             FROM lineitem
@@ -1216,7 +1247,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "star_join_revenue": """
             SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -1283,7 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   round(sum(o_totalprice), 2) AS total
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "rollup_order_months": """
@@ -1353,7 +1388,7 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(l_discount - 0.05), 4) AS disc_dev,
                    greatest(l_tax, l_discount) AS gmax,
                    least(l_tax, l_discount) AS gmin,
-                   round(log10(l_extendedprice), 6) AS lg,
+                   round(log10(l_extendedprice), 4) AS lg,
                    round(sqrt(l_quantity), 6) AS sq,
                    CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS pm
             FROM lineitem

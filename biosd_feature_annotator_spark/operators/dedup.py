@@ -190,7 +190,12 @@ def lsh_candidate_pairs(
 
 
 def verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard on candidate pairs via shingle-set joins."""
+    """Exact Jaccard on candidate pairs via shingle-set joins. Emits the
+    EXACT integer components (inter, uni) alongside the rounded ratio: the
+    threshold compare is bit-identical across engines (same two integers
+    divided the same way), but a ROUNDED double in an oracle-hashed output
+    could flip at a .5 ulp boundary — integer columns cannot (VERDICT r2
+    float-risk item). Callers that hash results should prefer inter/uni."""
     sizes = shingled.groupBy("doc").agg(F.count("*").alias("n"))
     # intersection size: join shingles of a and b on the shingle hash
     sa = shingled.select(F.col("doc").alias("a"), "sh")
@@ -202,9 +207,10 @@ def verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> D
     return (
         inter.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n", "nb"), "b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
         .where(F.col("jaccard") >= threshold)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .select("a", "b", "inter", "uni", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -1,0 +1,157 @@
+"""Measured tie-margin audit for every rounded double in the oracle pairs
+(VERDICT r2 float-risk item).
+
+Risk model: Spark and DuckDB compute the same double within ~1 ulp; a
+`round(x, d)` in a hash-compared output column can only diverge across
+engines when x*10^d lands within ~1e-12 of a .5 boundary (each engine's
+half-up tie-break then sees a different side). This tool PROVES the margin
+empirically: it strips every `round(expr, d)` wrapper from the oracle SQL
+(paren-matched, so nesting is safe), re-runs the de-rounded query on the
+same parquet tables, and reports, per (query, column), the minimum
+distance of |x|*10^d to the nearest .5 boundary across all rows.
+
+The flag criterion is ULP-RELATIVE, not absolute: for a continuous-valued
+column the minimum margin over N rows concentrates at ~1/(2N) regardless
+of the rounding scale (the fractional part is uniform), so an absolute
+threshold would mis-flag any large result. A cross-engine flip instead
+requires the margin to be within the two engines' disagreement — O(1 ulp)
+of the value, scaled by 10^d. We report margin / (ulp(value)·10^d) and
+flag anything below 1000 ulps of safety. Usage:
+
+    python tools/oracle_round_audit.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+ULP_FLAG = 1e3
+
+_AS_RE = re.compile(r"\s+AS\s+(\w+)", re.IGNORECASE)
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at open_idx (no string literals
+    with parens exist in the oracle SQL)."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parens")
+
+
+def _split_last_arg(inner: str) -> tuple[str, str]:
+    """Split 'expr, d' at the LAST top-level comma."""
+    depth = 0
+    for i in range(len(inner) - 1, -1, -1):
+        c = inner[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return inner[:i], inner[i + 1:]
+    raise ValueError("round() without a digits argument")
+
+
+def deround(sql: str) -> tuple[str, list[tuple[str, int]]]:
+    """Strip every round(expr, d) wrapper; return (sql, [(alias, d), ...])
+    for the ones directly aliased with `AS name` (the output columns)."""
+    audited: list[tuple[str, int]] = []
+    pat = re.compile(r"\bround\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if m is None:
+            return sql, audited
+        open_idx = sql.index("(", m.start())
+        close_idx = _match_paren(sql, open_idx)
+        inner = sql[open_idx + 1:close_idx]
+        expr, digits = _split_last_arg(inner)
+        alias_m = _AS_RE.match(sql[close_idx + 1:])
+        if alias_m:
+            audited.append((alias_m.group(1).lower(), int(digits.strip())))
+        sql = sql[:m.start()] + "(" + expr + ")" + sql[close_idx + 1:]
+
+
+def margin_of(values, digits: int) -> tuple[float, float] | None:
+    """(min margin, min ulp-safety) across rows: margin = distance of
+    |v|*10^d to the nearest .5 tie boundary; ulp-safety = that distance in
+    units of ulp(v)*10^d (how many representable doubles of engine
+    disagreement would be needed to flip the rounded output)."""
+    best = best_ulps = None
+    scale = 10 ** digits
+    for v in values:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        fv = float(v)
+        f = abs(fv) * scale
+        d = abs(f - math.floor(f) - 0.5)
+        ulp = math.ulp(fv) * scale if fv != 0.0 else math.ulp(0.5)
+        u = d / ulp
+        if best is None or d < best:
+            best = d
+        if best_ulps is None or u < best_ulps:
+            best_ulps = u
+    return None if best is None else (best, best_ulps)
+
+
+def audit(sf: str) -> list[tuple[str, str, int, float | None, int]]:
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet')"
+        )
+    rows = []
+    for name, sql in entrymod.oracle_sql().items():
+        stripped, audited = deround(sql)
+        if not audited:
+            continue
+        df = con.sql(stripped).df()
+        cols = {c.lower(): c for c in df.columns}
+        for alias, digits in audited:
+            col = cols.get(alias)
+            if col is None:
+                rows.append((name, alias, digits, None, 0))
+                continue
+            vals = df[col].tolist()
+            rows.append((name, alias, digits, margin_of(vals, digits), len(vals)))
+    return rows
+
+
+def main() -> None:
+    sfs = sys.argv[1:] or ["/root/testdata/sf0.01"]
+    flagged = 0
+    for sf in sfs:
+        print(f"== {sf}")
+        for name, alias, digits, m, n in audit(sf):
+            tag = ""
+            if m is None:
+                tag = "  [no rows / column missing]"
+                mtxt = utxt = "-"
+            else:
+                margin, ulps = m
+                mtxt, utxt = f"{margin:.3e}", f"{ulps:.1e}"
+                if ulps < ULP_FLAG:
+                    tag = "  [FLAG: < 1000 ulps of safety]"
+                    flagged += 1
+            print(f"  {name:24s} {alias:18s} d={digits}  rows={n:6d}  "
+                  f"margin={mtxt}  ulp_safety={utxt}{tag}")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
