@@ -608,6 +608,69 @@ def q_stream_user_stats(spark, sf):
     )
 
 
+def q_stream_sessionize(spark, sf):
+    """T3 SESSION windows on a REAL stream, driver-verified: readStream →
+    watermark → session_window(ts, 30 min) per user → materialized via
+    checkpointed foreachBatch (complete mode). The oracle re-derives each
+    merged session in SQL with a lag/gap split at raw microsecond
+    precision — [min(ts), max(ts)+gap) bounds compare exactly."""
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_sessionize_users,
+    )
+
+    base = os.path.join(_REPO, ".tmp", "stream_sessionize")
+    return stream_sessionize_users(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+
+
+def q_stream_dedup_keys(spark, sf):
+    """T4 stateful stream dedup, driver-verified: dropDuplicatesWithin-
+    Watermark on (user_id, event_type), materialized and read back. The
+    surviving physical row per key is arrival-order-dependent, so the
+    query emits the key columns only — a deterministic multiset equal to
+    DISTINCT over the single availableNow horizon (the SQL twin)."""
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_dedup_keys,
+    )
+
+    base = os.path.join(_REPO, ".tmp", "stream_dedup")
+    return stream_dedup_keys(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+
+
+def q_transcripts_kg_stream(spark, sf):
+    """The transcript-KG STREAM end-to-end (T1+T5 over the production
+    foreachBatch pipeline): the committed corpus lands in a drop dir, a
+    checkpointed availableNow stream annotates it, and the MATERIALIZED
+    triples are checked by the very same _transcripts_kg_sql oracle as
+    the batch flagship — stream and batch provably emit identical
+    triples."""
+    from biosd_feature_annotator_spark.sources.lexicon import load_lexicon
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_annotate_corpus,
+    )
+
+    lex = load_lexicon(_LEX_PATH)
+    base = os.path.join(_REPO, ".tmp", "stream_kg")
+    t = stream_annotate_corpus(
+        spark, _CORPUS, lex,
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    return t.select(
+        "subj", "pred", "obj", "obj_kind", "conf", "confidence", "unit",
+        "provenance", "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+    )
+
+
 def q_docs_simhash(spark, sf):
     """SimHash near-dups on the portable 60-bit md5 kernel (4×15-bit
     bands) — bit votes, banding and popcount verify all replicated by the
@@ -825,6 +888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "stream_user_stats": q_stream_user_stats,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_dedup_keys": q_stream_dedup_keys,
+        "transcripts_kg_stream": q_transcripts_kg_stream,
         "docs_simhash": q_docs_simhash,
         "approx_distinct": q_approx_distinct,
         "transcripts_kg": q_transcripts_kg,
@@ -1644,6 +1710,34 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY user_id
         """,
+        # session_window twin: consecutive events of a user merge while
+        # ts_next - ts_prev < 30 min (strict); emitted window is
+        # [min(ts), max(ts) + 30 min) — raw microsecond arithmetic, no
+        # epoch flooring, so the timestamps compare exactly.
+        "stream_sessionize": """
+            SELECT user_id, min(ts) AS s_start,
+                   max(ts) + INTERVAL 30 MINUTE AS s_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM (
+                SELECT user_id, ts, value,
+                       sum(CASE WHEN prev IS NULL
+                                 OR ts - prev >= INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS sess
+                FROM (
+                    SELECT user_id, event_id, ts, value,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+                    FROM events
+                )
+            ) GROUP BY user_id, sess
+        """,
+        "stream_dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
         "docs_simhash": _simhash_sql(),
         "winnow_docs": f"""
             SELECT doc_id,
@@ -1657,5 +1751,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_topk": _ann_sql(),
         "emb_ivf_topk": _ivf_sql(),
         "transcripts_kg": _transcripts_kg_sql(),
+        "transcripts_kg_stream": _transcripts_kg_sql(),
         "entity_stats_kg": _entity_stats_sql(),
     }

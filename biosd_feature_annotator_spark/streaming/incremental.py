@@ -237,3 +237,137 @@ def stream_user_running_stats(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def stream_sessionize_users(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Driver-verifiable T3 SESSION windows: a real readStream →
+    watermark → session_window(ts, gap) aggregation keyed by user_id,
+    materialized via checkpointed foreachBatch and read back as a batch
+    frame. Session-window aggregation streams in complete (or append)
+    mode only; complete + a foreachBatch overwrite emits the final merged
+    session set (append would hold back sessions newer than the final
+    watermark).
+
+    Session semantics (what the SQL twin must replicate): consecutive
+    events of a user merge while ts_next − ts_prev < gap (strict); the
+    emitted window is [min(ts), max(ts) + gap). All comparisons are raw
+    microsecond timestamp arithmetic — no epoch flooring — so the oracle
+    compares timestamps exactly. UTC is pinned (job-level conf, as in
+    stream_event_window_counts) so the NTZ→LTZ→NTZ round-trip the
+    streaming engine needs is wall-clock-preserving."""
+    import shutil
+
+    for p in (out_path, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_path = _stage_single_file(events_path, checkpoint)
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+    def write_batch(batch_df, _batch_id: int) -> None:
+        batch_df.select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("s_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("s_end"),
+            "n_events", "session_value",
+        ).write.mode("overwrite").parquet(out_path)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
+def stream_dedup_keys(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str
+) -> DataFrame:
+    """Driver-verifiable T4: dropDuplicatesWithinWatermark keyed on
+    (user_id, event_type), materialized and read back. WHICH physical row
+    survives per key depends on partition arrival order, so the query
+    projects the KEY COLUMNS ONLY — that multiset is deterministic and
+    equals DISTINCT over the same horizon (single availableNow batch ⇒
+    the horizon is the whole input), which is exactly what the SQL twin
+    checks."""
+    import shutil
+
+    for p in (out_path, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_path = _stage_single_file(events_path, checkpoint)
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+    def write_batch(batch_df, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
+def stream_annotate_corpus(
+    spark: SparkSession, corpus_path: str, lex: Lexicon,
+    out_path: str, checkpoint: str,
+) -> DataFrame:
+    """The transcript-KG STREAM driver-verified end-to-end: the committed
+    corpus lands in a drop directory, annotate_stream (the production
+    foreachBatch pipeline: extraction → broadcast link join → triple
+    union) processes it with availableNow + checkpoint, and the
+    materialized triples are read back — lining up column-for-column with
+    the batch flagship so the SAME _transcripts_kg_sql oracle re-derives
+    every triple."""
+    import shutil
+
+    for p in (out_path, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+    staged = _stage_single_file(corpus_path, checkpoint)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(staged)
+    )
+    q = annotate_stream(spark, stream, lex, out_path, checkpoint)
+    q.awaitTermination()
+    # structural triples are part of the flagship contract but not of the
+    # per-batch extraction stream; assemble them batch-side from the same
+    # corpus (they are stateless projections) to match the flagship shape
+    from ..operators.link import structural_triples, TRIPLE_COLS
+
+    extracted = spark.read.parquet(out_path)
+    corpus = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(staged)
+    return extracted.unionByName(structural_triples(corpus)).select(*TRIPLE_COLS)

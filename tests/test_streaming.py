@@ -128,3 +128,74 @@ def test_stream_user_running_stats_matches_batch(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_sessionize_matches_batch_sessions(spark, tmp_path):
+    """session_window stream (complete mode, availableNow) equals a batch
+    lag/gap sessionization at raw microsecond precision."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_sessionize_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_sessionize_users(
+        spark, f"{sf}/events.parquet", str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("ts").over(w)
+    diff_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    new_sess = F.when(prev.isNull() | (diff_us >= gap_us), 1).otherwise(0)
+    sess = e.withColumn("sess", F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    want = sess.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    ).drop("sess")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_dedup_keys_is_distinct(spark, tmp_path):
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_dedup_keys,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_dedup_keys(
+        spark, f"{sf}/events.parquet", str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    want = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type").distinct()
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_annotate_corpus_equals_batch_flagship(spark, lexicon, tmp_path):
+    """The availableNow transcript stream and the batch flagship emit the
+    IDENTICAL triple multiset over the committed corpus."""
+    import os
+
+    from biosd_feature_annotator_spark.plans.pipeline import annotate
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_annotate_corpus,
+    )
+
+    corpus = os.path.join(os.path.dirname(__file__), "golden", "synth_corpus.parquet")
+    got = stream_annotate_corpus(
+        spark, corpus, lexicon, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    batch = annotate(
+        spark, spark.read.parquet(corpus), lexicon, build_graph=False
+    )["triples"]
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
