@@ -33,10 +33,48 @@ TRIPLE_COLS = [
 ]
 
 
+def _dict_side(lex_df: DataFrame) -> DataFrame:
+    """Size-aware join-side hint (r2 VERDICT gap 5): broadcast the
+    dictionary only when its estimated plan size fits the session's
+    autoBroadcastJoinThreshold; an oversized dictionary gets NO hint, so
+    the planner/AQE degrades to shuffle/sort-merge instead of OOMing every
+    executor with a forced broadcast. The estimate comes from Catalyst's
+    own statistics (exact for the usual LocalRelation dictionary); if
+    stats are unavailable (e.g. Spark Connect) we keep the broadcast hint
+    — the historical behavior."""
+    try:
+        size = int(
+            lex_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        threshold = _parse_bytes(
+            lex_df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        return F.broadcast(lex_df)
+    if 0 <= threshold < size:
+        return lex_df
+    return F.broadcast(lex_df)
+
+
+_BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40,
+                "tb": 1 << 40}
+
+
+def _parse_bytes(s: str) -> int:
+    """'10485760b' / '10MB' / '-1' → bytes (Spark byte-size conf syntax)."""
+    s = str(s).strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    return int(s[:i]) * _BYTE_SUFFIX[s[i:].strip()]
+
+
 def link_entities(
     mentions: DataFrame, lex_df: DataFrame, memoize: bool = False
 ) -> DataFrame:
-    """Term mentions → scored candidate links (broadcast hash join).
+    """Term mentions → scored candidate links (broadcast hash join while
+    the dictionary fits the broadcast threshold — see _dict_side).
 
     memoize=True reproduces the reference's J1 memo-store semantics
     explicitly: score each *distinct* (match_norm, match_kind) key once,
@@ -48,11 +86,11 @@ def link_entities(
     if memoize:
         keys = terms.select("match_norm", "match_kind").dropDuplicates()
         scored_keys = keys.join(
-            F.broadcast(lex_df), on=["match_norm", "match_kind"], how="inner"
+            _dict_side(lex_df), on=["match_norm", "match_kind"], how="inner"
         )
         return terms.join(scored_keys, on=["match_norm", "match_kind"], how="inner")
     return terms.join(
-        F.broadcast(lex_df), on=["match_norm", "match_kind"], how="inner"
+        _dict_side(lex_df), on=["match_norm", "match_kind"], how="inner"
     )
 
 

@@ -109,3 +109,43 @@ def test_ranked_w1_picks_min_term_id_on_conf_tie(spark):
     rows = triples.where("pred = 'hasDrug'").collect()
     assert len(rows) == 1
     assert rows[0].obj == "T_A" and rows[0].confidence == "MEDIUM"
+
+
+def test_oversized_dictionary_degrades_to_shuffle_join(spark, lexicon):
+    """r3: link_entities must DROP the broadcast hint when the dictionary's
+    estimated size exceeds autoBroadcastJoinThreshold — the planner then
+    picks a shuffle (sort-merge) join instead of force-broadcasting a
+    dictionary that would not fit executor memory. Results identical."""
+    from biosd_feature_annotator_spark.operators.link import link_entities
+
+    t = _transcripts(spark, ["Homo sapiens sample", "human donor aged 30 years"])
+    mentions = extract_mentions(t, lexicon)
+    lex_df = lexicon_df(spark, lexicon)
+
+    def join_plan(df) -> str:
+        # collect() executes THIS frame's own QueryExecution, finalizing
+        # its AQE plan (count() would plan and execute a different one)
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    threshold0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # dictionary fits (default threshold) -> broadcast join
+        plan_small = join_plan(link_entities(mentions, lex_df))
+        assert "BroadcastHashJoin" in plan_small
+
+        # dictionary "oversized" (threshold smaller than its plan size)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+        degraded = link_entities(mentions, lex_df)
+        plan_big = join_plan(degraded)
+        assert "BroadcastHashJoin" not in plan_big
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+
+        # identical results on both paths
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
+        want = link_entities(mentions, lex_df)
+        assert sorted(map(tuple, degraded.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
