@@ -178,13 +178,17 @@ def ivf_cosine_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5,
     id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
     n_cells: int = 8, n_probe: int = 2, dim: int = 64, seed: int = 11,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their single nearest cell, queries
     probe their n_probe nearest cells, exact cosine re-rank inside the
     probed cells. Candidate generation is an equi-join on cell id —
     shuffle-partitionable (or broadcast for small query sets), never an
-    N×Q product."""
-    cents = _planes(n_cells, dim, seed)
+    N×Q product.
+
+    centroids: optional trained centroid table (train_ivf_centroids);
+    defaults to the deterministic seed points (the oracle-checkable form)."""
+    cents = centroids if centroids is not None else _planes(n_cells, dim, seed)
     c = corpus.select(
         F.col(id_c).alias("neighbor_id"), F.col(vec).alias("cv"),
         F.element_at(ivf_assign(F.col(vec), cents, 1), 1).alias("cell"),
@@ -220,3 +224,48 @@ def cosine_pairs_above(
         .select("a", "b", cosine("va", "vb").alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame, n_cells: int = 8, dim: int = 64, rounds: int = 3,
+    vec: str = "embedding", seed: int = 11,
+) -> list[list[float]]:
+    """Spherical k-means for IVF centroids, expressed as DataFrame algebra
+    (Lloyd rounds): assign every vector to its nearest centroid
+    (ivf_assign — pure Catalyst), then recompute each centroid as the
+    per-dimension mean via posexplode → groupBy(cell, pos) → avg. Each
+    round is one aggregation job; the only driver-side transfer is the
+    n_cells×dim centroid table itself (metadata-sized, like the manifest
+    collects). Empty cells keep their previous centroid. Seeded from the
+    same deterministic md5 points the untrained path uses, so
+    rounds=0 ≡ the untrained centroids and the swap is drop-in."""
+    cents = _planes(n_cells, dim, seed)
+    for _ in range(rounds):
+        # two selects: mixing the generator (posexplode) with the
+        # struct-array cell expression in ONE projection trips an analyzer
+        # quirk that drops the struct field names (FIELD_NOT_FOUND)
+        cells = df.select(
+            F.element_at(ivf_assign(F.col(vec), cents, 1), 1).alias("cell"),
+            _vecd(F.col(vec)).alias("_v"),
+        )
+        assigned = cells.select("cell", F.posexplode("_v").alias("pos", "x"))
+        rows = (
+            assigned.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[r["cell"]][r["pos"]] = r["m"]
+        cents = new
+    return cents
+
+
+def ann_recall(ann: DataFrame, exact: DataFrame) -> float:
+    """recall@k of an ANN result against the brute-force top-k on the same
+    queries: |ANN ∩ exact| / |exact| over (query_id, neighbor_id) pairs.
+    One small aggregate — report-time metric, not a hot-path operator."""
+    hit = ann.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    n_exact = exact.count()
+    return (hit.count() / n_exact) if n_exact else 1.0

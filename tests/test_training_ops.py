@@ -212,3 +212,23 @@ def test_ivf_topk_recall(emb):
     for qq, _ in ivf:
         by_q[qq] = by_q.get(qq, 0) + 1
     assert len(by_q) == len(exact)
+
+
+def test_ivf_kmeans_training_is_drop_in(spark):
+    """train_ivf_centroids: rounds=0 reproduces the untrained seed
+    centroids exactly (drop-in swap), trained centroids change only the
+    cell table (same plan shape, same output columns), and ann_recall is
+    1.0 for a result compared against itself."""
+    from biosd_feature_annotator_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert S.train_ivf_centroids(e, n_cells=4, dim=64, rounds=0) == S._planes(4, 64, 11)
+
+    cents = S.train_ivf_centroids(e, n_cells=4, dim=64, rounds=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    q = e.where("vec_id < 5")
+    trained = S.ivf_cosine_topk(q, e, k=3, n_cells=4, n_probe=2, dim=64,
+                                centroids=cents)
+    assert trained.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    assert trained.count() > 0
+    assert S.ann_recall(trained, trained) == 1.0
