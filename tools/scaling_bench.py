@@ -66,6 +66,10 @@ from biosd_feature_annotator_spark.plans.pipeline import annotate
 from pyspark.sql import functions as F
 
 cores, n, reps, extraction = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+# optional barrier files (multi-JVM mode): after warm-up, signal readiness
+# and wait for the parent's GO so all JVMs' timed windows run concurrently
+ready_path = sys.argv[5] if len(sys.argv) > 5 else "-"
+go_path = sys.argv[6] if len(sys.argv) > 6 else "-"
 spark = get_spark(master=f"local[{cores}]", app_name=f"scale-{cores}-{extraction}",
                   extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "32768"})
 lex = bench_lexicon(5000)  # production-sized dictionary (matcher is size-free)
@@ -84,6 +88,12 @@ def fingerprint(df):
         *[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
           for c in ("subj", "pred", "obj", "confidence")]).alias("h")
     ).agg(F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("n")).collect()[0]
+
+if ready_path != "-":
+    import os as _os
+    open(ready_path, "w").write("ready")
+    while not _os.path.exists(go_path):
+        time.sleep(0.05)
 
 walls, fp, n_triples = [], None, None
 for _ in range(reps):
@@ -173,6 +183,50 @@ def run_level(cores: int, n_turns: int, inner_reps: int, extraction: str,
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_multi_jvm(n_turns: int, inner: int, script: str) -> dict:
+    """The multi-PROCESS witness (r2 VERDICT ask): 1 JVM × 2 cores vs 4
+    SEPARATE JVMs × 2 cores, each pinned to its own physical core pair —
+    process isolation is the closest single-box analogue of independent
+    executors (no shared JVM heap, GC, scheduler or Python worker pool).
+    Each JVM runs the full workload; aggregate throughput over 4 isolated
+    2-core slices vs 4× one slice's throughput is the efficiency. Timed
+    windows are barrier-aligned: every JVM warms up, signals ready, and
+    starts timing only on the parent's GO."""
+    base = run_level(2, n_turns, inner, "python", script)
+
+    tmp = tempfile.mkdtemp(prefix="kg_scale_mjvm_")
+    go = os.path.join(tmp, "go")
+    pins = ["0-1", "2-3", "4-5", "6-7"]
+    readies = [os.path.join(tmp, f"ready{i}") for i in range(4)]
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", pins[i], sys.executable, script,
+             "2", str(n_turns), str(inner), "python", readies[i], go],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd=REPO,
+        )
+        for i in range(4)
+    ]
+    import time as _time
+
+    while not all(os.path.exists(r) for r in readies):
+        _time.sleep(0.2)
+        if any(p.poll() is not None for p in procs):
+            raise RuntimeError("multi-JVM worker died before barrier")
+    open(go, "w").write("go")
+    outs = []
+    for p in procs:
+        out, _ = p.communicate()
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    agg = sum(o["turns_per_sec"] for o in outs)
+    return {
+        "base": base,
+        "jvms": outs,
+        "thr_agg": round(agg, 1),
+        "eff": round((agg / 4.0) / base["turns_per_sec"], 3),
+        "fps": sorted({o["fp"] for o in outs} | {base["fp"]}),
+    }
+
+
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 3
     quick = "--quick" in sys.argv
@@ -223,6 +277,13 @@ def main() -> None:
             curve.append((lo, hi, extraction, a, b,
                           round((b["turns_per_sec"] / a["turns_per_sec"]) / 4.0, 3)))
 
+    # --- multi-JVM (process-isolation) witness: 1×local[2] vs 4×local[2]
+    mjvm = [run_multi_jvm(N_HEAD, 2 if not quick else 1, script)
+            for _ in range(reps if not quick else 1)]
+    mjvm_effs = sorted(m["eff"] for m in mjvm)
+    mjvm_eff = mjvm_effs[len(mjvm_effs) // 2]
+    mjvm_same_fp = all(len(m["fps"]) == 1 for m in mjvm)
+
     same_fp = len({r["fp"] for a, b, _ in head for r in (a, b)}) == 1
 
     r2 = max((a for a, _, _ in head), key=lambda r: r["turns_per_sec"])
@@ -237,6 +298,16 @@ def main() -> None:
         f"| local[{lo}] → local[{hi}] | {ex} | {a['n_turns']:,} | {a['wall_med']} "
         f"| {b['wall_med']} | {a['turns_per_sec']:,} | {b['turns_per_sec']:,} | {e:.3f} |"
         for lo, hi, ex, a, b, e in curve
+    )
+    mjvm_rows = "\n".join(
+        "| rep {i} | {base:,} | {per} | {agg:,} | **{eff:.3f}** |".format(
+            i=i,
+            base=m["base"]["turns_per_sec"],
+            per=" / ".join(f"{o['turns_per_sec']:,}" for o in m["jvms"]),
+            agg=m["thr_agg"],
+            eff=m["eff"],
+        )
+        for i, m in enumerate(mjvm, 1)
     )
 
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
@@ -296,14 +367,39 @@ pandas path's partition-local kernel — the production default remains the
 pandas path, and the jvm rows exist as a second, Python-free witness of
 the same determinism and of the box's (not the engine's) saturation.
 
+## Multi-JVM witness: 1 JVM × 2 cores → 4 JVMs × 2 cores
+
+The in-JVM pairing above shares one JVM heap, GC, scheduler and Python
+worker pool across levels; this section removes that objection. The 4N
+level runs FOUR SEPARATE JVMs, each `local[2]`, each taskset-pinned to
+its own physical core pair (0-1 / 2-3 / 4-5 / 6-7), each processing the
+full {mjvm[0]['base']['n_turns']:,}-turn workload — process isolation is
+the single-box analogue of independent executors. Timed windows are
+barrier-aligned (every JVM warms up, signals ready, starts on a shared
+GO). Efficiency = (aggregate turns/s over the 4 JVMs / 4) / the single
+JVM's turns/s.
+
+| rep | thr 1×JVM@2 | per-JVM thr ×4 | aggregate | efficiency |
+|---|---|---|---|---|
+{mjvm_rows}
+
+**Multi-JVM scaling efficiency (median) = {mjvm_eff:.3f}**
+(criterion ≥ 0.8: {"MET" if mjvm_eff >= 0.8 else "NOT MET"}).
+Output fingerprint identical across every JVM and the single-JVM
+baseline in every rep: {mjvm_same_fp}.
+
 **Determinism across parallelism**: output bit_xor fingerprint identical
 across every rep at both headline levels: {same_fp}
 (fp={head[0][0]['fp']}, {head[0][0]['n_triples']:,} triples).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # --quick runs are smoke tests of the harness, not evidence: never let
+    # them overwrite the published measurement file
+    out_name = "BASELINE.quick.md" if quick else "BASELINE.md"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write(md)
     print(json.dumps({"eff": eff, "ceiling": ceiling,
+                      "mjvm_eff": mjvm_eff,
                       "curve": [(lo, hi, ex, e) for lo, hi, ex, _, _, e in curve],
                       "same_fp": same_fp}))
 
