@@ -360,12 +360,16 @@ The "jvm" rows are the zero-Python extraction backend
 Bloom-gated broadcast gram join, fingerprint-identical output
 (parity-tested against the pandas path on the synth AND golden corpora).
 It removes Arrow IPC and Python workers from the measurement entirely.
-Its lower absolute throughput and efficiency are understood, not hidden:
-its term stage pays interpreted higher-order-function evaluation plus a
-best-match aggregation shuffle, both of which parallelize worse than the
-pandas path's partition-local kernel — the production default remains the
-pandas path, and the jvm rows exist as a second, Python-free witness of
-the same determinism and of the box's (not the engine's) saturation.
+Its lower efficiency here is understood, not hidden: after the r3 rework
+(anchor-keyed containment join, staged masking projections, folded Bloom
+literals) the remaining cross-level costs are the term stage's ONE
+best-match reduction shuffle — whose relative weight grows as cores
+shrink the scan — and the masking chain's regex passes, which are
+memory-bandwidth-bound and so hit the shared memory controller earlier
+than the pandas path's cache-resident per-row kernel. The production
+default remains the pandas path; the jvm rows exist as a second,
+Python-free witness of the same determinism and of the box's (not the
+engine's) saturation.
 
 ## Multi-JVM witness: 1 JVM × 2 cores → 4 JVMs × 2 cores
 
