@@ -734,6 +734,61 @@ def q_doc_bpe_tokens(spark, sf):
     )
 
 
+def q_doc_train_split(spark, sf):
+    """Deterministic train/valid/test assignment (training.hash_split):
+    a pure projection of md5(doc_id) — stable across reruns, engines,
+    partitionings; the oracle recomputes every bucket bit-for-bit."""
+    from biosd_feature_annotator_spark.operators.training import hash_split
+
+    d = _t(spark, sf, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "bucket", "split")
+
+
+def q_doc_pack_sequences(spark, sf):
+    """Sequence packing (training.pack_greedy): contiguous-fill bins of
+    512 BPE-ish tokens per source, one window shuffle — the last
+    Spark-side step before a trainer consumes the corpus."""
+    from biosd_feature_annotator_spark.operators.training import pack_greedy
+
+    d = _t(spark, sf, "documents").withColumn(
+        "n_bpe", _ts.bpe_ish_token_count(F.col("text"))
+    )
+    return pack_greedy(d, "doc_id", "n_bpe", budget=512, part_col="source").select(
+        "doc_id", "source", "bin"
+    )
+
+
+def q_vocab_top_tokens(spark, sf):
+    """Vocabulary construction (training.vocab_top): top-100 tokens by
+    frequency with a deterministic (n desc, token asc) cut."""
+    from biosd_feature_annotator_spark.operators.training import vocab_top
+
+    return vocab_top(_t(spark, sf, "documents"), "text", k=100)
+
+
+def q_kg_khop(spark, sf):
+    """Graph k-hop neighborhood (operators/graph.khop) over the engine's
+    OWN term-triple output on the committed corpus: everything within 2
+    undirected hops of NCBITaxon_9606 with min-hop labels — frontier
+    joins + anti-join visited dedup, the distributed BFS shape. Oracle =
+    a recursive-CTE BFS over the independently re-derived term edges."""
+    from biosd_feature_annotator_spark.operators.extract import extract_mentions
+    from biosd_feature_annotator_spark.operators.graph import khop
+    from biosd_feature_annotator_spark.operators.link import (
+        link_entities,
+        term_triples_from_linked,
+    )
+    from biosd_feature_annotator_spark.sources.lexicon import lexicon_df, load_lexicon
+
+    lex = load_lexicon(_LEX_PATH)
+    corpus = spark.read.parquet(_CORPUS).coalesce(4)
+    mentions = extract_mentions(corpus, lex)
+    terms = term_triples_from_linked(link_entities(mentions, lexicon_df(spark, lex)))
+    edges = terms.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    seeds = spark.createDataFrame([("NCBITaxon_9606",)], "node string")
+    return khop(edges, seeds, k=2)
+
+
 def q_sessionize_events(spark, sf):
     """Batch sessionization: per-user sessions split at >30 min gaps
     (lag + conditional cumulative sum — the batch twin of the streaming
@@ -880,6 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_near_dup": q_emb_near_dup,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_train_split": q_doc_train_split,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "kg_khop": q_kg_khop,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
@@ -1270,6 +1329,28 @@ def _transcripts_kg_sql() -> str:
     """
 
 
+def _kg_khop_sql(k: int = 2, seed: str = "NCBITaxon_9606") -> str:
+    """Recursive-CTE BFS with min-hop aggregation over the independently
+    re-derived term edges — the SQL twin of operators/graph.khop."""
+    return f"""
+        WITH RECURSIVE {_KG_SRC},
+        {_KG_TERMS},
+        e AS (
+            SELECT subj AS src, obj AS dst FROM terms
+            UNION
+            SELECT obj AS src, subj AS dst FROM terms
+        ),
+        reach AS (
+            SELECT '{seed}' AS node, 0 AS hop
+            UNION ALL
+            SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.node
+            WHERE r.hop < {k}
+        )
+        SELECT node, CAST(min(hop) AS BIGINT) AS hop
+        FROM reach GROUP BY node
+    """
+
+
 def _entity_stats_sql() -> str:
     return f"""
         WITH {_KG_SRC},
@@ -1619,6 +1700,43 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe
             FROM documents
         """,
+        "doc_train_split": """
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             AS INTEGER) % 100 AS BIGINT) AS bucket,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             AS INTEGER) % 100 < 80 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             AS INTEGER) % 100 < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "doc_pack_sequences": """
+            SELECT doc_id, source,
+                   CAST(floor(coalesce(sum(n_bpe) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 512) AS BIGINT) AS bin
+            FROM (
+                SELECT doc_id, source,
+                       len(regexp_extract_all(text,
+                           '([A-Za-z]{1,6}|\\d+|[^\\sA-Za-z\\d])', 1)) AS n_bpe
+                FROM documents
+            )
+        """,
+        "vocab_top_tokens": """
+            SELECT token, n FROM (
+                SELECT token, count(*) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+                FROM (
+                    SELECT unnest(string_split(trim(lower(
+                        regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+                    FROM documents
+                )
+                WHERE length(token) >= 1
+                GROUP BY token
+            ) WHERE rn <= 100
+        """,
         "sessionize_events": """
             SELECT user_id, sess_no, count(*) AS n_events,
                    round(sum(value), 2) AS session_value
@@ -1753,4 +1871,5 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_kg": _transcripts_kg_sql(),
         "transcripts_kg_stream": _transcripts_kg_sql(),
         "entity_stats_kg": _entity_stats_sql(),
+        "kg_khop": _kg_khop_sql(),
     }

@@ -35,6 +35,19 @@ def _vecd(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _lit_darray(values) -> F.Column:
+    """A double-array literal shipped as ONE CSV string and expanded by
+    Catalyst's ConstantFolding at optimization time. F.array(*64 F.lit)
+    costs ~0.5 ms of py4j per element at plan build AND leaves a 64-node
+    CreateArray in the tree; this is one py4j call and one Literal after
+    folding. repr() round-trips doubles exactly and Spark's string→double
+    cast is correctly rounded, so the folded values are bit-identical to
+    the direct literals (the SQL oracles embed the same repr values)."""
+    return F.split(F.lit(",".join(repr(float(x)) for x in values)), ",").cast(
+        "array<double>"
+    )
+
+
 def cosine(a, b) -> F.Column:
     """Cosine similarity of two array columns, JVM-side."""
     dot = F.aggregate(
@@ -88,7 +101,7 @@ def lsh_signature(vec_col, planes: list[list[float]]) -> F.Column:
     sig = F.lit(0).cast("long")
     v = _vecd(vec_col)
     for b, plane in enumerate(planes):
-        lits = F.array(*[F.lit(x) for x in plane])
+        lits = _lit_darray(plane)
         dot = F.aggregate(
             F.zip_with(v, lits, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
@@ -149,9 +162,8 @@ def lsh_cosine_topk(
 
 
 def _dot_lit(vec_col, point: list[float]) -> F.Column:
-    lits = F.array(*[F.lit(x) for x in point])
     return F.aggregate(
-        F.zip_with(_vecd(vec_col), lits, lambda x, y: x * y),
+        F.zip_with(_vecd(vec_col), _lit_darray(point), lambda x, y: x * y),
         F.lit(0.0), lambda a, x: a + x,
     )
 

@@ -1,0 +1,92 @@
+"""Training-corpus assembly operators: deterministic splits, sequence
+packing, vocabulary construction. These sit between the cleaning ops
+(dedup/quality in operators/dedup + textstats) and the trainer: the last
+Spark-side steps of a 100 TB data pipeline.
+
+Scale shapes:
+- hash_split is a pure per-row projection (no shuffle, no RNG state) —
+  the split is a function of the id alone, so it is stable across reruns,
+  engines and partitionings, and any subset of the data splits
+  consistently. The md5-bucket form is engine-portable (a SQL oracle
+  recomputes it bit-for-bit), unlike Spark's sampleBy (seeded per
+  partition ⇒ resplit on repartition).
+- pack_greedy is one window over (part, id) — a single shuffle by the
+  packing partition column; bins are contiguous-fill (each doc lands in
+  the bin its running token count starts in), the deterministic
+  approximation of first-fit that needs no sequential state. Documents
+  larger than the budget get a bin of their own (documented overflow).
+- vocab_top is explode → count → top-k: the count is map-side
+  combinable, and the final top-k is a single ordered limit, not a
+  global sort of the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import norm_text_col
+
+
+def split_bucket(id_col, buckets: int = 100) -> F.Column:
+    """Deterministic, engine-portable bucket in [0, buckets): the first 4
+    hex digits of md5(id) mod buckets. DuckDB computes the identical
+    value via CAST('0x' || substr(md5(id), 1, 4) AS INT) % buckets."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast("int")
+    return h % buckets
+
+
+def hash_split(
+    df: DataFrame, id_col: str,
+    weights: dict[str, int] | None = None, buckets: int = 100,
+) -> DataFrame:
+    """Adds (bucket, split) columns: a stable train/valid/test assignment
+    from the row id alone. weights are integer bucket counts summing to
+    `buckets` (default 80/10/10)."""
+    weights = weights or {"train": 80, "valid": 10, "test": 10}
+    if sum(weights.values()) != buckets:
+        raise ValueError("split weights must sum to the bucket count")
+    b = split_bucket(F.col(id_col), buckets)
+    expr, lo = None, 0
+    names = list(weights)
+    for name in names[:-1]:
+        lo += weights[name]
+        cond = b < lo
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    return df.withColumn("bucket", b.cast("long")).withColumn("split", expr)
+
+
+def pack_greedy(
+    df: DataFrame, id_col: str, token_col: str, budget: int,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Adds a `bin` column: contiguous-fill sequence packing. Documents
+    are taken in (part, id) order; each lands in the bin its RUNNING
+    token count (exclusive of itself) starts in — floor(cum_before /
+    budget). One window = one shuffle; no sequential driver state. A
+    document longer than the budget overflows its bin (the trainer-side
+    chunker handles intra-document splitting)."""
+    part = [part_col] if part_col else []
+    w = Window.partitionBy(*part).orderBy(id_col)
+    cum_before = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn("bin", F.floor(cum_before / budget).cast("long"))
+
+
+def vocab_top(
+    df: DataFrame, text_col: str, k: int = 100, min_len: int = 1
+) -> DataFrame:
+    """Top-k vocabulary by frequency over whitespace-normalized lowercase
+    tokens: (token, n), ordered by (n desc, token asc) for a
+    deterministic cut at k."""
+    toks = df.select(
+        F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("token")
+    ).where(F.length("token") >= min_len)
+    return (
+        toks.groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

@@ -232,3 +232,52 @@ def test_ivf_kmeans_training_is_drop_in(spark):
     assert trained.columns == ["query_id", "neighbor_id", "cos", "rank"]
     assert trained.count() > 0
     assert S.ann_recall(trained, trained) == 1.0
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from biosd_feature_annotator_spark.operators.training import hash_split
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = hash_split(d, "doc_id").select("doc_id", "bucket", "split")
+    s2 = hash_split(d.repartition(7), "doc_id").select("doc_id", "bucket", "split")
+    # stable under repartitioning (pure function of the id)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    counts = dict(
+        (r["split"], r["n"])
+        for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    n = sum(counts.values())
+    assert 0.7 < counts["train"] / n < 0.9  # ~80/10/10 at 500 docs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(d, "doc_id", weights={"train": 50, "test": 10})
+
+
+def test_pack_greedy_bins_are_contiguous_fill(spark):
+    from biosd_feature_annotator_spark.operators.training import pack_greedy
+
+    rows = [(i, "s", t) for i, t in enumerate([100, 200, 150, 300, 50, 400, 120])]
+    df = spark.createDataFrame(rows, "doc_id int, source string, n int")
+    out = pack_greedy(df, "doc_id", "n", budget=300, part_col="source")
+    got = {r["doc_id"]: r["bin"] for r in out.collect()}
+    # cum_before: 0,100,300,450,750,800,1200 → bins 0,0,1,1,2,2,4
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 4}
+
+
+def test_khop_min_hop_semantics(spark):
+    from biosd_feature_annotator_spark.operators.graph import khop
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "x"), ("x", "c")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hop"] for r in khop(edges, seeds, k=2).collect()}
+    # c is reachable at hop 2 via b AND via x — exactly one row, hop 2
+    assert got == {"a": 0, "b": 1, "x": 1, "c": 2}
+    directed = {r["node"]: r["hop"]
+                for r in khop(edges.select(F.col("dst").alias("src"),
+                                           F.col("src").alias("dst")),
+                              seeds, k=2, directed=True).collect()}
+    assert directed == {"a": 0}  # reversed edges: nothing reachable from a
