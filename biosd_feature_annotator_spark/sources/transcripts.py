@@ -45,11 +45,13 @@ def read_transcripts(
     max_text_len: int | None = None,
 ) -> DataFrame:
     """Scan transcripts from an Iceberg table name (contains no '/'), a
-    parquet path, or a JSONL drop directory/file (*.jsonl → the custom
-    jsonl_transcripts Python DataSource, sources/jsonl.py). All three
-    scopings push down to the parquet/Iceberg scan; on JSONL they are
-    plain post-scan filters (interchange format — compact to columnar
-    before analytical scans).
+    parquet path, a JSONL drop directory/file (*.jsonl → the custom
+    jsonl_transcripts Python DataSource, sources/jsonl.py), or a CSV
+    drop directory/file (*.csv → Spark's native CSV reader with the
+    contract schema; header tolerated, ISO-8601 ts). The scopings push
+    down to the parquet/Iceberg scan; on the interchange formats
+    (JSONL/CSV) they are plain post-scan filters — compact to columnar
+    before analytical scans.
 
     max_text_len (SURVEY.md §2.2 P3, the reference's too-long-text guard):
     drops turns whose text exceeds N chars with a JVM-side length predicate
@@ -57,15 +59,26 @@ def read_transcripts(
     Python workers. NULL/blank text is KEPT (length(NULL) is NULL, which a
     plain <= filter would silently drop): those rows carry no extractable
     text but still produce structural triples."""
-    if path_or_table.endswith(".jsonl") or (
-        "/" in path_or_table
-        and os.path.isdir(path_or_table)
-        and any(f.endswith(".jsonl") for f in os.listdir(path_or_table))
-    ):
+    def _dir_has(ext: str) -> bool:
+        return (
+            "/" in path_or_table
+            and os.path.isdir(path_or_table)
+            and any(f.endswith(ext) for f in os.listdir(path_or_table))
+        )
+
+    if path_or_table.endswith(".jsonl") or _dir_has(".jsonl"):
         from .jsonl import JsonlTranscriptDataSource
 
         spark.dataSource.register(JsonlTranscriptDataSource)
         df = spark.read.format("jsonl_transcripts").load(path_or_table)
+    elif path_or_table.endswith(".csv") or _dir_has(".csv"):
+        df = (
+            spark.read.schema(TRANSCRIPT_SCHEMA)
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+            .option("mode", "PERMISSIVE")
+            .csv(path_or_table)
+        )
     elif "/" in path_or_table:
         df = spark.read.parquet(path_or_table)
     else:

@@ -113,3 +113,30 @@ def test_failed_overwrite_preserves_existing_data(spark, tmp_path):
     after = sorted(map(_key, spark.read.format("jsonl_transcripts").load(p).collect()))
     assert after == before  # old export fully intact
     assert not [f for f in os.listdir(p) if f.endswith(".tmp")]  # staging swept
+
+
+def test_read_transcripts_routes_csv(spark, tmp_path):
+    """S1 breadth: a CSV drop directory routes through Spark's native CSV
+    reader with the contract schema and survives the round trip."""
+    import csv
+
+    from biosd_feature_annotator_spark.sources.transcripts import read_transcripts
+
+    src = synth_transcripts(spark, 120)
+    p = tmp_path / "csvdrop"
+    p.mkdir()
+    rows = src.collect()
+    for i in range(2):
+        with open(p / f"f{i}.csv", "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+            for r in rows[i::2]:
+                w.writerow([r.conv_id, r.turn_idx, r.role, r.text,
+                            r.tool or "", r.ts.isoformat() if r.ts else ""])
+    got = read_transcripts(spark, str(p))
+    assert got.count() == src.count()
+    a = sorted((r.conv_id, r.turn_idx, r.role, r.text) for r in got.collect())
+    b = sorted((r.conv_id, r.turn_idx, r.role, r.text) for r in src.collect())
+    assert a == b
+    scoped = read_transcripts(spark, str(p), conv_ids=[rows[0].conv_id])
+    assert 0 < scoped.count() < src.count()

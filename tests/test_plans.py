@@ -127,3 +127,45 @@ def test_skewed_hot_entity_pipeline(spark, lexicon):
     assert n_hot >= 0.25 * n_turns
     node = out["nodes"].where("node_id = 'NCBITaxon_9606'").collect()[0]
     assert node.n_mentions >= n_hot
+
+
+def test_hash_split_is_pure_projection(spark):
+    """r3 training op: the split must add ZERO shuffles — it is a pure
+    function of the id column (the 100 TB property: any subset splits
+    consistently with no data movement)."""
+    from biosd_feature_annotator_spark.operators.training import hash_split
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(hash_split(d, "doc_id").select("doc_id", "split"))
+    assert "Exchange" not in p
+
+
+def test_pack_greedy_is_one_shuffle(spark):
+    """Sequence packing = exactly one Exchange (the window partition by
+    the packing column); anything more would re-shuffle the corpus."""
+    from biosd_feature_annotator_spark.operators.training import pack_greedy
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    import re
+
+    p = plan_of(pack_greedy(d, "doc_id", "n_tok", budget=512, part_col="source"))
+    # formatted explain prints each node twice (tree + detail); count the
+    # numbered detail entries
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_khop_frontier_joins_broadcast(spark):
+    """k-hop: with a small frontier the per-hop joins must be broadcasts
+    (map-side BFS), not shuffle joins of the edge list."""
+    from biosd_feature_annotator_spark.operators.graph import khop
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(50)], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    out = khop(edges, seeds, k=2)
+    out.collect()  # finalize AQE
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
