@@ -335,6 +335,42 @@ def q_math_funcs(spark, sf):
     )
 
 
+def q_stats_agg(spark, sf):
+    """Statistical aggregates (§2.5 breadth): sample stddev/variance,
+    correlation and covariance per group — definitions shared by both
+    engines; rounded outputs are covered by the ulp-margin audit."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("covar_qty_tax"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_value_percentiles(spark, sf):
+    """Exact percentiles (linear interpolation — percentile_cont
+    semantics, identical in DuckDB's quantile_cont) plus an
+    approx_percentile sketch asserted in-query within 1% of the exact
+    median (the approx_distinct pattern: the sketch stays Spark-side, the
+    oracle checks the exact columns and the tolerance flag)."""
+    e = _t(spark, sf, "events")
+    agg = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+        F.expr("percentile(value, 0.5)").alias("x50"),
+    )
+    return agg.select(
+        "event_type", "p25", "p50", "p95",
+        (F.abs(F.col("ap50") - F.col("x50")) <= 0.01 * F.abs(F.col("x50"))).alias(
+            "sketch_within_tol"
+        ),
+    )
+
+
 def q_json_props(spark, sf):
     e = _t(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -919,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_funcs": q_math_funcs,
         "json_props": q_json_props,
         "json_funcs": q_json_funcs,
+        "stats_agg": q_stats_agg,
+        "value_percentiles": q_value_percentiles,
         "stream_window_counts": q_stream_window_counts,
         "pivot_event_counts": q_pivot_event_counts,
         "top_orders": q_top_orders,
@@ -1539,6 +1577,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(l_quantity), 6) AS sq,
                    CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS pm
             FROM lineitem
+        """,
+        "stats_agg": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(var_samp(l_discount), 6) AS var_disc,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_tax), 6) AS covar_qty_tax,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   TRUE AS sketch_within_tol
+            FROM events GROUP BY event_type
         """,
         "json_props": """
             SELECT event_type, count(*) AS n,
