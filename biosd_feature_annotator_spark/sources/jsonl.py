@@ -52,8 +52,17 @@ def _expand(path: str) -> list[str]:
 
 
 class JsonlTranscriptReader(DataSourceReader):
+    """mode option (mirrors Spark's own JSON reader):
+    - FAILFAST (default): a malformed line raises and fails the task —
+      corruption should stop an ingest, not silently shrink it;
+    - PERMISSIVE: malformed lines are skipped (real drop directories
+      contain truncated tails from crashed producers); the skip is bounded
+      per file (>10% bad lines still fails — a file that is mostly garbage
+      is the wrong format, not a few torn writes)."""
+
     def __init__(self, options: dict) -> None:
         self.path = options.get("path")
+        self.permissive = str(options.get("mode", "FAILFAST")).upper() == "PERMISSIVE"
         if not self.path:
             raise ValueError("jsonl_transcripts requires a path (…load(path))")
 
@@ -63,21 +72,35 @@ class JsonlTranscriptReader(DataSourceReader):
     def read(self, partition):
         from datetime import datetime
 
+        n_ok = n_bad = 0
         with open(partition.value, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
-                o = json.loads(line)
-                ts = o.get("ts")
-                yield (
-                    o.get("conv_id"),
-                    int(o["turn_idx"]) if o.get("turn_idx") is not None else None,
-                    o.get("role"),
-                    o.get("text"),
-                    o.get("tool"),
-                    datetime.fromisoformat(ts) if ts else None,
-                )
+                try:
+                    o = json.loads(line)
+                    ts = o.get("ts")
+                    row = (
+                        o.get("conv_id"),
+                        int(o["turn_idx"]) if o.get("turn_idx") is not None else None,
+                        o.get("role"),
+                        o.get("text"),
+                        o.get("tool"),
+                        datetime.fromisoformat(ts) if ts else None,
+                    )
+                except (ValueError, TypeError, KeyError):
+                    if not self.permissive:
+                        raise
+                    n_bad += 1
+                    continue
+                n_ok += 1
+                yield row
+        if self.permissive and n_bad > max(1, (n_ok + n_bad) // 10):
+            raise ValueError(
+                f"{partition.value}: {n_bad}/{n_ok + n_bad} malformed lines "
+                "— exceeds the 10% permissive-skip bound (wrong format?)"
+            )
 
 
 @dataclass

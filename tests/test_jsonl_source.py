@@ -140,3 +140,30 @@ def test_read_transcripts_routes_csv(spark, tmp_path):
     assert a == b
     scoped = read_transcripts(spark, str(p), conv_ids=[rows[0].conv_id])
     assert 0 < scoped.count() < src.count()
+
+
+def test_jsonl_permissive_mode_skips_torn_lines(spark, tmp_path):
+    """PERMISSIVE skips malformed lines (torn writes) but still fails a
+    file that is mostly garbage; FAILFAST (default) raises immediately."""
+    src = synth_transcripts(spark, 90)
+    p = str(tmp_path / "drop")
+    _dump(src, p, n_files=1)
+    with open(os.path.join(p, "f0.jsonl"), "a") as fh:
+        fh.write('{"conv_id": "torn", "turn_i\n')  # truncated tail
+
+    with pytest.raises(Exception):
+        spark.read.format("jsonl_transcripts").load(p).count()
+
+    got = (
+        spark.read.format("jsonl_transcripts").option("mode", "PERMISSIVE").load(p)
+    )
+    assert got.count() == src.count()
+
+    bad = str(tmp_path / "garbage")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "f0.jsonl"), "w") as fh:
+        fh.write("not json\n" * 50 + '{"conv_id":"c","turn_idx":0}\n')
+    with pytest.raises(Exception):
+        spark.read.format("jsonl_transcripts").option(
+            "mode", "PERMISSIVE"
+        ).load(bad).count()
