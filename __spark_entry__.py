@@ -825,6 +825,35 @@ def q_kg_khop(spark, sf):
     return khop(edges, seeds, k=2)
 
 
+def q_kg_pagerank(spark, sf):
+    """Entity-importance ranking (operators/graph.pagerank): 3 fixed
+    PageRank iterations over the directed subj→obj term graph on the
+    committed corpus. The oracle unrolls the identical recurrence in SQL
+    (same literals, same expression shapes, so the doubles match
+    bit-for-bit before the final round; margins covered by the audit)."""
+    from biosd_feature_annotator_spark.operators.extract import extract_mentions
+    from biosd_feature_annotator_spark.operators.graph import pagerank
+    from biosd_feature_annotator_spark.operators.link import (
+        link_entities,
+        term_triples_from_linked,
+    )
+    from biosd_feature_annotator_spark.sources.lexicon import lexicon_df, load_lexicon
+
+    lex = load_lexicon(_LEX_PATH)
+    corpus = spark.read.parquet(_CORPUS).coalesce(4)
+    mentions = extract_mentions(corpus, lex)
+    terms = term_triples_from_linked(link_entities(mentions, lexicon_df(spark, lex)))
+    edges = terms.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .count()
+    )  # one metadata-sized count job; production callers know |V|
+    pr = pagerank(edges, n_nodes=n_nodes, iters=3, damping=0.85)
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
 def q_sessionize_events(spark, sf):
     """Batch sessionization: per-user sessions split at >30 min gaps
     (lag + conditional cumulative sum — the batch twin of the streaming
@@ -977,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "vocab_top_tokens": q_vocab_top_tokens,
         "kg_khop": q_kg_khop,
+        "kg_pagerank": q_kg_pagerank,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
@@ -1386,6 +1416,41 @@ def _kg_khop_sql(k: int = 2, seed: str = "NCBITaxon_9606") -> str:
         )
         SELECT node, CAST(min(hop) AS BIGINT) AS hop
         FROM reach GROUP BY node
+    """
+
+
+def _kg_pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """The PageRank recurrence unrolled iteration-by-iteration in SQL
+    over the independently re-derived term edges. Expression shapes match
+    the Spark operator exactly — (1 - d)/N base, d · Σ pr/outdeg inflow,
+    LEFT JOIN + coalesce for nodes with no in-edges — so the doubles
+    agree bit-for-bit before the final round."""
+    ctes = [f"""
+        e AS (SELECT subj AS src, obj AS dst FROM terms),
+        nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        c{k} AS (
+            SELECT e.dst AS node, sum(p.pr / o.outdeg) AS inflow
+            FROM e JOIN pr{k - 1} p ON p.node = e.src
+                   JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ),
+        pr{k} AS (
+            SELECT nodes.node,
+                   (1 - {damping!r}) / nn.n
+                   + {damping!r} * coalesce(c{k}.inflow, 0.0) AS pr
+            FROM nodes CROSS JOIN nn LEFT JOIN c{k} ON c{k}.node = nodes.node
+        )""")
+    return f"""
+        WITH {_KG_SRC},
+        {_KG_TERMS},{",".join(ctes)}
+        SELECT node, round(pr, 6) AS pr FROM pr{iters}
     """
 
 
@@ -1927,4 +1992,5 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_kg_stream": _transcripts_kg_sql(),
         "entity_stats_kg": _entity_stats_sql(),
         "kg_khop": _kg_khop_sql(),
+        "kg_pagerank": _kg_pagerank_sql(),
     }

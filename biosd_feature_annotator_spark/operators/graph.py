@@ -52,3 +52,47 @@ def khop(
         reached = reached.unionByName(nxt)
         frontier = nxt.select("node")
     return reached
+
+
+def pagerank(
+    edges: DataFrame, n_nodes: int, iters: int = 3, damping: float = 0.85,
+    checkpoint_iters: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over edges(src, dst) → (node, pr):
+    pr_{k+1}(v) = (1-d)/N + d · Σ_{u→v} pr_k(u)/outdeg(u), seeded 1/N.
+    Entity-importance ranking for the KG output — the weighted-iteration
+    companion of connected_components.
+
+    Deterministic by construction: a FIXED iteration count (no
+    convergence probe ⇒ no driver actions in the loop), and the simple
+    dangling-node variant (their mass decays rather than redistributing —
+    avoiding a per-iteration global aggregate; documented, and replicated
+    exactly by the SQL oracle). Each iteration is one join + one
+    partial-aggregated shuffle keyed by dst — the same per-round profile
+    as CC; checkpoint_iters cuts lineage for large iteration counts.
+
+    n_nodes is passed in rather than counted here, keeping plan
+    construction action-free (the caller either knows |V| from its
+    catalog/manifest or pays one small count job)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = F.lit((1.0 - damping) / n_nodes)
+    pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node", (base + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("pr")
+        )
+        if checkpoint_iters:
+            pr = pr.localCheckpoint(eager=True)
+    return pr

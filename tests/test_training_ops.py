@@ -281,3 +281,21 @@ def test_khop_min_hop_semantics(spark):
                                            F.col("src").alias("dst")),
                               seeds, k=2, directed=True).collect()}
     assert directed == {"a": 0}  # reversed edges: nothing reachable from a
+
+
+def test_pagerank_fixed_iterations(spark):
+    """PageRank sanity on a hand graph: a node with more in-links ranks
+    higher; values are deterministic across parallelism; all pr > 0."""
+    from biosd_feature_annotator_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("d", "c"), ("c", "a"), ("b", "a")],
+        "src string, dst string",
+    )
+    pr1 = {r["node"]: r["pr"] for r in pagerank(edges, n_nodes=4, iters=3).collect()}
+    pr2 = {r["node"]: r["pr"]
+           for r in pagerank(edges.repartition(7), n_nodes=4, iters=3).collect()}
+    assert pr1 == pr2
+    assert pr1["c"] > pr1["a"] > pr1["b"]  # 3 in-links > 2 > 0-ish
+    assert all(v > 0 for v in pr1.values())
+    assert set(pr1) == {"a", "b", "c", "d"}
