@@ -172,6 +172,29 @@ def read_triples(spark: SparkSession, out_dir: str, run_id: str | None = None) -
     return spark.read.option("basePath", p).parquet(p)
 
 
+def diff_runs(
+    spark: SparkSession, out_dir: str, run_a: str, run_b: str
+) -> DataFrame:
+    """Triple-level diff of two materialized runs: (change, subj, pred,
+    obj) where change ∈ {added, removed} — added = in B not A, removed =
+    in A not B. The KG-maintenance primitive: after re-annotating with a
+    new dictionary or grammar, the diff IS the review set, and shipping
+    `added` as inserts + `removed` as deletes turns a full re-run into an
+    incremental update of a downstream store.
+
+    Two left-anti joins on the (subj, pred, obj) identity — each shuffles
+    only its probe side and nothing wider than the key columns; no full
+    outer join materializing the union of both runs."""
+    key = ["subj", "pred", "obj"]
+    a = read_triples(spark, out_dir, run_a).select(*key).dropDuplicates(key)
+    b = read_triples(spark, out_dir, run_b).select(*key).dropDuplicates(key)
+    added = b.join(a, key, "left_anti").select(F.lit("added").alias("change"), *key)
+    removed = a.join(b, key, "left_anti").select(
+        F.lit("removed").alias("change"), *key
+    )
+    return added.unionByName(removed)
+
+
 def _rewrite_manifests(spark: SparkSession, out_dir: str, keep) -> None:
     """Rewrite the manifest store keeping only rows matching `keep` —
     write-to-temp + atomic directory swap, never overwrite-in-place while

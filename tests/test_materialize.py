@@ -173,3 +173,30 @@ def test_max_text_len_guard(spark, tmp_path):
         got.explain("formatted")
     plan = buf.getvalue()
     assert "length(text" in plan and "Filter" in plan
+
+
+def test_diff_runs_added_and_removed(spark, lexicon, transcripts, tmp_path):
+    """KG maintenance: the triple diff of two runs over different input
+    subsets reports exactly the triples unique to each side."""
+    from biosd_feature_annotator_spark.plans.materialize import diff_runs
+
+    out = str(tmp_path / "diffout")
+    convs = [r[0] for r in transcripts.select("conv_id").distinct().collect()]
+    half = sorted(convs)[: len(convs) // 2]
+    run_annotate(spark, transcripts.where(F.col("conv_id").isin(half)),
+                 lexicon, out, "rA", n_parts=N_PARTS, build_graph=False)
+    run_annotate(spark, transcripts, lexicon, out, "rB",
+                 n_parts=N_PARTS, build_graph=False)
+
+    d = diff_runs(spark, out, "rA", "rB")
+    by = {r["change"]: r["n"]
+          for r in d.groupBy("change").agg(F.count("*").alias("n")).collect()}
+    # B ⊇ A: everything in the diff is 'added', nothing 'removed'
+    assert by.get("removed", 0) == 0 and by["added"] > 0
+    a = read_triples(spark, out, "rA").select("subj", "pred", "obj").dropDuplicates()
+    b = read_triples(spark, out, "rB").select("subj", "pred", "obj").dropDuplicates()
+    assert by["added"] == b.count() - a.count()
+    # and the reverse direction flags them as removed
+    rev = diff_runs(spark, out, "rB", "rA")
+    assert rev.where("change = 'removed'").count() == by["added"]
+    assert rev.where("change = 'added'").count() == 0
