@@ -29,7 +29,7 @@ def test_oracle_sql_references_only_registered_views():
     )
     for name, sql in entrymod.oracle_sql().items():
         ctes = set(re.findall(r"(\w+)\s+AS\s*\(", sql))
-        tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql))
+        tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql))
         # read_parquet: the committed corpus fixture (transcripts_kg family)
         unknown = tables - registered - ctes - {"generate_series", "read_parquet"}
         assert not unknown, f"{name} references unregistered {unknown}"
