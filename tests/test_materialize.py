@@ -200,3 +200,18 @@ def test_diff_runs_added_and_removed(spark, lexicon, transcripts, tmp_path):
     rev = diff_runs(spark, out, "rB", "rA")
     assert rev.where("change = 'removed'").count() == by["added"]
     assert rev.where("change = 'added'").count() == 0
+
+
+def test_run_annotate_jvm_backend_parity(spark, lexicon, transcripts, tmp_path):
+    """The campaign sink produces the identical triple multiset with
+    either extraction backend (the CLI's --extraction switch)."""
+    out = str(tmp_path / "beout")
+    run_annotate(spark, transcripts, lexicon, out, "rpy",
+                 n_parts=N_PARTS, build_graph=False)
+    run_annotate(spark, transcripts, lexicon, out, "rjvm",
+                 n_parts=N_PARTS, build_graph=False, extraction="jvm")
+    key = ["subj", "pred", "obj", "confidence"]
+    a = read_triples(spark, out, "rpy").select(*key)
+    b = read_triples(spark, out, "rjvm").select(*key)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
