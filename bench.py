@@ -107,15 +107,22 @@ def main() -> None:
     extras["triples_per_sec"] = round(n_triples / dt, 1)
 
     # the zero-Python backend, measured on a small subset and reported as
-    # an EXTRA (not summed into the headline wall). Cold run = one-time
-    # Janino codegen of the regex/Bloom expression trees (~8-9 s at
-    # local[32], data-size independent, cached per session); the warm row
-    # shows the amortized cost — the data path itself is at or below the
-    # pandas extractor's per-core cost after the r3 rework (anchor-keyed
-    # containment join, staged masking projections, constant-folded Bloom
-    # literals). At production scale the cold cost is irrelevant; both
-    # rows are reported so neither story hides the other.
+    # an EXTRA (not summed into the headline wall). The backend's one-time
+    # session cost (Janino codegen of the regex/Bloom expression trees +
+    # first-use warmup, ~6-9 s at local[32], data-size independent) is now
+    # paid EXPLICITLY by prewarm_extraction — the same warmup the CLI
+    # overlaps with input reading on a background thread — and reported as
+    # its own row (methodology change r4, disclosed: in r2/r3 this cost
+    # was inside the first timed run as `kg_annotate_jvm_sec_20k` cold).
+    # Post-prewarm, the first real query reports as
+    # `kg_annotate_jvm_sec_20k`; the residual gap to the warm row is AQE
+    # planning the real scan shape, which a dummy cannot precompile.
+    from biosd_feature_annotator_spark.plans.pipeline import prewarm_extraction
+
     sub = transcripts.where("conv_id < 'c0000000450'")
+    t0 = time.time()
+    prewarm_extraction(spark, lex)
+    extras["kg_annotate_jvm_prewarm_sec"] = round(time.time() - t0, 3)
     t0 = time.time()
     n_jvm = force(
         annotate(spark, sub, lex, build_graph=False, extraction="jvm")["triples"]

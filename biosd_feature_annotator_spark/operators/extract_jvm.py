@@ -340,8 +340,12 @@ def xxh64(data: bytes, seed: int = 42) -> int:
 
 
 # per-process cache of built Bloom literals. A Column is an unresolved
-# expression tree — safe to reuse across queries/sessions.
+# expression tree — safe to reuse across queries/sessions. Bounded FIFO
+# (r3 ADVICE): distinct token sets track distinct lexicons, so growth is
+# normally tiny, but a driver cycling many lexicons must not pin every
+# old bitset literal forever.
 _BLOOM_CACHE: dict[frozenset, tuple[Column, int]] = {}
+_BLOOM_CACHE_MAX = 8
 
 
 def _bloom_lit(tokens) -> tuple[Column, int]:
@@ -370,6 +374,8 @@ def _bloom_lit(tokens) -> tuple[Column, int]:
         str(w - (1 << 64) if w >= (1 << 63) else w) for w in words
     )
     lit = F.split(F.lit(csv), ",").cast("array<bigint>")
+    while len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+        _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
     _BLOOM_CACHE[key] = (lit, m_bits)
     return lit, m_bits
 
@@ -392,9 +398,34 @@ def _bloom_test(bloom: tuple[Column, int], tok: Column) -> Column:
 # per-process cache of the dictionary-derived frames: createDataFrame of a
 # few thousand rows costs ~0.5 s of py4j marshalling per call, and every
 # query over the same dictionary re-derives identical frames. Keyed by
-# (session, lexicon) object identity; values hold strong refs so ids can't
-# be recycled. Invalidated implicitly when the session or lexicon dies.
-_FRAME_CACHE: dict[tuple, tuple] = {}
+# (session, lexicon) object identity. Lifecycle (r3 ADVICE): the lexicon
+# is held only through a weakref and entries bound to a STOPPED
+# SparkSession are evicted before every lookup, so a long-lived driver
+# that cycles sessions or lexicons cannot accumulate unreleasable
+# DataFrames. Evict-before-get also makes id() recycling safe: a dead
+# entry is gone before a new object with a reused id can be looked up.
+_FRAME_CACHE: dict[tuple, tuple] = {}  # key -> (spark, lex_weakref, *payload)
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return bool(spark.sparkContext._jsc.sc().isStopped())
+    except Exception:
+        return True  # context already torn down
+
+
+def _frame_cache_get(kind: str, spark: SparkSession, lex: Lexicon):
+    for k, ent in list(_FRAME_CACHE.items()):
+        if ent[1]() is None or _session_stopped(ent[0]):
+            del _FRAME_CACHE[k]
+    ent = _FRAME_CACHE.get((kind, id(spark), id(lex)))
+    return None if ent is None else ent[2:]
+
+
+def _frame_cache_put(kind: str, spark: SparkSession, lex: Lexicon, *payload):
+    import weakref
+
+    _FRAME_CACHE[(kind, id(spark), id(lex))] = (spark, weakref.ref(lex), *payload)
 
 
 def _lexicon_grams(
@@ -403,10 +434,9 @@ def _lexicon_grams(
     """(gram_key, match_norm, match_kind, term_id, kind_rank) — one row per
     exact surface, keyed by its token-joined form. Returns the frame, the
     max gram length, and the set of surface FIRST tokens (the Bloom keys)."""
-    ck = ("grams", id(spark), id(lex))
-    hit = _FRAME_CACHE.get(ck)
+    hit = _frame_cache_get("grams", spark, lex)
     if hit is not None:
-        return hit[2:]
+        return hit
     rows = []
     max_len = 1
     first_toks: set[str] = set()
@@ -421,7 +451,7 @@ def _lexicon_grams(
         rows,
         "gram_key string, match_norm string, match_kind string, term_id string, kind_rank int",
     )
-    _FRAME_CACHE[ck] = (spark, lex, df, max_len, first_toks)
+    _frame_cache_put("grams", spark, lex, df, max_len, first_toks)
     return df, max_len, first_toks
 
 
@@ -441,10 +471,9 @@ def _label_anchors(
       countDistinct==n_toks groupBy — a whole shuffle stage — disappears.
 
     Returns (frame(tok, term_id, match_norm, req), anchor-token set)."""
-    ck = ("anchors", id(spark), id(lex))
-    hit = _FRAME_CACHE.get(ck)
+    hit = _frame_cache_get("anchors", spark, lex)
     if hit is not None:
-        return hit[2:]
+        return hit
     df_count: dict[str, int] = {}
     for _tid, toks in lex.token_labels:
         for tk in set(toks):
@@ -461,7 +490,7 @@ def _label_anchors(
     df = spark.createDataFrame(
         rows, "tok string, term_id string, match_norm string, req array<string>"
     )
-    _FRAME_CACHE[ck] = (spark, lex, df, anchor_toks)
+    _frame_cache_put("anchors", spark, lex, df, anchor_toks)
     return df, anchor_toks
 
 

@@ -41,7 +41,10 @@ def _dict_side(lex_df: DataFrame) -> DataFrame:
     executor with a forced broadcast. The estimate comes from Catalyst's
     own statistics (exact for the usual LocalRelation dictionary); if
     stats are unavailable (e.g. Spark Connect) we keep the broadcast hint
-    — the historical behavior."""
+    — the historical behavior. A NEGATIVE threshold (-1, the standard way
+    to disable broadcasting, typically set to prevent broadcast OOM) also
+    drops the hint: an explicit opt-out must not be overridden by a
+    forced broadcast."""
     try:
         size = int(
             lex_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -51,7 +54,7 @@ def _dict_side(lex_df: DataFrame) -> DataFrame:
         )
     except Exception:
         return F.broadcast(lex_df)
-    if 0 <= threshold < size:
+    if threshold < 0 or threshold < size:
         return lex_df
     return F.broadcast(lex_df)
 

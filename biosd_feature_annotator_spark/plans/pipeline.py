@@ -130,3 +130,46 @@ def annotate(
 def stable_triples(triples: DataFrame) -> DataFrame:
     """O1 deterministic output order for golden hashing / diffing."""
     return triples.orderBy("subj", "pred", "obj")
+
+
+def prewarm_extraction(spark: SparkSession, lex: Lexicon, background: bool = False):
+    """Pay the JVM extraction backend's one-time session costs UP FRONT —
+    before the first real query — by running the full annotate plan over a
+    one-row dummy corpus (r3 VERDICT ask #6).
+
+    The backend's per-session fixed cost (~6-9 s at local[32]) is Janino
+    whole-stage-codegen compilation of the grammar expression trees plus
+    first-use py4j/parser warmup; both are cached per JVM, so after this
+    call the first production query runs at warm-path cost (measured:
+    first-real ≈ warm + 2 s on the committed corpus vs ≈ warm + 6 s
+    uncold — the residual is AQE planning the real input's scan shape,
+    which a dummy can't precompile). With background=True the warmup runs
+    on a daemon thread so a job overlaps compilation with input
+    listing/reading — the returned Thread lets callers join() before
+    timing-sensitive work. Spark sessions schedule concurrent actions
+    safely, so the only interaction is beneficial cache-filling."""
+    import datetime
+    import threading
+
+    from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+    def _run() -> None:
+        dummy = spark.createDataFrame(
+            [(
+                "warmup-conv", 0, "user",
+                "the sample weighs 5 kg at 37 celsius on 2020-01-01",
+                None, datetime.datetime(2020, 1, 1),
+            )],
+            TRANSCRIPT_SCHEMA,
+        )
+        annotate(
+            spark, dummy, lex, repartition=0, build_graph=False,
+            extraction="jvm",
+        )["triples"].count()
+
+    if background:
+        t = threading.Thread(target=_run, name="extraction-prewarm", daemon=True)
+        t.start()
+        return t
+    _run()
+    return None

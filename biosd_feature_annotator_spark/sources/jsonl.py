@@ -114,21 +114,31 @@ class JsonlTranscriptWriter(DataSourceWriter):
     """Failure-safe two-phase writer (standard FileOutputCommitter shape):
 
     - write() streams each task's rows into a task-attempt-unique STAGED
-      file (`.part-<pid>-<attempt>.jsonl.tmp` — hidden from the reader's
-      `*.jsonl` glob), so a crashed/killed task, or two speculative
-      attempts of the same partition, can never collide on or corrupt a
-      final part file;
+      file (`.part-<pid>-<job>-<attempt>.jsonl.tmp` — hidden from the
+      reader's `*.jsonl` glob), so a crashed/killed task, or two
+      speculative attempts of the same partition, can never collide on or
+      corrupt a final part file;
     - commit() runs on the driver only after every task succeeded: it
       performs the destructive overwrite cleanup (deferred from plan
       time), renames each winning attempt's staged file to its final
-      `part-<pid>.jsonl` name, and sweeps losing attempts' leftovers;
-    - abort() deletes all staged files, leaving pre-existing data intact —
-      a failed overwrite job is a no-op on the destination.
+      `part-<pid>-<job>.jsonl` name, and sweeps losing attempts'
+      leftovers. The job token in both names keeps CONCURRENT jobs
+      writing the same directory disjoint end-to-end: commit/abort sweep
+      only this job's staging files, and in append mode two jobs (or a
+      job appending over an earlier run) can never clobber each other's
+      final part files because every final name embeds its job token.
+    - abort() deletes this job's staged files, leaving pre-existing data
+      (and any concurrent job's staging) intact — a failed overwrite job
+      is a no-op on the destination.
     """
 
     def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
         self.path = options.get("path")
         self.overwrite = overwrite
+        # minted once on the driver at plan time, serialized to every task
+        self.job_token = uuid.uuid4().hex[:12]
         if not self.path:
             raise ValueError("jsonl_transcripts requires a path (…save(path))")
 
@@ -138,8 +148,10 @@ class JsonlTranscriptWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f".part-{pid:05d}-{attempt}.jsonl.tmp")
-        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        staged = os.path.join(
+            self.path, f".part-{pid:05d}-{self.job_token}-{attempt}.jsonl.tmp"
+        )
+        final = os.path.join(self.path, f"part-{pid:05d}-{self.job_token}.jsonl")
         n = 0
         with open(staged, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -150,6 +162,11 @@ class JsonlTranscriptWriter(DataSourceWriter):
                 n += 1
         return JsonlCommitMessage(staged=staged, final=final, n_rows=n)
 
+    def _staged_glob(self) -> str:
+        # scoped to THIS job's token: a concurrent job's in-flight staging
+        # in the same directory must never be swept by our commit/abort
+        return os.path.join(self.path, f".part-*-{self.job_token}-*.jsonl.tmp")
+
     def commit(self, messages):
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "*.jsonl")):
@@ -157,11 +174,11 @@ class JsonlTranscriptWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.replace(m.staged, m.final)
-        for leftover in glob.glob(os.path.join(self.path, ".part-*.jsonl.tmp")):
+        for leftover in glob.glob(self._staged_glob()):
             os.remove(leftover)
 
     def abort(self, messages):
-        for leftover in glob.glob(os.path.join(self.path, ".part-*.jsonl.tmp")):
+        for leftover in glob.glob(self._staged_glob()):
             try:
                 os.remove(leftover)
             except OSError:

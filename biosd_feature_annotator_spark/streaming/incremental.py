@@ -11,7 +11,7 @@ manifest/anti-join resume in plans/materialize.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.extract import extract_mentions
@@ -102,10 +102,17 @@ EVENT_STREAM_SCHEMA = (
 )
 
 
-def _stage_single_file(events_path: str, checkpoint: str) -> str:
+def _stage_single_file(
+    events_path: str, checkpoint: str, n_files: int = 1
+) -> str:
     """The file-stream source wants a DIRECTORY of arriving files; the
     testdata layout is a single parquet file, so stage it into one (the
-    realistic shape anyway — new files landing in a drop directory)."""
+    realistic shape anyway — new files landing in a drop directory).
+
+    n_files > 1 splits the input into that many row-range parquet files —
+    combined with maxFilesPerTrigger=1 this forces a REAL multi-batch
+    availableNow run (one micro-batch per file), the shape the
+    multi-batch state-correctness tests drive."""
     import os
     import shutil
 
@@ -114,7 +121,17 @@ def _stage_single_file(events_path: str, checkpoint: str) -> str:
     in_dir = os.path.join(os.path.dirname(checkpoint.rstrip("/")), "in")
     shutil.rmtree(in_dir, ignore_errors=True)
     os.makedirs(in_dir)
-    shutil.copy(events_path, os.path.join(in_dir, "part-0.parquet"))
+    if n_files <= 1:
+        shutil.copy(events_path, os.path.join(in_dir, "part-0.parquet"))
+    else:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(events_path)
+        step = max(1, -(-t.num_rows // n_files))
+        for i in range(0, n_files):
+            chunk = t.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(in_dir, f"part-{i}.parquet"))
     return in_dir
 
 
@@ -172,7 +189,8 @@ def stream_event_window_counts(
 
 
 def stream_user_running_stats(
-    spark: SparkSession, events_path: str, out_path: str, checkpoint: str
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str,
+    n_input_files: int = 1, max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """CUSTOM STATEFUL streaming operator (SURVEY §2.11): per-user running
     totals maintained as explicit group state via applyInPandasWithState —
@@ -181,27 +199,33 @@ def stream_user_running_stats(
     accumulators, custom eviction). State is (n_events, sum_value) per
     user; each micro-batch folds its rows in and emits the UPDATED rows.
 
-    Run here with availableNow over a staged single-file drop directory
-    (⇒ exactly one micro-batch), so the materialized final state equals
-    the batch aggregate — which is what makes it independently
-    SQL-verifiable."""
+    MULTI-BATCH CORRECT (r3 VERDICT ask #8): the sink APPENDS each
+    micro-batch's update rows stamped with their batch id, and the
+    read-back takes the LAST emitted row per user — an upsert view, so
+    users updated only in early batches survive later batches (a plain
+    overwrite sink would drop them). State holds the UNROUNDED total;
+    round(…, 2) is display-only on emit, so the surviving final row per
+    user carries round(final_total) — batch-count-independent up to float
+    addition order. n_input_files / max_files_per_trigger force a real
+    multi-batch availableNow run (tested with ≥3 micro-batches in
+    tests/test_streaming.py)."""
     import shutil
 
     import pandas as pd
 
     for p in (out_path, checkpoint):
         shutil.rmtree(p, ignore_errors=True)
-    events_path = _stage_single_file(events_path, checkpoint)
+    events_path = _stage_single_file(events_path, checkpoint, n_files=n_input_files)
 
-    stream = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(events_path)
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
 
     def update(key, pdfs, state):
         # SQL NULL-sum semantics (ADVICE r2): only non-null values fold
         # into the total, and a user with NO non-null values reports NULL
-        # (state total stays None), exactly like sum(value) in SQL. The
-        # round(…, 2) on emit assumes availableNow's single catch-up batch
-        # (documented): across many micro-batches the float accumulation
-        # order could differ from a batch sum at .005 boundaries.
+        # (state total stays None), exactly like sum(value) in SQL.
         (user_id,) = key
         n, total = state.get if state.exists else (0, None)
         for pdf in pdfs:
@@ -225,8 +249,10 @@ def stream_user_running_stats(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    def write_batch(batch_df, _batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_path)
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(out_path)
 
     q = (
         updated.writeStream.outputMode("update")
@@ -236,7 +262,13 @@ def stream_user_running_stats(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_path)
+    out = spark.read.parquet(out_path)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
 
 
 def stream_sessionize_users(

@@ -78,6 +78,15 @@ def main() -> None:
         return
 
     spark = get_spark(master=args.master, app_name=f"annotate-{args.run_id}")
+    lex = load_lexicon(args.lexicon)
+    if args.extraction == "jvm":
+        # overlap the backend's one-time Janino/grammar compilation with
+        # input listing + reading (plans.pipeline.prewarm_extraction): by
+        # the time the real query launches, its codegen units are already
+        # in the session cache
+        from biosd_feature_annotator_spark.plans.pipeline import prewarm_extraction
+
+        prewarm_extraction(spark, lex, background=True)
     if args.synth_turns:
         from biosd_feature_annotator_spark.synth import synth_transcripts
 
@@ -93,7 +102,6 @@ def main() -> None:
             max_text_len=args.max_text_len,
         )
 
-    lex = load_lexicon(args.lexicon)
     t0 = time.time()
     manifest = run_annotate(
         spark,
