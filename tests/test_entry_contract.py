@@ -83,6 +83,42 @@ def test_epoch_queries_are_timezone_invariant(spark):
         spark.conf.set("spark.sql.session.timeZone", tz0)
 
 
+def test_epoch_floor_semantics_match_duckdb_pre_epoch(spark):
+    """r3 ADVICE: _epoch_ntz must use TRUE floor, not truncation toward
+    zero — they differ by 1 s for pre-epoch timestamps with fractional
+    seconds. Compare against DuckDB's CAST(floor(epoch(ts)) AS BIGINT)
+    on both sides of the epoch, under a non-UTC session timezone."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    vals = [
+        "1969-12-31 23:59:59.5",
+        "1969-12-31 23:59:59.000001",
+        "1969-06-01 12:00:00.25",
+        "1969-12-31 23:59:59",
+        "1970-01-01 00:00:00",
+        "2024-03-05 10:11:12.999",
+    ]
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = (
+            spark.createDataFrame([(v,) for v in vals], "s string")
+            .select("s", F.col("s").cast("timestamp_ntz").alias("ts"))
+            .select("s", entrymod._epoch_ntz("ts").alias("e"))
+        )
+        got = {r.s: r.e for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    for v in vals:
+        want = duckdb.sql(
+            f"SELECT CAST(floor(epoch(TIMESTAMP '{v}')) AS BIGINT)"
+        ).fetchone()[0]
+        assert got[v] == want, (v, got[v], want)
+
+
 def test_no_query_mutates_session_conf():
     """Queries must read, never write, ambient session conf (VERDICT r2):
     grep the entry file for in-query conf.set calls outside streaming

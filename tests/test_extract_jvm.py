@@ -91,3 +91,44 @@ def test_jvm_no_python_in_plan(spark, lexicon):
     # evaluation operators are not
     for op in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert op not in plan, op
+
+
+def test_frame_cache_releases_dead_lexicons(spark):
+    """r3 ADVICE: the per-process frame cache must not pin a dropped
+    lexicon forever — entries hold the lexicon only via weakref and are
+    swept on the next cache access after it dies."""
+    import gc
+
+    from biosd_feature_annotator_spark.operators import extract_jvm as ej
+    from biosd_feature_annotator_spark.sources.lexicon import load_lexicon
+
+    lex = load_lexicon("tests/golden/lexicon.json")
+    ej._lexicon_grams(spark, lex)
+    key = ("grams", id(spark), id(lex))
+    assert key in ej._FRAME_CACHE
+    # a second lookup for the SAME live lexicon hits the cache
+    assert ej._frame_cache_get("grams", spark, lex) is not None
+    del lex
+    gc.collect()
+    # any later cache access sweeps the dead entry
+    class _Other:  # never cached; just drives the sweep
+        pass
+
+    ej._frame_cache_get("grams", spark, _Other())
+    assert key not in ej._FRAME_CACHE
+
+
+def test_prewarm_extraction_smoke(spark, lexicon):
+    """prewarm_extraction (r3 VERDICT ask #6) must run the jvm path over
+    its dummy row without touching real data, foreground and background,
+    leaving subsequent extraction results unchanged."""
+    from biosd_feature_annotator_spark.plans.pipeline import prewarm_extraction
+
+    assert prewarm_extraction(spark, lexicon) is None
+    t = prewarm_extraction(spark, lexicon, background=True)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    tr = golden_transcripts(spark)
+    a = _triples(spark, tr, lexicon, "jvm")
+    b = _triples(spark, tr, lexicon, "python")
+    assert a == b

@@ -115,6 +115,24 @@ def test_failed_overwrite_preserves_existing_data(spark, tmp_path):
     assert not [f for f in os.listdir(p) if f.endswith(".tmp")]  # staging swept
 
 
+def test_append_jobs_to_same_dir_never_clobber(spark, tmp_path):
+    """r3 ADVICE: two append jobs writing the SAME directory must stay
+    disjoint — every final part name embeds its job's token, so a second
+    job (same partition ids) cannot os.replace over the first job's
+    parts, and the union of both exports survives."""
+    p = str(tmp_path / "export")
+    a = synth_transcripts(spark, 40)
+    b = synth_transcripts(spark, 40).withColumn(
+        "conv_id", F.concat(F.lit("x"), F.col("conv_id"))
+    )
+    a.write.format("jsonl_transcripts").mode("append").save(p)
+    b.write.format("jsonl_transcripts").mode("append").save(p)
+    got = sorted(map(_key, spark.read.format("jsonl_transcripts").load(p).collect()))
+    want = sorted(list(map(_key, a.collect())) + list(map(_key, b.collect())))
+    assert got == want
+    assert not [f for f in os.listdir(p) if f.endswith(".tmp")]
+
+
 def test_read_transcripts_routes_csv(spark, tmp_path):
     """S1 breadth: a CSV drop directory routes through Spark's native CSV
     reader with the contract schema and survives the round trip."""

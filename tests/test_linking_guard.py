@@ -149,3 +149,25 @@ def test_oversized_dictionary_degrades_to_shuffle_join(spark, lexicon):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
+
+
+def test_broadcast_disabled_via_negative_threshold_is_honored(spark, lexicon):
+    """r3 ADVICE: autoBroadcastJoinThreshold=-1 is the standard opt-out
+    from broadcasting (e.g. to stop broadcast OOM); the size-aware guard
+    must treat it as 'never hint', not fall through to a forced
+    broadcast."""
+    from biosd_feature_annotator_spark.operators.link import link_entities
+
+    t = _transcripts(spark, ["Homo sapiens sample"])
+    mentions = extract_mentions(t, lexicon)
+    lex_df = lexicon_df(spark, lexicon)
+
+    threshold0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = link_entities(mentions, lex_df)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
