@@ -1029,6 +1029,81 @@ def q_kg_run_diff(spark, sf):
     return diff_runs(spark, base, "a", "b")
 
 
+def q_tfidf_top_terms(spark, sf):
+    """Smoothed TF-IDF keyword extraction (operators/ranking): top-3
+    characteristic terms per document, ranked by score with a term
+    tiebreak. Both engines compute tf * (ln((N+1)/(df+1)) + 1) with the
+    identical expression shape, so the doubles agree bit-for-bit."""
+    from biosd_feature_annotator_spark.operators.ranking import tfidf_top_terms
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return tfidf_top_terms(d, k=3).select("doc_id", "term", "tf", "df", "score")
+
+
+def q_bm25_docs(spark, sf):
+    """Okapi BM25 relevance of every document against a fixed 3-term
+    query (operators/ranking.bm25_scores). Per-term contributions are
+    conditional sums folded in query order — each folds exactly one row,
+    so the double addition order is fixed and the DuckDB twin replicates
+    it exactly."""
+    from biosd_feature_annotator_spark.operators.ranking import bm25_scores
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return bm25_scores(d, ["window", "hash", "vector"]).select("doc_id", "bm25")
+
+
+def q_kg_triangles(spark, sf):
+    """Per-node triangle counts on the md5-MinHash SIMILARITY graph
+    (operators/graph.triangle_counts): oriented wedge-close, each
+    triangle generated exactly once as x<y<z. Jaccard threshold 0.05 —
+    deliberately below the 0.3 dedup bar so the graph is dense enough to
+    contain 3-cliques (at 0.3 the synthetic corpus yields disjoint pairs
+    only); same banded candidate generation either way. The oracle
+    reuses the exact MinHash pair CTE chain and closes wedges with two
+    SQL self-joins."""
+    from biosd_feature_annotator_spark.operators.graph import triangle_counts
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    pairs = _dedup.minhash_near_duplicates(
+        d, "doc_id", "text", shingle_n=2, num_hashes=16, bands=8,
+        threshold=0.05, hasher="md5",
+    )
+    return triangle_counts(pairs, "a", "b").select(
+        F.col("node").cast("long").alias("doc"),
+        "n_triangles",
+    )
+
+
+def q_unpivot_lineitem(spark, sf):
+    """Wide→long unpivot via the stack() generator (the relational
+    UNPIVOT twin): four measure columns melt into (measure, value)
+    rows."""
+    l = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 600)
+    return l.selectExpr(
+        "l_orderkey",
+        "CAST(l_linenumber AS LONG) AS line",
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount, 'tax', l_tax) AS (measure, value)",
+    )
+
+
+def q_window_percentiles(spark, sf):
+    """percent_rank / cume_dist / ntile analytic functions over a
+    deterministic (value, key) ordering — all three are exact integer
+    ratios, so the doubles are engine-identical with no rounding."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 500)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 # Queries the driver must re-check EVERY round, in this exact order: the
 # batch + stream flagships (the north-star pipelines — they change most
 # rounds and must never age out of the driver's check window again), then
@@ -1141,6 +1216,11 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop": q_kg_khop,
         "kg_pagerank": q_kg_pagerank,
         "kg_run_diff": q_kg_run_diff,
+        "kg_triangles": q_kg_triangles,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_docs": q_bm25_docs,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "window_percentiles": q_window_percentiles,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
@@ -1178,7 +1258,7 @@ def _md5_long(s: str) -> str:
 _NORM_TEXT = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
-def _minhash_ctes(num_hashes: int = 16, bands: int = 8) -> str:
+def _minhash_ctes(num_hashes: int = 16, bands: int = 8, threshold: float = 0.3) -> str:
     """The md5-MinHash pipeline as a CTE chain ending in mh(a, b, jaccard)
     — shared by the pair query and the dedup-clusters (CC) query."""
     rpb = num_hashes // bands
@@ -1242,12 +1322,36 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 8) -> str:
             FROM inter
             JOIN sizes sa ON sa.doc = a
             JOIN sizes sb ON sb.doc = b
-            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
         )"""
 
 
 def _minhash_sql() -> str:
     return f"WITH {_minhash_ctes()}\n        SELECT a, b, inter, uni FROM mh"
+
+
+def _triangles_sql() -> str:
+    """Per-node triangle counts over the MinHash near-duplicate graph:
+    the exact pair CTE chain from _minhash_ctes (canonical a < b edges)
+    plus the same oriented wedge-close as operators/graph.triangle_counts
+    — two self-joins generate each x<y<z triangle exactly once, then the
+    three corners are counted per node."""
+    return f"""
+        WITH {_minhash_ctes(threshold=0.05)},
+        e AS (SELECT a AS u, b AS v FROM mh),
+        tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        corners AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        SELECT node AS doc, count(*) AS n_triangles
+        FROM corners GROUP BY node"""
 
 
 def _dedup_clusters_sql() -> str:
@@ -2016,6 +2120,88 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
             ORDER BY n DESC, source ASC LIMIT 10
         """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc, term FROM (
+                    SELECT doc_id AS doc,
+                           unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+                    FROM documents WHERE doc_id < 200
+                ) WHERE length(term) >= 2
+            ), tf AS (
+                SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term
+            ), dfx AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (
+                SELECT count(DISTINCT doc_id) AS n_docs
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT doc AS doc_id, term, tf, df, round(score, 4) AS score FROM (
+                SELECT tf.doc, tf.term, tf.tf, dfx.df,
+                       tf.tf * (ln((n.n_docs + 1.0) / (dfx.df + 1.0)) + 1.0) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc
+                           ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (dfx.df + 1.0)) + 1.0) DESC,
+                                    tf.term ASC
+                       ) AS rn
+                FROM tf JOIN dfx USING (term) CROSS JOIN n
+            ) WHERE rn <= 3
+        """,
+        "bm25_docs": """
+            WITH toks AS (
+                SELECT doc, term FROM (
+                    SELECT doc_id AS doc,
+                           unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+                    FROM documents WHERE doc_id < 300
+                ) WHERE length(term) >= 2
+            ), dl AS (
+                SELECT doc, count(*) AS dl FROM toks GROUP BY doc
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+                SELECT doc, term, count(*) AS tf FROM toks
+                WHERE term IN ('window', 'hash', 'vector') GROUP BY doc, term
+            ), dfx AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), contribs AS (
+                SELECT tf.doc, tf.term,
+                       ln(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+                FROM tf JOIN dfx USING (term) JOIN dl USING (doc) CROSS JOIN stats s
+            ), agg AS (
+                SELECT doc,
+                       sum(CASE WHEN term = 'window' THEN c END) AS c0,
+                       sum(CASE WHEN term = 'hash'   THEN c END) AS c1,
+                       sum(CASE WHEN term = 'vector' THEN c END) AS c2
+                FROM contribs GROUP BY doc
+            )
+            SELECT doc AS doc_id,
+                   round(0.0 + coalesce(c0, 0.0) + coalesce(c1, 0.0)
+                             + coalesce(c2, 0.0), 4) AS bm25
+            FROM agg
+        """,
+        "unpivot_lineitem": """
+            WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 600)
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
+                   'quantity' AS measure, l_quantity AS value FROM src
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'extendedprice', l_extendedprice FROM src
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'discount', l_discount FROM src
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'tax', l_tax FROM src
+        """,
+        "window_percentiles": """
+            SELECT c_custkey, c_mktsegment,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd,
+                   ntile(4) OVER w AS quartile
+            FROM customer WHERE c_custkey <= 500
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        """,
         "kg_run_diff": """
             WITH a AS (
                 SELECT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2091,6 +2277,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_minhash_pairs": _minhash_sql(),
         "docs_dedup_clusters": _dedup_clusters_sql(),
+        "kg_triangles": _triangles_sql(),
         "stream_user_stats": """
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value

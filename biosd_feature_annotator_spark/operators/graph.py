@@ -96,3 +96,58 @@ def pagerank(
         if checkpoint_iters:
             pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list → (node, n_triangles). The KG/near-dup-graph density probe: a
+    node in many triangles sits in a tightly-bound cluster (duplicate
+    nest, entity community), one in none is a stray pair.
+
+    Distributed shape — the standard oriented wedge-close, never an
+    all-pairs product:
+    - edges are canonicalized to u < v (dedup'd), so each triangle
+      x<y<z is generated exactly once as the wedge (x,y)+(y,z) closed
+      by the edge (x,z);
+    - wedge build = one self-equi-join on the shared endpoint; closure =
+      one more equi-join against the (hash-partitioned) edge list. Both
+      shuffle at most the edge list's width — at cluster scale the
+      orientation (only u<v wedges) is what keeps high-degree hubs from
+      exploding: a degree-d node contributes C(d,2) wedges total across
+      BOTH orders, but only pairs ordered above it after
+      canonicalization here;
+    - per-node counts = explode the 3 corners + one map-side-combinable
+      count.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        # the edge list feeds THREE join sides; without a persist Spark
+        # re-derives it (and everything upstream — e.g. a full MinHash
+        # candidate generation) once per side. MEMORY_AND_DISK so the
+        # 100 TB case spills instead of OOMing.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    tri = wedge.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")),
+    ).select("x", "y", "z")
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -1,0 +1,149 @@
+"""Corpus-statistics term ranking: TF-IDF keyword extraction and BM25
+relevance scoring over a document table — the lexical half of a
+training-data pipeline's retrieval/quality stack (the embedding half is
+operators/similarity).
+
+Scale shape (100 TB): tokenize → explode → two map-side-combinable
+aggregations ((doc, term) tf and term df) → one shuffle join on `term`
+(the vocabulary — broadcast only when small; left as a shuffle join so
+skewed head terms spread across partitions) → per-doc window or grouped
+sum. No Python anywhere; every expression is whole-stage codegen.
+
+Determinism: every floating-point score is produced by a FIXED
+expression shape — one multiply for TF-IDF, and per-query-term
+conditional sums added in query-term order for BM25 (each conditional
+sum folds exactly one row per (doc, term), so no accumulation-order
+dependence) — making results bit-reproducible across partitionings and
+exactly replicable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _terms(docs: DataFrame, id_col: str, text_col: str, min_term_len: int) -> DataFrame:
+    return (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+        )
+        .where(F.length("term") >= min_term_len)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    score = tf * (ln((N + 1) / (df + 1)) + 1), ranked per doc by
+    (score desc, term asc). Returns (id_col, term, tf, df, score) with
+    score rounded to 4 decimals for engine-portable comparison."""
+    from pyspark.storagelevel import StorageLevel
+
+    toks = _terms(docs, id_col, text_col, min_term_len)
+    # the tf table feeds both the score join and the df aggregate;
+    # persisted so the corpus is tokenized once (a pushed-down filter
+    # rewrites the branches unequally, so exchange reuse alone can't
+    # dedup them). MEMORY_AND_DISK: at corpus scale this is the
+    # materialized term-frequency table, disk-spillable by design.
+    tf = (
+        toks.groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+               + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed bag of query
+    terms: sum over terms of
+    ln(1 + (N - df + 0.5) / (df + 0.5)) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    Only docs matching ≥1 query term are returned (the inverted-index
+    access path: the tf frame is pre-filtered to the query's terms, so
+    the join touches a tiny fraction of the corpus). Per-term
+    contributions are summed in query_terms order via conditional
+    aggregates — each folds exactly one row, so the double addition
+    order is fixed and engine-portable."""
+    from pyspark.storagelevel import StorageLevel
+
+    # every branch (dl, stats, tf, df) derives from ONE persisted
+    # (doc, term) aggregate, so the corpus is tokenized and scanned a
+    # single time instead of once per statistic (exchange reuse alone
+    # can't dedup the branches: the query-term filter pushes down into
+    # one of them and makes the subtrees unequal). MEMORY_AND_DISK: this
+    # is the materialized term-frequency table, disk-spillable by design.
+    tf_all = (
+        _terms(docs, id_col, text_col, min_term_len)
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = tf_all.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = tf_all.where(F.col("term").isin(list(query_terms)))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    j = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib: Column = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    parts = [
+        F.sum(F.when(F.col("term") == t, contrib)).alias(f"c{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = j.groupBy("doc").agg(*parts)
+    total: Column = F.lit(0.0)
+    for i in range(len(query_terms)):
+        total = total + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+    return agg.select(
+        F.col("doc").alias(id_col), F.round(total, 4).alias("bm25")
+    )

@@ -1,0 +1,93 @@
+"""Unit tests for operators/ranking (TF-IDF, BM25) and
+graph.triangle_counts — hand-computed micro-fixtures, plus determinism
+across repartitionings (the properties the oracle can't isolate)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from biosd_feature_annotator_spark.operators.graph import triangle_counts
+from biosd_feature_annotator_spark.operators.ranking import bm25_scores, tfidf_top_terms
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    d = _docs(spark, [
+        "apple apple banana common common",
+        "banana cherry common common",
+        "common common common date",
+    ])
+    top = tfidf_top_terms(d, k=1).collect()
+    best = {r.doc_id: r.term for r in top}
+    # 'common' appears in every doc (df=3, idf=ln(4/4)+1=1); the rare
+    # doubled/unique terms out-score it
+    assert best[0] == "apple"
+    assert best[2] == "common" or best[2] == "date"
+    # doc 2: common tf=3 score 3.0 vs date tf=1 score 1*(ln(4/2)+1)≈1.69
+    assert best[2] == "common"
+
+
+def test_tfidf_hand_value(spark):
+    d = _docs(spark, ["apple apple banana", "banana cherry", "cherry date"])
+    rows = {(r.doc_id, r.term): r for r in tfidf_top_terms(d, k=3).collect()}
+    r = rows[(0, "apple")]
+    want = 2 * (math.log((3 + 1) / (1 + 1)) + 1)
+    assert r.tf == 2 and r.df == 1
+    assert abs(r.score - round(want, 4)) < 1e-9
+
+
+def test_bm25_hand_value(spark):
+    d = _docs(spark, ["apple banana banana", "apple apple", "cherry date"])
+    got = {r.doc_id: r.bm25 for r in bm25_scores(d, ["banana"], min_term_len=2).collect()}
+    assert set(got) == {0}  # only doc 0 contains 'banana'
+    n_docs, df, tf, dl, avgdl = 3, 1, 2, 3, (3 + 2 + 2) / 3
+    k1, b = 1.2, 0.75
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    want = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(got[0] - round(want, 4)) < 1e-9
+
+
+def test_bm25_more_hits_scores_higher(spark):
+    d = _docs(spark, [
+        "model data training",
+        "model model data data",
+        "unrelated words only",
+    ])
+    got = {r.doc_id: r.bm25 for r in bm25_scores(d, ["model", "data"]).collect()}
+    assert 2 not in got
+    assert got[1] > got[0] > 0
+
+
+def test_triangle_counts_hand_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_canonicalizes_and_dedups(spark):
+    # same triangle given with mixed orientation + duplicates + self-loop
+    e = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (1, 3), (3, 3)], "a long, b long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_ranking_deterministic_across_partitionings(spark):
+    texts = [f"term{i % 7} term{i % 3} filler words here" for i in range(40)]
+    d = _docs(spark, texts)
+    a = sorted(map(tuple, tfidf_top_terms(d).collect()))
+    b = sorted(map(tuple, tfidf_top_terms(d.repartition(13)).collect()))
+    assert a == b
+    x = sorted(map(tuple, bm25_scores(d, ["term1", "filler"]).collect()))
+    y = sorted(map(tuple, bm25_scores(d.repartition(17), ["term1", "filler"]).collect()))
+    assert x == y
