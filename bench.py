@@ -121,16 +121,23 @@ def main() -> None:
 
     sub = transcripts.where("conv_id < 'c0000000450'")
     t0 = time.time()
-    prewarm_extraction(spark, lex)
+    # like= warms against a small slice of the real relation, so the
+    # generated classes match the production query's exactly (a detached
+    # dummy leaves ~46 units cold under AQE's small-input replanning)
+    prewarm_extraction(spark, lex, like=transcripts.where("conv_id < 'c0000000020'"))
     extras["kg_annotate_jvm_prewarm_sec"] = round(time.time() - t0, 3)
     t0 = time.time()
     n_jvm = force(
         annotate(spark, sub, lex, build_graph=False, extraction="jvm")["triples"]
     )
     extras["kg_annotate_jvm_sec_20k"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    force(annotate(spark, sub, lex, build_graph=False, extraction="jvm")["triples"])
-    extras["kg_annotate_jvm_warm_sec_20k"] = round(time.time() - t0, 3)
+    # warm row gets the same min-of-2 protocol as every timed entry (the
+    # first-real row is inherently single-shot: once run, it IS warm)
+    extras["kg_annotate_jvm_warm_sec_20k"] = timed_min(
+        lambda: annotate(spark, sub, lex, build_graph=False, extraction="jvm")[
+            "triples"
+        ]
+    )
     extras["kg_annotate_jvm_triples"] = n_jvm
 
     timings["kg_graph_cc"] = timed_min(

