@@ -1104,6 +1104,72 @@ def q_window_percentiles(spark, sf):
     )
 
 
+def q_shared_ngram_spans(spark, sf):
+    """Span-level exact substring duplication (dedup.shared_ngram_spans):
+    document pairs sharing verbatim 8-token windows, with counts — the
+    long-n complement of the Jaccard ratio. md5 kernel so the DuckDB twin
+    recomputes the identical span hashes."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return _dedup.shared_ngram_spans(
+        d, "doc_id", "text", n=8, max_df=50, hasher="md5"
+    ).select("a", "b", "shared_spans")
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic per-stratum sampling (training.sample_stratified):
+    a pure md5-bucket projection — engine-replicable row-for-row, unlike
+    RNG-based sampleBy (hash digits disjoint from the train-split's, so
+    the two assignments are independent)."""
+    from biosd_feature_annotator_spark.operators.training import sample_stratified
+
+    c = _t(spark, sf, "customer")
+    fracs = {"BUILDING": 0.2, "MACHINERY": 0.5, "FURNITURE": 1.0}
+    return sample_stratified(c, "c_custkey", "c_mktsegment", fracs).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+def q_histogram_acctbal(spark, sf):
+    """Fixed-width histogram binning — the profiling aggregate: clamp-
+    floor bin index (exact integer arithmetic after one double division,
+    identical in both engines), count + min/max per bin."""
+    c = _t(spark, sf, "customer")
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(500.0)), F.lit(0)
+        ),
+        F.lit(21),
+    ).cast("long")
+    return (
+        c.select(bin_col.alias("bin"), "c_acctbal")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+def q_window_first_last(spark, sf):
+    """first_value / last_value / nth_value over the full partition frame
+    (ROWS UNBOUNDED both ways) with a unique (ts, event_id) ordering —
+    the remaining analytic-function family."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_et"),
+        F.last("event_type").over(w).alias("last_et"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )
+
+
 # Queries the driver must re-check EVERY round, in this exact order: the
 # batch + stream flagships (the north-star pipelines — they change most
 # rounds and must never age out of the driver's check window again), then
@@ -1221,6 +1287,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_docs": q_bm25_docs,
         "unpivot_lineitem": q_unpivot_lineitem,
         "window_percentiles": q_window_percentiles,
+        "shared_ngram_spans": q_shared_ngram_spans,
+        "sample_stratified": q_sample_stratified,
+        "histogram_acctbal": q_histogram_acctbal,
+        "window_first_last": q_window_first_last,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
@@ -1328,6 +1398,34 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 8, threshold: float = 0.3) 
 
 def _minhash_sql() -> str:
     return f"WITH {_minhash_ctes()}\n        SELECT a, b, inter, uni FROM mh"
+
+
+def _shared_spans_sql(n: int = 8, max_df: int = 50) -> str:
+    """Exact duplicated n-token spans: mirrors dedup.shared_ngram_spans —
+    the same normalized tokenization, the same span builder (docs with
+    fewer than n tokens emit nothing), the same md5 span hash, the same
+    1 < df ≤ max_df postings guard, then the pair self-join count."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS doc, string_split({_NORM_TEXT}, ' ') AS t
+            FROM documents WHERE doc_id < 300
+        ),
+        spans AS (
+            SELECT DISTINCT doc, {_md5_long('span')} AS sh FROM (
+                SELECT doc, unnest(list_transform(
+                    range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                    i -> array_to_string(t[i:i+{n - 1}], ' '))) AS span
+                FROM toks
+            ) WHERE length(span) > 0
+        ),
+        rare AS (
+            SELECT spans.* FROM spans
+            JOIN (SELECT sh FROM spans GROUP BY sh
+                  HAVING count(*) > 1 AND count(*) <= {max_df}) g USING (sh)
+        )
+        SELECT x.doc AS a, y.doc AS b, count(*) AS shared_spans
+        FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc < y.doc
+        GROUP BY x.doc, y.doc"""
 
 
 def _triangles_sql() -> str:
@@ -2202,6 +2300,37 @@ def oracle_sql() -> dict[str, str]:
             FROM customer WHERE c_custkey <= 500
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         """,
+        "sample_stratified": """
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+                SELECT *,
+                       CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4)) AS INT)
+                           % 1000 AS h
+                FROM customer
+            )
+            WHERE (c_mktsegment = 'BUILDING'  AND h < 200)
+               OR (c_mktsegment = 'MACHINERY' AND h < 500)
+               OR (c_mktsegment = 'FURNITURE' AND h < 1000)
+        """,
+        "histogram_acctbal": """
+            SELECT bin, count(*) AS n, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+            FROM (
+                SELECT least(greatest(
+                           CAST(floor((c_acctbal + 1000.0) / 500.0) AS BIGINT),
+                           0), 21) AS bin,
+                       c_acctbal
+                FROM customer
+            ) GROUP BY bin
+        """,
+        "window_first_last": """
+            SELECT event_id, user_id,
+                   first_value(event_type) OVER w AS first_et,
+                   last_value(event_type) OVER w AS last_et,
+                   nth_value(event_id, 2) OVER w AS second_event
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        """,
         "kg_run_diff": """
             WITH a AS (
                 SELECT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2278,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_pairs": _minhash_sql(),
         "docs_dedup_clusters": _dedup_clusters_sql(),
         "kg_triangles": _triangles_sql(),
+        "shared_ngram_spans": _shared_spans_sql(),
         "stream_user_stats": """
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value

@@ -327,3 +327,38 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def shared_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 8, max_df: int = 50, hasher: str = "xx",
+) -> DataFrame:
+    """Exact duplicated n-token SPANS across documents → (a, b,
+    shared_spans): for every document pair, how many distinct n-token
+    windows they share verbatim. The span-level substring-duplication
+    primitive (the long-n complement of ngram_jaccard_pairs' similarity
+    ratio): with n ≈ 8-20 a single shared span is already strong evidence
+    of copied text, and the count sizes the overlap for a
+    remove-longest-dup pass.
+
+    Scale shape: distinct spans per doc (pure array algebra, no UDF) →
+    inverted index grouped by span hash → postings kept only for
+    1 < df ≤ max_df (a span in ONE doc pairs with nothing; a boilerplate
+    span in thousands of docs would explode the self-join quadratically —
+    the df cap is the same IDF guard as ngram_jaccard_pairs) → self-join
+    within postings → per-pair count, map-side combinable."""
+    sh = word_shingles(df, id_col, text_col, n, hasher=hasher)
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    rare = (
+        sh.join(
+            df_counts.where((F.col("df_") > 1) & (F.col("df_") <= max_df)), "sh"
+        ).select("doc", "sh")
+    )
+    sa = rare.select(F.col("doc").alias("a"), "sh")
+    sb = rare.select(F.col("doc").alias("b"), "sh")
+    return (
+        sa.join(sb, "sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared_spans"))
+    )

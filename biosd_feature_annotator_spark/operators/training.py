@@ -90,3 +90,28 @@ def vocab_top(
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+def sample_stratified(
+    df: DataFrame, id_col: str, strata_col: str,
+    fracs: dict, buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash bucket
+    falls under its stratum's quota (round(frac * buckets)). Same design
+    rationale as hash_split — a pure projection of the row id, so the
+    sample is identical across reruns, engines, partitionings and
+    cluster sizes, with no RNG state to seed per partition (the
+    sampleBy pitfall). Uses md5 hex digits 5-8, DISJOINT from
+    split_bucket's digits 1-4, so sampling is independent of any
+    train/valid/test assignment on the same ids.
+
+    Strata missing from `fracs` are dropped (sampleBy semantics)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 5, 4), 16, 10
+    ).cast("int") % buckets
+    expr = None
+    for stratum, frac in fracs.items():
+        cut = int(round(frac * buckets))
+        cond = (F.col(strata_col) == stratum) & (h < cut)
+        expr = cond if expr is None else expr | cond
+    return df.where(expr if expr is not None else F.lit(False))

@@ -91,3 +91,63 @@ def test_ranking_deterministic_across_partitionings(spark):
     x = sorted(map(tuple, bm25_scores(d, ["term1", "filler"]).collect()))
     y = sorted(map(tuple, bm25_scores(d.repartition(17), ["term1", "filler"]).collect()))
     assert x == y
+
+
+def test_shared_ngram_spans_detects_copied_text(spark):
+    from biosd_feature_annotator_spark.operators.dedup import shared_ngram_spans
+
+    copied = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = _docs(spark, [
+        f"intro words {copied} outro",
+        f"different lead {copied} and tail",
+        "nothing in common with the others at all here now ok",
+        "short",
+    ])
+    got = {(r.a, r.b): r.shared_spans for r in
+           shared_ngram_spans(d, "doc_id", "text", n=8).collect()}
+    assert set(got) == {(0, 1)}
+    # 10 copied tokens -> three shared 8-gram windows
+    assert got[(0, 1)] == 3
+
+
+def test_shared_ngram_spans_df_cap_drops_boilerplate(spark):
+    from biosd_feature_annotator_spark.operators.dedup import shared_ngram_spans
+
+    boiler = "one two three four five six seven eight"
+    d = _docs(spark, [f"{boiler} doc{i}" for i in range(6)])
+    got = shared_ngram_spans(d, "doc_id", "text", n=8, max_df=3).collect()
+    assert got == []  # span df=6 > cap: the quadratic join is guarded
+
+
+def test_sample_stratified_deterministic_and_scoped(spark):
+    from biosd_feature_annotator_spark.operators.training import sample_stratified
+
+    rows = [(i, ["x", "y", "z"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    fracs = {"x": 0.5, "y": 0.1}
+    a = sorted(r.id for r in sample_stratified(df, "id", "grp", fracs).collect())
+    b = sorted(
+        r.id for r in sample_stratified(df.repartition(7), "id", "grp", fracs).collect()
+    )
+    assert a == b  # identical sample across partitionings
+    got = sample_stratified(df, "id", "grp", fracs)
+    by = {r.grp: r.n for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert "z" not in by  # unlisted stratum dropped
+    assert 60 <= by["x"] <= 140  # ~100 of 200 at frac 0.5
+    assert 5 <= by["y"] <= 45    # ~20 of 200 at frac 0.1
+
+
+def test_sample_independent_of_train_split(spark):
+    """The sampler's hash digits are disjoint from split_bucket's — a 50%
+    sample must not preferentially hit one train/valid/test split."""
+    from biosd_feature_annotator_spark.operators.training import (
+        hash_split,
+        sample_stratified,
+    )
+
+    df = spark.createDataFrame([(i, "g") for i in range(2000)], "id long, grp string")
+    sampled = sample_stratified(df, "id", "grp", {"g": 0.5})
+    split = hash_split(sampled, "id")
+    by = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(by.values())
+    assert 0.70 <= by["train"] / total <= 0.90  # stays ~80%, not skewed
