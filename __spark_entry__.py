@@ -1170,6 +1170,43 @@ def q_window_first_last(spark, sf):
     )
 
 
+def q_full_outer_balance(spark, sf):
+    """FULL OUTER join — the one join type not already driver-checked:
+    per-nation customer balances vs per-nation supplier balances, rows
+    surviving from either side with NULL-coalesced keys."""
+    c = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("rich_customers"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("suppliers"))
+    )
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").cast("long").alias("nation"),
+        F.coalesce("rich_customers", F.lit(0)).alias("rich_customers"),
+        F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+    )
+
+
+def q_doc_token_positions(spark, sf):
+    """posexplode — the WITH ORDINALITY generator: (doc, position, token)
+    for a bounded slice of the corpus, the access path a span-labeling /
+    alignment stage needs."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    out = d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+    return out.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token"
+    ).where(F.length("token") > 0)
+
+
 # Queries the driver must re-check EVERY round, in this exact order: the
 # batch + stream flagships (the north-star pipelines — they change most
 # rounds and must never age out of the driver's check window again), then
@@ -1291,6 +1328,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "histogram_acctbal": q_histogram_acctbal,
         "window_first_last": q_window_first_last,
+        "full_outer_balance": q_full_outer_balance,
+        "doc_token_positions": q_doc_token_positions,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
@@ -2299,6 +2338,32 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER w AS quartile
             FROM customer WHERE c_custkey <= 500
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        """,
+        "full_outer_balance": """
+            WITH c AS (
+                SELECT c_nationkey, count(*) AS rich_customers
+                FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+            ), s AS (
+                SELECT s_nationkey, count(*) AS suppliers
+                FROM supplier GROUP BY s_nationkey
+            )
+            SELECT CAST(coalesce(c_nationkey, s_nationkey) AS BIGINT) AS nation,
+                   coalesce(rich_customers, 0) AS rich_customers,
+                   coalesce(suppliers, 0) AS suppliers
+            FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+        """,
+        "doc_token_positions": """
+            SELECT doc_id, pos, token FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) + 1),
+                              i -> {'pos': CAST(i - 1 AS BIGINT),
+                                    'token': toks[i]}), recursive := true)
+                FROM (
+                    SELECT doc_id,
+                           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+                    FROM documents WHERE doc_id < 50
+                )
+            ) WHERE length(token) > 0
         """,
         "sample_stratified": """
             SELECT c_custkey, c_mktsegment, c_acctbal FROM (
