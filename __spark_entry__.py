@@ -1207,6 +1207,56 @@ def q_doc_token_positions(spark, sf):
     ).where(F.length("token") > 0)
 
 
+def q_bloom_semi_join(spark, sf):
+    """Runtime-filter join (operators/filters.bloom_prune_semi_join): a
+    Bloom bitset aggregated from the filtered dimension prunes the fact
+    scan BEFORE its shuffle; the exact semi join after it makes the
+    result identical to a plain IN-subquery — which is the oracle."""
+    from biosd_feature_annotator_spark.operators.filters import bloom_prune_semi_join
+
+    l = _t(spark, sf, "lineitem")
+    p = (
+        _t(spark, sf, "part")
+        .where(F.col("p_size") <= 3)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    j = bloom_prune_semi_join(l, p, "l_partkey")
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_partkey").alias("parts"),
+    )
+
+
+def q_stream_join_purchases(spark, sf):
+    """STREAM-STREAM inner join with an event-time range constraint
+    (streaming/incremental.stream_join_signup_purchase): purchases join
+    signups of the same user within 7 days, both sides watermarked,
+    materialized via checkpointed foreachBatch. Inner matches emit in
+    the batch that finds them, so the availableNow run equals the batch
+    join — the SQL twin."""
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_join_signup_purchase,
+    )
+
+    base = _stream_base("stream_join")
+    return stream_join_signup_purchase(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+
+
+def q_doc_fluency(spark, sf):
+    """Corpus-bigram LM fluency (textstats.bigram_fluency): mean add-1
+    log P(w2|w1) per doc — the model-free perplexity-filter stand-in.
+    Log-probs are integer-micro quantized and summed as exact longs, so
+    the per-doc score is independent of float addition order and the
+    DuckDB twin reproduces it bit-for-bit."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return _ts.bigram_fluency(d).select("doc_id", "n_bigrams", "fluency")
+
+
 # Queries the driver must re-check EVERY round, in this exact order: the
 # batch + stream flagships (the north-star pipelines — they change most
 # rounds and must never age out of the driver's check window again), then
@@ -1330,6 +1380,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last": q_window_first_last,
         "full_outer_balance": q_full_outer_balance,
         "doc_token_positions": q_doc_token_positions,
+        "bloom_semi_join": q_bloom_semi_join,
+        "stream_join_purchases": q_stream_join_purchases,
+        "doc_fluency": q_doc_fluency,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
@@ -2338,6 +2391,46 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER w AS quartile
             FROM customer WHERE c_custkey <= 500
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        """,
+        "doc_fluency": """
+            WITH b AS (
+                SELECT doc, t[i] AS w1, t[i + 1] AS w2
+                FROM (
+                    SELECT doc_id AS doc,
+                           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+                    FROM documents WHERE doc_id < 300
+                ), unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+            ), bc AS (
+                SELECT w1, w2, count(*) AS cnt_b FROM b GROUP BY w1, w2
+            ), uc AS (
+                SELECT w1, count(*) AS cnt_u FROM b GROUP BY w1
+            ), v AS (
+                SELECT count(DISTINCT w2) AS v FROM b
+            ), scored AS (
+                SELECT b.doc,
+                       CAST(round(ln((bc.cnt_b + 1.0) / (uc.cnt_u + v.v))
+                                  * 1000000.0) AS BIGINT) AS lp_micro
+                FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+            )
+            SELECT doc AS doc_id, count(*) AS n_bigrams,
+                   round((CAST(sum(lp_micro) AS DOUBLE) / 1000000.0)
+                         / count(*), 4) AS fluency
+            FROM scored GROUP BY doc
+        """,
+        "stream_join_purchases": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   s.ts AS signup_ts, p.ts AS purchase_ts
+            FROM events p JOIN events s
+              ON p.user_id = s.user_id
+             AND p.event_type = 'purchase' AND s.event_type = 'signup'
+             AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+        """,
+        "bloom_semi_join": """
+            SELECT l_returnflag, count(*) AS n,
+                   count(DISTINCT l_partkey) AS parts
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 3)
+            GROUP BY l_returnflag
         """,
         "full_outer_balance": """
             WITH c AS (

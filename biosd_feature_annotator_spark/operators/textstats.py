@@ -145,3 +145,75 @@ def winnow_fingerprints(text, k: int = 8, keep: int = 4, hasher: str = "xx") -> 
         lambda i: hash64(F.substring(t, i, F.lit(k)), hasher=hasher),
     )
     return F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)
+
+
+def bigram_fluency(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-bigram language-model fluency score per document — the
+    model-free stand-in for perplexity filtering in a training-data
+    pipeline: mean log P(w_i | w_{i-1}) under an add-1-smoothed bigram
+    model fitted on the SAME corpus. Natural text scores high; shuffled
+    or boilerplate-stuffed text scores low.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), with c(w1·) the
+    bigram-head count and V the distinct-continuation vocabulary.
+
+    Scale + determinism shape:
+    - bigrams WITH multiplicity via pure array algebra (two selects: a
+      generator and a struct projection must not share one — field
+      names drop), then two map-side-combinable count aggregates and
+      one shuffle join on the bigram key;
+    - each bigram's log-prob is quantized to integer MICRO-units
+      (round(ln(p)*1e6) as long) and summed as exact longs, so the
+      per-doc sum is independent of float addition order — the property
+      a plain sum(double) cannot give across engines or partitionings;
+      the quantization bias (≤5e-7 per bigram) is far below any
+      filtering threshold this score feeds.
+    """
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    staged = docs.select(F.col(id_col).alias("doc"), grams.alias("gs"))
+    b = staged.select("doc", F.explode("gs").alias("g")).select(
+        "doc", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)  # feeds counts + the score join
+    bc = b.groupBy("w1", "w2").agg(F.count("*").alias("cnt_b"))
+    uc = b.groupBy("w1").agg(F.count("*").alias("cnt_u"))
+    v = b.agg(F.count_distinct("w2").alias("v"))
+    scored = (
+        b.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "lp_micro",
+            F.round(
+                F.log(
+                    (F.col("cnt_b") + F.lit(1.0))
+                    / (F.col("cnt_u") + F.col("v"))
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            (F.sum("lp_micro").cast("double") / F.lit(1000000.0))
+            / F.count("*"),
+            4,
+        ).alias("fluency"),
+    ).select(F.col("doc").alias(id_col), "n_bigrams", "fluency")

@@ -403,3 +403,78 @@ def stream_annotate_corpus(
     extracted = spark.read.parquet(out_path)
     corpus = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(staged)
     return extracted.unionByName(structural_triples(corpus)).select(*TRIPLE_COLS)
+
+
+def stream_join_signup_purchase(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str,
+    horizon: str = "7 days",
+    n_input_files: int = 1, max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range constraint (the
+    remaining Structured Streaming join family): purchases join signups
+    of the same user within [signup_ts, signup_ts + horizon]. Both sides
+    carry watermarks — on a live stream that bounds the join state Spark
+    must buffer (signups older than horizon + watermark are evicted);
+    the time-range predicate is what makes unbounded stream-stream inner
+    join feasible at all.
+
+    Inner-join matches are emitted in the micro-batch that finds them
+    (watermarks only gate STATE EVICTION and outer-side NULL emission),
+    so an availableNow catch-up run emits exactly the batch-join result
+    — which is what the SQL twin verifies. Timestamps are compared at
+    raw microsecond precision (same precedent as the sessionize
+    oracle)."""
+    import shutil
+
+    for p in (out_path, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_path = _stage_single_file(
+        events_path, checkpoint, n_files=n_input_files
+    )
+
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    base = reader.parquet(events_path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    signups = (
+        base.where("event_type = 'signup'")
+        .select("user_id", F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", "1 hour")
+    )
+    purchases = (
+        base.where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (purchases.p_user == signups.user_id)
+        & (purchases.purchase_ts >= signups.signup_ts)
+        & (purchases.purchase_ts <= signups.signup_ts + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+
+    def write_batch(batch_df, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path).select(
+        "purchase_id",
+        "user_id",
+        F.col("signup_ts").cast("timestamp_ntz").alias("signup_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )

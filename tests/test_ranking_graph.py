@@ -151,3 +151,37 @@ def test_sample_independent_of_train_split(spark):
     by = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
     total = sum(by.values())
     assert 0.70 <= by["train"] / total <= 0.90  # stays ~80%, not skewed
+
+
+def test_bloom_prune_equals_plain_semi_join(spark):
+    from biosd_feature_annotator_spark.operators.filters import bloom_prune_semi_join
+
+    big = spark.range(0, 5000).select((F.col("id") % 700).alias("k"), "id")
+    small = spark.createDataFrame([(3,), (77,), (699,), (1000,)], "k long")
+    got = sorted(r.id for r in bloom_prune_semi_join(big, small, "k", m_bits=1 << 12).collect())
+    want = sorted(r.id for r in big.join(small, "k", "left_semi").collect())
+    assert got == want  # no false negatives, false positives removed
+
+
+def test_bloom_probe_filters_before_any_exchange(spark):
+    """The whole point of the runtime filter: the probe must evaluate in
+    the SCAN stage, before the join's shuffle. The pruned frame alone
+    must plan as scan → filter with no Exchange."""
+    import contextlib
+    import io
+
+    from biosd_feature_annotator_spark.operators.filters import (
+        bloom_bitset_literal,
+        bloom_probe,
+    )
+
+    big = spark.range(0, 1000).select(F.col("id").alias("k"))
+    small = spark.range(0, 10).select(F.col("id").alias("k"))
+    m = 1 << 12
+    pruned = big.where(bloom_probe(bloom_bitset_literal(small, "k", m), "k", m))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "shiftright" in plan  # the codegen probe is present
+    assert "Exchange" not in plan  # and it runs pre-shuffle

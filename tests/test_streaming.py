@@ -242,3 +242,76 @@ def test_stream_annotate_corpus_equals_batch_flagship(spark, lexicon, tmp_path):
     )["triples"]
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with event-time bounds: an availableNow
+    run equals the batch join (inner matches emit in the finding batch;
+    watermarks only gate state eviction)."""
+    from pyspark.sql import functions as F
+
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_join_signup_purchase,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_join_signup_purchase(
+        spark, f"{sf}/events.parquet", str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    p = e.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = e.where("event_type = 'signup'").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    want = p.join(
+        s,
+        (p.user_id == s.s_user)
+        & (p.purchase_ts >= s.signup_ts)
+        & (p.purchase_ts <= s.signup_ts + F.expr("INTERVAL 7 DAYS")),
+    ).select("purchase_id", "user_id", "signup_ts", "purchase_ts")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_join_across_micro_batches(spark, tmp_path):
+    """State correctness across batches: with a TIME-SORTED input split
+    into 3 files (one micro-batch each, no late data), a purchase in a
+    later batch must still join a signup buffered from an earlier one —
+    the multi-batch result equals the batch join exactly."""
+    from pyspark.sql import functions as F
+
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_join_signup_purchase,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "sorted.parquet")
+    spark.read.parquet(f"{sf}/events.parquet").orderBy("ts").coalesce(
+        1
+    ).write.parquet(src)
+    import glob as g
+
+    one = g.glob(src + "/part-*.parquet")[0]
+    got = stream_join_signup_purchase(
+        spark, one, str(tmp_path / "out"), str(tmp_path / "ck"),
+        n_input_files=3, max_files_per_trigger=1,
+    )
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    p = e.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = e.where("event_type = 'signup'").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    want = p.join(
+        s,
+        (p.user_id == s.s_user)
+        & (p.purchase_ts >= s.signup_ts)
+        & (p.purchase_ts <= s.signup_ts + F.expr("INTERVAL 7 DAYS")),
+    ).select("purchase_id", "user_id", "signup_ts", "purchase_ts")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
