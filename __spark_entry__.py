@@ -1257,6 +1257,54 @@ def q_doc_fluency(spark, sf):
     return _ts.bigram_fluency(d).select("doc_id", "n_bigrams", "fluency")
 
 
+def q_curate_docs(spark, sf):
+    """The composed curation pipeline (training.curate_documents):
+    quality filter → exact-dedup survivors → deterministic split, every
+    stage re-derived by the SQL twin (score formula, min-id survivor
+    window, md5 bucket)."""
+    from biosd_feature_annotator_spark.operators.training import curate_documents
+
+    d = _t(spark, sf, "documents")
+    out = curate_documents(d)
+    return out.select("doc_id", "q_score", F.col("bucket").cast("long"), "split")
+
+
+def q_agg_state_merge(spark, sf):
+    """Incremental aggregate maintenance (plans/materialize.partial_agg_
+    state + merge_agg_states): two runs' partial states over disjoint
+    order-date windows merge into EXACTLY the direct aggregate over the
+    union — the materialized-view primitive that keeps run-level stats
+    O(keys) instead of rescanning raw history. count/sum/min/max are
+    commutative monoids, so the merge is exact; sums use DECIMAL money
+    arithmetic so no float order-dependence exists anywhere."""
+    from biosd_feature_annotator_spark.plans.materialize import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    o = _t(spark, sf, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    runs = [
+        o.where(F.col("o_orderdate") < F.lit("1995-01-01")),
+        o.where(F.col("o_orderdate") >= F.lit("1995-01-01")),
+    ]
+    states = [
+        partial_agg_state(r, ["o_orderpriority"], "price_dec") for r in runs
+    ]
+    merged = merge_agg_states(states, ["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority",
+        "cnt",
+        # aggregation is EXACT decimal; the final double cast is only for
+        # engine-portable comparison (DuckDB's client returns decimals
+        # as float64)
+        F.col("total").cast("double").alias("total"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
+
+
 # Queries the driver must re-check EVERY round, in this exact order: the
 # batch + stream flagships (the north-star pipelines — they change most
 # rounds and must never age out of the driver's check window again), then
@@ -1383,6 +1431,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "stream_join_purchases": q_stream_join_purchases,
         "doc_fluency": q_doc_fluency,
+        "curate_docs": q_curate_docs,
+        "agg_state_merge": q_agg_state_merge,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
@@ -2391,6 +2441,56 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER w AS quartile
             FROM customer WHERE c_custkey <= 500
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        """,
+        "curate_docs": """
+            WITH q AS (
+                SELECT doc_id, text,
+                       round(
+                           (CASE WHEN q_tokens < 5 THEN 0.0 ELSE 1.0 END) * 0.25
+                         + (CASE WHEN (q_chars - (q_tokens - 1)) / q_tokens >= 2.5
+                                  AND (q_chars - (q_tokens - 1)) / q_tokens <= 12
+                                 THEN 1.0 ELSE 0.0 END) * 0.25
+                         + (CASE WHEN q_punct / q_chars <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+                         + least(q_distinct / q_tokens * 2, 1.0) * 0.3, 6) AS q_score
+                FROM (
+                    SELECT doc_id, text,
+                           CAST(length(text) AS BIGINT) AS q_chars,
+                           CAST(len(list_filter(string_split_regex(trim(lower(
+                                regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                                t -> length(t) > 0)) AS BIGINT) AS q_tokens,
+                           CAST(len(list_distinct(list_filter(string_split_regex(trim(lower(
+                                regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                                t -> length(t) > 0))) AS BIGINT) AS q_distinct,
+                           CAST(length(regexp_replace(text,
+                                '[^!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS q_punct
+                    FROM documents
+                )
+            ), kept AS (
+                SELECT * FROM q WHERE q_score >= 0.7
+            ), d AS (
+                SELECT doc_id, q_score,
+                       row_number() OVER (
+                           PARTITION BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                           ORDER BY doc_id) AS rn
+                FROM kept
+            ), split AS (
+                SELECT doc_id, q_score,
+                       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                           % 100 AS BIGINT) AS bucket
+                FROM d WHERE rn = 1
+            )
+            SELECT doc_id, q_score, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM split
+        """,
+        "agg_state_merge": """
+            SELECT o_orderpriority, count(o_totalprice) AS cnt,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                   CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS vmin,
+                   CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS vmax
+            FROM orders GROUP BY o_orderpriority
         """,
         "doc_fluency": """
             WITH b AS (

@@ -115,3 +115,32 @@ def sample_stratified(
         cond = (F.col(strata_col) == stratum) & (h < cut)
         expr = cond if expr is None else expr | cond
     return df.where(expr if expr is not None else F.lit(False))
+
+
+def curate_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_score: float = 0.7,
+) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE composed
+    plan: quality-score → threshold filter → exact-dedup survivors →
+    deterministic train/valid/test assignment. Each stage is an existing
+    operator (textstats.quality_features, dedup.dedup_exact,
+    hash_split), so the composite inherits their scale shapes — a
+    codegen projection, one hash-key window, and a pure md5-bucket
+    projection; the only shuffle is the dedup window's. Language-ID and
+    near-dup clustering compose the same way when needed (kept out of
+    the default chain to keep the verification surface minimal).
+
+    Stage order matters and is part of the contract: dedup runs AFTER
+    the quality filter, so the surviving doc per duplicate group is the
+    min-id among QUALIFYING copies (a low-quality copy never shadows a
+    high-quality one)."""
+    from .dedup import dedup_exact
+    from .textstats import quality_features
+
+    q = quality_features(docs, text_col)
+    kept = q.where(F.col("q_score") >= min_score)
+    survivors = dedup_exact(kept, id_col, text_col)
+    return hash_split(survivors, id_col).select(
+        id_col, "q_score", F.col("bucket"), "split"
+    )

@@ -244,3 +244,36 @@ def purge_older_than(spark: SparkSession, out_dir: str, cutoff) -> list[str]:
     for rid in run_ids:
         purge_run(out_dir, rid, spark=spark)
     return run_ids
+
+
+def partial_agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate state: (keys..., cnt, total, vmin,
+    vmax). The incremental-maintenance half of a materialized aggregate:
+    each run materializes its OWN partial state, and merge_agg_states
+    combines any number of them without touching raw rows — count/sum/
+    min/max are the classic commutative-monoid aggregates, so merging
+    partials is exact (the same algebra Spark's partial aggregation uses
+    inside a single shuffle, lifted to cross-RUN granularity). At 100 TB
+    this is how run-level stats stay O(distinct keys) instead of
+    re-scanning every run's raw triples."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("cnt"),
+        F.sum(value_col).alias("total"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+
+def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge partial states from several runs into one exact aggregate —
+    a union + one map-side-combinable re-aggregate (never a join chain):
+    counts/sums add, min/max fold."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )

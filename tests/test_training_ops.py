@@ -299,3 +299,46 @@ def test_pagerank_fixed_iterations(spark):
     assert pr1["c"] > pr1["a"] > pr1["b"]  # 3 in-links > 2 > 0-ish
     assert all(v > 0 for v in pr1.values())
     assert set(pr1) == {"a", "b", "c", "d"}
+
+
+def test_curate_documents_stage_order(spark):
+    """dedup runs AFTER the quality filter: a low-quality duplicate must
+    not shadow a qualifying copy, and the survivor is the min qualifying
+    id."""
+    from biosd_feature_annotator_spark.operators.training import curate_documents
+
+    good = "a sensible sentence with plenty of distinct readable words here"
+    rows = [
+        (1, "x x x x x x x x x x x x"),  # low quality (repetition)
+        (2, good),                        # duplicate pair, both qualify
+        (3, good),
+        (4, "another perfectly reasonable and varied document body text"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.split for r in curate_documents(d).collect()}
+    assert 1 not in got          # filtered by quality
+    assert 2 in got and 3 not in got  # min-id survivor of the dup pair
+    assert 4 in got
+    assert set(got.values()) <= {"train", "valid", "test"}
+
+
+def test_partial_agg_states_merge_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from biosd_feature_annotator_spark.plans.materialize import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3 % 101).cast("decimal(18,2)").alias("v"),
+    )
+    runs = [df.where("id % 3 = 0"), df.where("id % 3 = 1"), df.where("id % 3 = 2")]
+    merged = merge_agg_states(
+        [partial_agg_state(r, ["k"], "v") for r in runs], ["k"]
+    )
+    direct = partial_agg_state(df, ["k"], "v")
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
