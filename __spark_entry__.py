@@ -1305,6 +1305,66 @@ def q_agg_state_merge(spark, sf):
     )
 
 
+def q_emb_centroids(spark, sf):
+    """Per-label element-wise embedding centroids in long form
+    (similarity.group_centroids_long): components integer-micro
+    quantized BEFORE the sum, so the aggregate is an exact long sum —
+    no float-addition-order dependence across partitions or engines."""
+    from biosd_feature_annotator_spark.operators.similarity import (
+        group_centroids_long,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    return group_centroids_long(e, "label").select(
+        F.col("label").cast("long").alias("label"), "dim", "centroid"
+    )
+
+
+def q_edit_distances(spark, sf):
+    """Levenshtein edit distance — the string-similarity scalar both
+    engines implement with identical semantics."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001"))
+        .cast("long")
+        .alias("lev_probe"),
+        F.levenshtein(F.col("c_name"), F.col("c_mktsegment"))
+        .cast("long")
+        .alias("lev_seg"),
+    )
+
+
+def q_user_gap_stats(spark, sf):
+    """§2.11 grouped-map applyInPandas with a FULL SQL twin (previously
+    pytest-only): per-user inter-event gap stats computed imperatively
+    per group in pandas — gaps taken in integer MICROSECONDS from the
+    sorted event sequence, so sums/maxes are exact and the lag-based SQL
+    re-derivation matches bit-for-bit."""
+    import pandas as pd
+
+    e = _t(spark, sf, "events").select("user_id", "event_id", "ts")
+
+    def gaps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        d = us.diff().dropna().astype("int64")
+        n = len(d)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [n],
+                "total_gap_us": [0 if n == 0 else int(d.sum())],
+                "max_gap_us": [0 if n == 0 else int(d.max())],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        gaps,
+        "user_id long, n_gaps long, total_gap_us long, max_gap_us long",
+    )
+
+
 # Queries the driver must re-check EVERY round, in this exact order: the
 # batch + stream flagships (the north-star pipelines — they change most
 # rounds and must never age out of the driver's check window again), then
@@ -1433,6 +1493,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fluency": q_doc_fluency,
         "curate_docs": q_curate_docs,
         "agg_state_merge": q_agg_state_merge,
+        "emb_centroids": q_emb_centroids,
+        "edit_distances": q_edit_distances,
+        "user_gap_stats": q_user_gap_stats,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
@@ -2441,6 +2504,35 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER w AS quartile
             FROM customer WHERE c_custkey <= 500
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        """,
+        "emb_centroids": """
+            WITH x AS (
+                SELECT label, i - 1 AS dim,
+                       CAST(round(CAST(e[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+                FROM (SELECT label, embedding AS e FROM embeddings),
+                     unnest(range(1, len(e) + 1)) AS u(i)
+            )
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   round(CAST(sum(vm) AS DOUBLE) / (count(*) * 1000000.0), 6)
+                       AS centroid
+            FROM x GROUP BY label, dim
+        """,
+        "edit_distances": """
+            SELECT c_custkey,
+                   CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS lev_probe,
+                   CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev_seg
+            FROM customer WHERE c_custkey <= 300
+        """,
+        "user_gap_stats": """
+            SELECT user_id, count(g) AS n_gaps,
+                   CAST(coalesce(sum(g), 0) AS BIGINT) AS total_gap_us,
+                   coalesce(max(g), 0) AS max_gap_us
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS g
+                FROM events
+            ) GROUP BY user_id
         """,
         "curate_docs": """
             WITH q AS (

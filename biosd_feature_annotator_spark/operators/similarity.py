@@ -281,3 +281,40 @@ def ann_recall(ann: DataFrame, exact: DataFrame) -> float:
     )
     n_exact = exact.count()
     return (hit.count() / n_exact) if n_exact else 1.0
+
+
+def group_centroids_long(
+    df: DataFrame, group_col: str, vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Element-wise per-group centroids in LONG form: (group, dim,
+    centroid) — the building block of k-means maintenance, per-source
+    embedding drift monitoring, and IVF cell refresh.
+
+    Scale + determinism shape: posexplode the vector (one generator, no
+    UDF) → each component is quantized to integer micro-units BEFORE the
+    sum, so the per-(group, dim) aggregate is an EXACT long sum — the
+    float-addition-order dependence of sum(double) across partitions
+    (which no engine pair, or even two runs of one engine, reproduces
+    bit-for-bit) is gone by construction. centroid = sum_micro /
+    (n * quant), one deterministic double division at the end. The
+    shuffle carries (group, dim) pairs — map-side combinable, never a
+    whole vector row."""
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(_vecd(F.col(vec_col))).alias("dim", "v"),
+    )
+    q = exploded.withColumn(
+        "v_micro", F.round(F.col("v") * F.lit(float(quant))).cast("long")
+    )
+    return (
+        q.groupBy("grp", "dim")
+        .agg(F.sum("v_micro").alias("s"), F.count("*").alias("n"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("dim").cast("long").alias("dim"),
+            F.round(
+                F.col("s").cast("double") / (F.col("n") * F.lit(float(quant))), 6
+            ).alias("centroid"),
+        )
+    )

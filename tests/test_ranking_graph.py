@@ -185,3 +185,27 @@ def test_bloom_probe_filters_before_any_exchange(spark):
     plan = buf.getvalue()
     assert "shiftright" in plan  # the codegen probe is present
     assert "Exchange" not in plan  # and it runs pre-shuffle
+
+
+def test_group_centroids_long_hand_values(spark):
+    from biosd_feature_annotator_spark.operators.similarity import (
+        group_centroids_long,
+    )
+
+    rows = [(1, [1.0, 2.0], "a"), (2, [3.0, 4.0], "a"), (3, [10.0, 0.0], "b")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    got = {(r.label, r.dim): r.centroid
+           for r in group_centroids_long(df, "label").collect()}
+    assert got[("a", 0)] == 2.0 and got[("a", 1)] == 3.0
+    assert got[("b", 0)] == 10.0 and got[("b", 1)] == 0.0
+
+
+def test_group_centroids_partition_independent(spark):
+    from biosd_feature_annotator_spark.operators.similarity import (
+        group_centroids_long,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, group_centroids_long(df, "label").collect()))
+    b = sorted(map(tuple, group_centroids_long(df.repartition(17), "label").collect()))
+    assert a == b  # exact long sums: no float-order dependence
