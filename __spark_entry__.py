@@ -1365,6 +1365,25 @@ def q_user_gap_stats(spark, sf):
     )
 
 
+def q_rank_with_nulls(spark, sf):
+    """Explicit NULL-ordering semantics in window sorts: Spark defaults
+    NULLS FIRST for ASC, DuckDB defaults NULLS LAST — a silent
+    cross-engine divergence unless pinned. Both sides order
+    asc_nulls_last with a unique tiebreak; nulls are injected
+    deterministically (event_id % 7) since the synth column has none."""
+    e = _t(spark, sf, "events").where(F.col("event_id") < 3000)
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = Window.partitionBy("event_type").orderBy(
+        v.asc_nulls_last(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.rank().over(w).cast("long").alias("rnk"),
+    )
+
+
 # Queries the driver must re-check EVERY round, in this exact order: the
 # batch + stream flagships (the north-star pipelines — they change most
 # rounds and must never age out of the driver's check window again), then
@@ -1496,6 +1515,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroids": q_emb_centroids,
         "edit_distances": q_edit_distances,
         "user_gap_stats": q_user_gap_stats,
+        "rank_with_nulls": q_rank_with_nulls,
         "sessionize_events": q_sessionize_events,
         "top_sources": q_top_sources,
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
@@ -2504,6 +2524,18 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER w AS quartile
             FROM customer WHERE c_custkey <= 500
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        """,
+        "rank_with_nulls": """
+            SELECT event_id, event_type, v,
+                   CAST(rank() OVER (
+                       PARTITION BY event_type
+                       ORDER BY v ASC NULLS LAST, event_id ASC
+                   ) AS BIGINT) AS rnk
+            FROM (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+                FROM events WHERE event_id < 3000
+            )
         """,
         "emb_centroids": """
             WITH x AS (

@@ -140,6 +140,15 @@ def main() -> None:
     )
     extras["kg_annotate_jvm_triples"] = n_jvm
 
+    # r4 operator families, timed as EXTRAS so the frozen RELATIONAL
+    # headline list stays round-comparable (same min-of-2 protocol)
+    qreg = entrymod._query_registry()
+    for extra_q in ("tfidf_top_terms", "bm25_docs", "doc_fluency",
+                    "bloom_semi_join", "kg_triangles"):
+        extras[f"{extra_q}_sec"] = timed_min(
+            lambda q=extra_q: qreg[q](spark, SF_DIR)
+        )
+
     timings["kg_graph_cc"] = timed_min(
         lambda: annotate(
             spark, transcripts.where("conv_id like 'c0000000%'"), lex
