@@ -63,18 +63,30 @@ def _stream_base(name: str) -> str:
         _RUN_TOKEN = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
     root = os.path.join(_REPO, ".tmp", name)
     try:
+        import shutil
+        import time as _time
+
+        now = _time.time()
         for entry in os.listdir(root):
             pid_s = entry.split("-", 1)[0]
             if not pid_s.isdigit() or entry.startswith(f"{os.getpid()}-"):
                 continue
+            path = os.path.join(root, entry)
             try:
                 os.kill(int(pid_s), 0)  # raises if the owner is gone
             except ProcessLookupError:
-                import shutil
-
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)
+                continue
             except OSError:
-                pass  # owner alive (or EPERM): leave it
+                pass  # EPERM: pid exists but isn't ours to probe
+            # pid-liveness alone can't reclaim under PID REUSE (a recycled
+            # pid owned by an unrelated long-lived process would pin the
+            # dir forever): age out anything untouched for 24 h regardless
+            try:
+                if now - os.stat(path).st_mtime > 24 * 3600:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
     except OSError:
         pass
     return os.path.join(root, _RUN_TOKEN)
@@ -2566,7 +2578,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) GROUP BY user_id
         """,
-        "curate_docs": """
+        "curate_docs": r"""
             WITH q AS (
                 SELECT doc_id, text,
                        round(
@@ -2616,7 +2628,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS vmax
             FROM orders GROUP BY o_orderpriority
         """,
-        "doc_fluency": """
+        "doc_fluency": r"""
             WITH b AS (
                 SELECT doc, t[i] AS w1, t[i + 1] AS w2
                 FROM (

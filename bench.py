@@ -140,15 +140,6 @@ def main() -> None:
     )
     extras["kg_annotate_jvm_triples"] = n_jvm
 
-    # r4 operator families, timed as EXTRAS so the frozen RELATIONAL
-    # headline list stays round-comparable (same min-of-2 protocol)
-    qreg = entrymod._query_registry()
-    for extra_q in ("tfidf_top_terms", "bm25_docs", "doc_fluency",
-                    "bloom_semi_join", "kg_triangles"):
-        extras[f"{extra_q}_sec"] = timed_min(
-            lambda q=extra_q: qreg[q](spark, SF_DIR)
-        )
-
     timings["kg_graph_cc"] = timed_min(
         lambda: annotate(
             spark, transcripts.where("conv_id like 'c0000000%'"), lex
@@ -168,6 +159,19 @@ def main() -> None:
     qs = entrymod.queries()
     for name in RELATIONAL:
         timings[name] = timed_min(lambda n=name: qs[n](spark, SF_DIR))
+
+    # r4+ operator families, timed as EXTRAS so the frozen RELATIONAL
+    # headline list stays round-comparable (same min-of-2 protocol).
+    # Runs AFTER the warm-up scan above so the extras get the same
+    # cold-page-cache protection as the headline queries; rep 2 is honest
+    # because each fresh invocation drops the previous rep's persisted
+    # intermediate (cache.scoped_persist) instead of reading it back.
+    qreg = entrymod._query_registry()
+    for extra_q in ("tfidf_top_terms", "bm25_docs", "doc_fluency",
+                    "bloom_semi_join", "kg_triangles"):
+        extras[f"{extra_q}_sec"] = timed_min(
+            lambda q=extra_q: qreg[q](spark, SF_DIR)
+        )
 
     # production-kernel MinHash as an extra: the headline docs_minhash_pairs
     # row deliberately runs the engine-portable md5 kernel (the

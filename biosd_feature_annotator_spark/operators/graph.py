@@ -119,20 +119,21 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     - per-node counts = explode the 3 corners + one map-side-combinable
       count.
     """
-    from pyspark.storagelevel import StorageLevel
+    from ..cache import scoped_persist
 
-    e = (
+    e = scoped_persist(
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
             F.greatest(F.col(a), F.col(b)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
+        .dropDuplicates(["u", "v"]),
         # the edge list feeds THREE join sides; without a persist Spark
         # re-derives it (and everything upstream — e.g. a full MinHash
-        # candidate generation) once per side. MEMORY_AND_DISK so the
-        # 100 TB case spills instead of OOMing.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # candidate generation) once per side. scoped_persist
+        # (MEMORY_AND_DISK): spills at 100 TB instead of OOMing, and a
+        # re-invocation releases the previous run's cache.
+        "graph.triangles.edges",
     )
     wedge = (
         e.alias("e1")

@@ -44,18 +44,19 @@ def tfidf_top_terms(
     score = tf * (ln((N + 1) / (df + 1)) + 1), ranked per doc by
     (score desc, term asc). Returns (id_col, term, tf, df, score) with
     score rounded to 4 decimals for engine-portable comparison."""
-    from pyspark.storagelevel import StorageLevel
+    from ..cache import scoped_persist
 
     toks = _terms(docs, id_col, text_col, min_term_len)
     # the tf table feeds both the score join and the df aggregate;
     # persisted so the corpus is tokenized once (a pushed-down filter
     # rewrites the branches unequally, so exchange reuse alone can't
-    # dedup them). MEMORY_AND_DISK: at corpus scale this is the
-    # materialized term-frequency table, disk-spillable by design.
-    tf = (
-        toks.groupBy("doc", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # dedup them). scoped_persist (MEMORY_AND_DISK): at most one live
+    # cached tf table per session — a re-invocation drops the previous
+    # run's cache instead of accumulating pinned plans or being silently
+    # served by CacheManager plan-equality.
+    tf = scoped_persist(
+        toks.groupBy("doc", "term").agg(F.count("*").alias("tf")),
+        "ranking.tfidf.tf",
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -101,19 +102,26 @@ def bm25_scores(
     contributions are summed in query_terms order via conditional
     aggregates — each folds exactly one row, so the double addition
     order is fixed and engine-portable."""
-    from pyspark.storagelevel import StorageLevel
+    from ..cache import scoped_persist
+
+    if not query_terms:
+        # zero aggregate expressions would make groupBy().agg() raise an
+        # AnalysisException; an empty query scores nothing by definition
+        return docs.select(
+            F.col(id_col), F.lit(0.0).alias("bm25")
+        ).where(F.lit(False))
 
     # every branch (dl, stats, tf, df) derives from ONE persisted
     # (doc, term) aggregate, so the corpus is tokenized and scanned a
     # single time instead of once per statistic (exchange reuse alone
     # can't dedup the branches: the query-term filter pushes down into
-    # one of them and makes the subtrees unequal). MEMORY_AND_DISK: this
-    # is the materialized term-frequency table, disk-spillable by design.
-    tf_all = (
+    # one of them and makes the subtrees unequal). scoped_persist: one
+    # live cached tf table max; re-invocation drops the previous cache.
+    tf_all = scoped_persist(
         _terms(docs, id_col, text_col, min_term_len)
         .groupBy("doc", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count("*").alias("tf")),
+        "ranking.bm25.tf",
     )
     dl = tf_all.groupBy("doc").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))

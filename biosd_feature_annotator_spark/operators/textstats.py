@@ -188,9 +188,11 @@ def bigram_fluency(
     b = staged.select("doc", F.explode("gs").alias("g")).select(
         "doc", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
     )
-    from pyspark.storagelevel import StorageLevel
+    from ..cache import scoped_persist
 
-    b = b.persist(StorageLevel.MEMORY_AND_DISK)  # feeds counts + the score join
+    # feeds counts + the score join; scoped: re-invocation releases the
+    # previous run's cache instead of pinning plans for the session
+    b = scoped_persist(b, "textstats.fluency.bigrams")
     bc = b.groupBy("w1", "w2").agg(F.count("*").alias("cnt_b"))
     uc = b.groupBy("w1").agg(F.count("*").alias("cnt_u"))
     v = b.agg(F.count_distinct("w2").alias("v"))

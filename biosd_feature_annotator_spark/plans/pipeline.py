@@ -200,8 +200,26 @@ def prewarm_extraction(
             "triples"
         ].count()
 
+    def _run_bg() -> None:
+        # a warmup failure must never take down the job, and if the main
+        # thread already stopped the session the in-flight action's py4j
+        # error is expected noise, not a defect — swallow it
+        try:
+            _run()
+        except Exception:
+            try:
+                stopped = spark.sparkContext._jsc is None
+            except Exception:
+                stopped = True
+            if not stopped:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "extraction prewarm failed (non-fatal)", exc_info=True
+                )
+
     if background:
-        t = threading.Thread(target=_run, name="extraction-prewarm", daemon=True)
+        t = threading.Thread(target=_run_bg, name="extraction-prewarm", daemon=True)
         t.start()
         return t
     _run()

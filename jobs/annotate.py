@@ -79,6 +79,7 @@ def main() -> None:
 
     spark = get_spark(master=args.master, app_name=f"annotate-{args.run_id}")
     lex = load_lexicon(args.lexicon)
+    prewarm_thread = None
     if args.extraction == "jvm":
         # overlap the backend's one-time Janino/grammar compilation with
         # input listing + reading (plans.pipeline.prewarm_extraction): by
@@ -86,7 +87,7 @@ def main() -> None:
         # in the session cache
         from biosd_feature_annotator_spark.plans.pipeline import prewarm_extraction
 
-        prewarm_extraction(spark, lex, background=True)
+        prewarm_thread = prewarm_extraction(spark, lex, background=True)
     if args.synth_turns:
         from biosd_feature_annotator_spark.synth import synth_transcripts
 
@@ -116,6 +117,11 @@ def main() -> None:
     )
     rows = manifest.groupBy().sum("n_rows", "n_triples").collect()[0]
     wall = time.time() - t0
+    if prewarm_thread is not None:
+        # don't let session teardown race the daemon thread's in-flight
+        # Spark actions (spurious py4j errors at exit); in practice the
+        # warmup finished long before the job did, so this is a no-op
+        prewarm_thread.join(timeout=120)
     print(
         json.dumps(
             {
