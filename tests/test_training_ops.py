@@ -234,6 +234,40 @@ def test_ivf_kmeans_training_is_drop_in(spark):
     assert S.ann_recall(trained, trained) == 1.0
 
 
+def test_ivf_trained_recall_on_clustered_embeddings(spark):
+    """The hedged claim from COVERAGE.md, demonstrated (r4 VERDICT ask
+    #2): on CLUSTERED embeddings (the realistic case — the driver's
+    near-uniform embeddings.parquet is the pathological one), k-means
+    training is the recall lever. Mixture-of-Gaussians fixture where
+    exact top-k is same-cluster by construction; untrained md5 centroids
+    split clusters across cells, trained cluster-mean centroids do not —
+    trained probe-1 recall must clear 0.9 AND strictly beat untrained
+    probe-2 (twice the probed fraction)."""
+    from biosd_feature_annotator_spark.operators import similarity as S
+
+    e = S.synth_clustered_embeddings(spark, 600, dim=32, k_centers=6).cache()
+    e.count()
+    q = e.where("vec_id < 30")
+    exact = S.cosine_topk(q, e, k=3).cache()
+    exact.count()
+    untrained_p2 = S.ann_recall(
+        S.ivf_cosine_topk(q, e, k=3, n_cells=6, n_probe=2, dim=32), exact
+    )
+    cents = S.train_ivf_centroids(e, n_cells=6, dim=32, rounds=3)
+    trained_p1 = S.ann_recall(
+        S.ivf_cosine_topk(q, e, k=3, n_cells=6, n_probe=1, dim=32,
+                          centroids=cents),
+        exact,
+    )
+    e.unpersist()
+    exact.unpersist()
+    assert trained_p1 >= 0.9, f"trained p1 recall {trained_p1}"
+    assert trained_p1 > untrained_p2, (
+        f"training must beat untrained at half the probes: "
+        f"trained_p1={trained_p1} untrained_p2={untrained_p2}"
+    )
+
+
 def test_hash_split_deterministic_and_proportional(spark):
     from biosd_feature_annotator_spark.operators.training import hash_split
 

@@ -11,6 +11,18 @@ Measures, on the same query set the oracle-checked entries use
   rounds) at probe 1 and 2 — the production swap-in; training changes
   ONLY the centroid table, not the plan shape.
 
+Plus (r4 VERDICT ask #2) the same comparison on CLUSTERED embeddings —
+a deterministic mixture-of-Gaussians fixture (synth_clustered_embeddings:
+8 well-separated centers, within-cluster cone wide enough that arbitrary
+centroids split clusters). On near-uniform data IVF recall can only track
+the probed cell fraction regardless of training; on clustered data the
+trained centroid table captures whole neighborhoods per cell — trained
+probe-1 recall ≥ 0.9 at settings the uniform table cannot reach.
+
+Measured on this box (recorded in BENCH/BASELINE.md):
+  uniform  sf0.01:  untrained_p2 0.50, kmeans3_p1 0.40, kmeans3_p2 0.62
+  clustered n=2000: untrained_p2 0.60, kmeans3_p1 1.00, kmeans3_p2 1.00
+
 Usage: python tools/ann_recall_report.py [sf_dir ...]
 """
 
@@ -51,12 +63,47 @@ def report(spark, sf: str, k: int = 3, dim: int = 64) -> dict:
     return {name: round(v, 4) for name, v in out.items()}
 
 
+def report_clustered(
+    spark, n: int = 2000, dim: int = 64, k: int = 3, n_cells: int = 8
+) -> dict:
+    """Same untrained-vs-trained comparison on the clustered MoG fixture
+    (8 centers = n_cells, 40 queries). Exact top-k here is same-cluster
+    by construction, so recall measures whether the cell table keeps
+    clusters together — the thing training is FOR."""
+    e = S.synth_clustered_embeddings(spark, n, dim=dim, k_centers=n_cells)
+    e = e.cache()
+    e.count()
+    q = e.where("vec_id < 40")
+    exact = S.cosine_topk(q, e, k=k).cache()
+    exact.count()
+    out = {
+        "ivf_untrained_p2": S.ann_recall(
+            S.ivf_cosine_topk(q, e, k=k, n_cells=n_cells, n_probe=2, dim=dim),
+            exact,
+        ),
+    }
+    cents = S.train_ivf_centroids(e, n_cells=n_cells, dim=dim, rounds=3)
+    for p in (1, 2):
+        out[f"ivf_kmeans3_p{p}"] = S.ann_recall(
+            S.ivf_cosine_topk(q, e, k=k, n_cells=n_cells, n_probe=p, dim=dim,
+                              centroids=cents),
+            exact,
+        )
+    exact.unpersist()
+    e.unpersist()
+    return {name: round(v, 4) for name, v in out.items()}
+
+
 def main() -> None:
     sfs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     spark = get_spark(master="local[8]", app_name="ann-recall",
                       shuffle_partitions=8)
     for sf in sfs:
         print(json.dumps({"sf_dir": sf, "recall_at_3": report(spark, sf)}))
+    print(json.dumps({
+        "fixture": "clustered_mog_n2000_dim64_k8",
+        "recall_at_3": report_clustered(spark),
+    }))
     spark.stop()
 
 
