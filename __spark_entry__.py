@@ -42,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from biosd_feature_annotator_spark.operators import dedup as _dedup  # noqa: E402
 from biosd_feature_annotator_spark.operators import similarity as _sim  # noqa: E402
 from biosd_feature_annotator_spark.operators import textstats as _ts  # noqa: E402
+from biosd_feature_annotator_spark.operators import bpe as _bpe  # noqa: E402
 from biosd_feature_annotator_spark.operators.textstats import LANG_MARKERS  # noqa: E402
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -1269,6 +1270,29 @@ def q_doc_fluency(spark, sf):
     return _ts.bigram_fluency(d).select("doc_id", "n_bigrams", "fluency")
 
 
+def q_bpe_tokenize_docs(spark, sf):
+    """Trained-BPE tokenization with the FROZEN merge table
+    (operators/bpe.py, BPE_MERGES_V1 — trained by tools/train_bpe.py on
+    this corpus; the DataFrame trainer is asserted merge-for-merge
+    against a pure-Python reference). Tokenization is per-row Catalyst
+    (spaced-symbol string + two literal replaces per merge, a provable
+    fixpoint) — no explode, no shuffle, so it composes into a 100 TB
+    scan as a projection. The oracle replays the identical frozen table
+    with the identical nested-replace expression in DuckDB."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    words = _bpe.norm_words(F.col("text"))
+    toks = _bpe.bpe_tokens(F.col("text"), _bpe.BPE_MERGES_V1)
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+    )
+
+
 def q_curate_docs(spark, sf):
     """The composed curation pipeline (training.curate_documents):
     quality filter → exact-dedup survivors → deterministic split, every
@@ -1522,6 +1546,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "stream_join_purchases": q_stream_join_purchases,
         "doc_fluency": q_doc_fluency,
+        "bpe_tokenize_docs": q_bpe_tokenize_docs,
         "curate_docs": q_curate_docs,
         "agg_state_merge": q_agg_state_merge,
         "emb_centroids": q_emb_centroids,
@@ -2046,6 +2071,49 @@ def _lang_score_sql(lang: str) -> str:
         "regexp_replace(text, '\\s+', ' ', 'g'))), ' ')), "
         f"x -> list_contains([{markers}], x)))"
     )
+
+
+def _bpe_replay_sql(expr: str) -> str:
+    """Nested-replace expression replaying the frozen BPE merge table on
+    a spaced-symbol string — byte-identical semantics to
+    operators.bpe.apply_merges (two leftmost non-overlapping literal
+    replaces per merge = fixpoint; symbols never contain spaces)."""
+    out = expr
+    for a, b in _bpe.BPE_MERGES_V1:
+        out = (
+            f"replace(replace({out}, ' {a} {b} ', ' {a}{b} '), "
+            f"' {a} {b} ', ' {a}{b} ')"
+        )
+    return out
+
+
+def _bpe_tokenize_docs_sql() -> str:
+    replay = _bpe_replay_sql(
+        "(' ' || regexp_replace(word, '(.)', '\\1 ', 'g'))"
+    )
+    return rf"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                       x -> len(x) > 0)) AS word
+            FROM documents WHERE doc_id < 300
+        ), agg_w AS (
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(len(word)) AS BIGINT) AS n_chars
+            FROM w GROUP BY doc_id
+        ), tk AS (
+            SELECT doc_id,
+                   unnest(string_split(trim({replay}), ' ')) AS tok
+            FROM w
+        ), agg_t AS (
+            SELECT doc_id, count(*) AS n_bpe,
+                   count(DISTINCT tok) AS n_distinct_bpe
+            FROM tk GROUP BY doc_id
+        )
+        SELECT doc_id, n_words, n_chars, n_bpe, n_distinct_bpe
+        FROM agg_w JOIN agg_t USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2578,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) GROUP BY user_id
         """,
+        "bpe_tokenize_docs": _bpe_tokenize_docs_sql(),
         "curate_docs": r"""
             WITH q AS (
                 SELECT doc_id, text,

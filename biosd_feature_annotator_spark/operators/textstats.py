@@ -36,7 +36,10 @@ def token_count(text) -> Column:
 
 def bpe_ish_token_count(text) -> Column:
     """Sub-word-ish token estimate: word pieces + digit runs + punctuation
-    as separate tokens (a BPE-shaped regex, not a trained BPE)."""
+    as separate tokens (a BPE-shaped regex, not a trained BPE). For a
+    REAL trained merge table see operators/bpe.py (train_bpe_merges /
+    bpe_token_count) — this regex form is kept as the zero-setup
+    estimator and for the doc_bpe_tokens oracle entry."""
     return F.coalesce(
         F.size(F.regexp_extract_all(text, F.lit(r"([A-Za-z]{1,6}|\d+|[^\sA-Za-z\d])"), 1)),
         F.lit(0),
