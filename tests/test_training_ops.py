@@ -180,10 +180,86 @@ def test_multimodal_features(spark):
     assert all(again[r.media_id] == r.feature for r in rows)
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_rejects_unparseable(spark):
+    """fake=False runs the REAL codecs: raw hash bytes are not a valid
+    BMP/PGM/WAV payload, so the decode fails at action time (ValueError
+    inside the task, surfaced through the Python worker)."""
+    from pyspark.errors.exceptions.captured import PythonException
+
     media = synth_media(spark, 2)
-    with pytest.raises(NotImplementedError):
-        extract_features(media, fake=False)
+    with pytest.raises(PythonException, match="unrecognized payload"):
+        extract_features(media, fake=False).collect()
+
+
+def test_multimodal_real_codecs_roundtrip():
+    """Library-free codecs invert the encoders byte-exactly, including
+    the cases the synth fixture does NOT cover: padded BMP rows (pad
+    bytes excluded from stats), top-down BMP (negative height), and a
+    WAV with a non-canonical extra chunk before data."""
+    import struct
+
+    import numpy as np
+
+    from biosd_feature_annotator_spark.operators import multimodal as M
+
+    for i in range(9):
+        enc = (M._enc_bmp, M._enc_pgm, M._enc_wav)[i % 3]
+        fmt, w, h, rate, vals = M.sniff_decode(enc(i))
+        if i % 3 == 0:
+            assert (fmt, w, h, rate) == (
+                "bmp", 4 * (1 + (i // 3) % 3), 3 + (i // 3) % 4, None)
+            nv = 3 * w * h
+        elif i % 3 == 1:
+            assert (fmt, w, h, rate) == (
+                "pgm", 5 + (i // 3) % 7, 4 + (i // 3) % 5, None)
+            nv = w * h
+        else:
+            assert (fmt, w, h) == ("wav", None, None)
+            assert rate == 8000 + 100 * ((i // 3) % 40)
+            nv = 20 + (i // 3) % 13
+        exp = M._digest_tile(i, nv)
+        assert vals.size == nv
+        assert int(vals.astype(np.int64).sum()) == int(exp.astype(np.int64).sum())
+
+    # padded BMP (w=5 → rowbytes 15 padded to 16): 0xAA pads excluded
+    w, h = 5, 2
+    px = (bytes(range(15)) + b"\xaa") * h
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    _, dw, dh, _, vals = M.sniff_decode(hdr + dib + px)
+    assert (dw, dh, vals.size) == (5, 2, 30)
+    assert int(vals.astype(np.int64).sum()) == 2 * sum(range(15))
+    # top-down BMP: negative height, same stats
+    dib2 = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    _, _, dh2, _, vals2 = M.sniff_decode(hdr + dib2 + px)
+    assert dh2 == 2 and int(vals2.astype(np.int64).sum()) == 2 * sum(range(15))
+    # WAV with an extra LIST chunk before data: chunk scan, not offset 36
+    wv = M._enc_wav(5)
+    extra = b"LIST" + struct.pack("<I", 4) + b"info"
+    p2 = wv[:36] + extra + wv[36:]
+    fmt3, _, _, r3, vals3 = M.sniff_decode(
+        b"RIFF" + struct.pack("<I", len(p2) - 8) + p2[8:]
+    )
+    assert fmt3 == "wav" and r3 == 8000 + 100 * ((5 // 3) % 40)
+    assert vals3.size == 20 + (5 // 3) % 13
+
+
+def test_multimodal_real_features_from_decoded_bytes(spark):
+    """fake=False feature vectors are built from the ACTUALLY decoded
+    sample values (first dim values / 256), not the payload bytes."""
+    import numpy as np
+
+    from biosd_feature_annotator_spark.operators import multimodal as M
+
+    media = M.synth_media_real(spark, 9)
+    rows = {r.media_id: r.feature
+            for r in M.extract_features(media, dim=8, fake=False).collect()}
+    assert len(rows) == 9
+    for i in range(9):
+        vals = M.sniff_decode((M._enc_bmp, M._enc_pgm, M._enc_wav)[i % 3](i))[4]
+        reps = int(np.ceil(8 / vals.size))
+        want = (np.tile(vals, reps)[:8].astype(np.float32) / 256.0).tolist()
+        assert rows[f"m{i}"] == pytest.approx(want)
 
 
 def test_frame_sampling(spark):
