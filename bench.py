@@ -97,6 +97,14 @@ def main() -> None:
     extras["kg_annotate_spinup_sec_5k"] = round(time.time() - t0, 3)
 
     n_triples = force(annotate(spark, transcripts, lex, build_graph=False)["triples"])
+    # METHODOLOGY CORRECTION (r5, disclosed): through r4 each rep's
+    # mention persist was silently served from the previous invocation's
+    # cache by CacheManager plan-equality (the "Asked to cache already
+    # cached data" warnings in the r4 bench tail), so min-of-2 timed an
+    # extraction-free pipeline. pipeline.annotate now uses scoped_persist
+    # (drops the prior cache first), so every rep pays full extraction —
+    # expect kg_annotate and kg_graph_cc HIGHER than r4 for that reason,
+    # not as a regression.
     dt = timed_min(
         lambda: annotate(spark, transcripts, lex, build_graph=False)["triples"]
     )
@@ -168,7 +176,8 @@ def main() -> None:
     # intermediate (cache.scoped_persist) instead of reading it back.
     qreg = entrymod._query_registry()
     for extra_q in ("tfidf_top_terms", "bm25_docs", "doc_fluency",
-                    "bloom_semi_join", "kg_triangles"):
+                    "bloom_semi_join", "kg_triangles",
+                    "bpe_tokenize_docs", "media_decode_stats"):
         extras[f"{extra_q}_sec"] = timed_min(
             lambda q=extra_q: qreg[q](spark, SF_DIR)
         )

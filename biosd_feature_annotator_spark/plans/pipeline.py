@@ -61,8 +61,6 @@ def annotate(
     edge divergences in its module docstring). The JVM backend is what the
     scaling bench measures at N vs 4N cores: it removes Arrow IPC and
     Python-worker contention from the scaling path."""
-    from pyspark.storagelevel import StorageLevel
-
     # the one mandated shuffle (BASELINE.json): conversation co-location.
     # repartition=0 skips it — correct when the source is already laid out
     # by bucket(conv_id) (write_transcripts / the Iceberg partition spec),
@@ -80,7 +78,19 @@ def annotate(
     else:
         mentions = extract_mentions(src, lex)
     if cache_mentions:
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        # scoped (r5): a bare persist pinned one mention cache PER
+        # INVOCATION for the session lifetime, and a re-invocation with
+        # an equal plan was silently served from the previous run's
+        # cache (CacheManager plan-equality — visible as "Asked to cache
+        # already cached data" warnings in the r4 bench tail, which made
+        # bench min-of-2 reps extraction-free). At most one live mention
+        # cache now; a fresh annotate() drops the previous one first.
+        # Note for callers holding an EARLIER annotate()'s lazy frames:
+        # forcing them after a newer call re-derives mentions uncached —
+        # correct results, just unmemoized.
+        from ..cache import scoped_persist
+
+        mentions = scoped_persist(mentions, "pipeline.mentions")
     lex_df = lexicon_df(spark, lex)
     # Lexicon.surface_map is a *function* surface→term and the extractor
     # dedupes mentions per turn (operators/extract._dedupe_turn), so the
