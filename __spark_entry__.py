@@ -1288,6 +1288,32 @@ def q_doc_fluency(spark, sf):
     return _ts.bigram_fluency(d).select("doc_id", "n_bigrams", "fluency")
 
 
+def q_doc_scrub_pii(spark, sf):
+    """PII redaction (operators/scrub.py): ordered RE2-compatible
+    regexp_replace chain + per-pattern match counts over a deterministic
+    synthetic PII corpus (the parquet documents contain none). The
+    oracle regenerates the identical texts from generate_series and
+    replays the identical pattern strings in DuckDB — scrubbed strings
+    compare verbatim, so any cross-engine regex divergence would
+    hash-mismatch."""
+    from biosd_feature_annotator_spark.operators.scrub import (
+        scrub_features,
+        synth_pii_texts,
+    )
+
+    return scrub_features(synth_pii_texts(spark, 300))
+
+
+def q_doc_repetition(spark, sf):
+    """Gopher-style repetition gates (textstats.repetition_features):
+    repeated-word mass, top-bigram coverage, duplicated-3-gram position
+    fraction — all per-row Catalyst array algebra (zero shuffle; the
+    oracle re-derives them with unnest + GROUP BY, a different but
+    value-identical formulation)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return _ts.repetition_features(d)
+
+
 def q_bpe_tokenize_docs(spark, sf):
     """Trained-BPE tokenization with the FROZEN merge table
     (operators/bpe.py, BPE_MERGES_V1 — trained by tools/train_bpe.py on
@@ -1564,6 +1590,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "stream_join_purchases": q_stream_join_purchases,
         "doc_fluency": q_doc_fluency,
+        "doc_scrub_pii": q_doc_scrub_pii,
+        "doc_repetition": q_doc_repetition,
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
         "media_decode_stats": q_media_decode_stats,
         "curate_docs": q_curate_docs,
@@ -2135,6 +2163,48 @@ def _bpe_tokenize_docs_sql() -> str:
     """
 
 
+def _scrub_pii_sql() -> str:
+    """Regenerates q_doc_scrub_pii's synthetic corpus and replays the
+    scrub with the SAME pattern strings (imported, not retyped — a
+    pattern edit cannot desynchronize the twin)."""
+    from biosd_feature_annotator_spark.operators.scrub import PII_PATTERNS
+
+    (e_name, e_pat, e_rep), (p_name, p_pat, p_rep), (i_name, i_pat, i_rep) = (
+        PII_PATTERNS
+    )
+    return f"""
+        WITH base AS (
+            SELECT CAST(i AS BIGINT) AS doc_id,
+                   CASE WHEN i % 3 = 0
+                        THEN 'no contact info in record ' || CAST(i AS VARCHAR)
+                        ELSE 'reach user u' || CAST(i AS VARCHAR)
+                             || '@mail' || CAST(i % 7 AS VARCHAR)
+                             || '.org from 10.' || CAST(i % 256 AS VARCHAR)
+                             || '.' || CAST((i * 7) % 256 AS VARCHAR)
+                             || '.' || CAST(i % 100 AS VARCHAR)
+                             || ' or call 555-' || CAST((i % 900) + 100 AS VARCHAR)
+                             || '-' || CAST((i % 9000) + 1000 AS VARCHAR)
+                             || ' about batch ' || CAST(i AS VARCHAR)
+                   END AS t0
+            FROM generate_series(0, 299) t(i)
+        ), s1 AS (
+            SELECT doc_id, t0,
+                   regexp_replace(t0, '{e_pat}', '{e_rep}', 'g') AS t1
+            FROM base
+        ), s2 AS (
+            SELECT doc_id, t0, t1,
+                   regexp_replace(t1, '{p_pat}', '{p_rep}', 'g') AS t2
+            FROM s1
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t0, '{e_pat}')) AS BIGINT) AS n_{e_name},
+               CAST(len(regexp_extract_all(t1, '{p_pat}')) AS BIGINT) AS n_{p_name},
+               CAST(len(regexp_extract_all(t2, '{i_pat}')) AS BIGINT) AS n_{i_name},
+               regexp_replace(t2, '{i_pat}', '{i_rep}', 'g') AS scrubbed
+        FROM s2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     langs = sorted(LANG_MARKERS)  # de en es fr zh — matches detect_lang order
     lang_scores = ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in langs)
@@ -2664,6 +2734,44 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id ORDER BY ts, event_id) AS g
                 FROM events
             ) GROUP BY user_id
+        """,
+        "doc_scrub_pii": _scrub_pii_sql(),
+        "doc_repetition": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+                       len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n
+                FROM documents WHERE doc_id < 300
+            ), g2 AS (
+                SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+                FROM base, unnest(range(1, greatest(n - 1, 0) + 1)) u(i)
+            ), g2c AS (
+                SELECT doc_id, max(c) AS max2
+                FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ), g3 AS (
+                SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+                FROM base, unnest(range(1, greatest(n - 2, 0) + 1)) u(i)
+            ), g3c AS (
+                SELECT doc_id,
+                       sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3,
+                       sum(c) AS tot3
+                FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+                GROUP BY doc_id
+            )
+            SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   round(CASE WHEN n > 0
+                              THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n
+                              ELSE 0.0 END, 6) AS word_rep_frac,
+                   round(CASE WHEN n > 0
+                              THEN 2.0 * coalesce(max2, 0) / n
+                              ELSE 0.0 END, 6) AS top2_cov,
+                   round(CASE WHEN coalesce(tot3, 0) > 0
+                              THEN CAST(dup3 AS DOUBLE) / tot3
+                              ELSE 0.0 END, 6) AS dup3_frac
+            FROM base b
+            LEFT JOIN g2c USING (doc_id)
+            LEFT JOIN g3c USING (doc_id)
         """,
         "bpe_tokenize_docs": _bpe_tokenize_docs_sql(),
         # generative re-derivation of the REAL-format decode: geometry

@@ -130,6 +130,82 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. §A1.1), the
+    standard pre-training text gates missing between length/punct
+    heuristics and the corpus-level dedup ops:
+
+    - word_rep_frac: 1 − distinct_tokens / n_tokens — repeated-word mass;
+    - top2_cov: fraction of tokens covered by the single most frequent
+      bigram (2 · max bigram count / n_tokens);
+    - dup3_frac: fraction of 3-gram POSITIONS whose 3-gram occurs more
+      than once in the document.
+
+    Scale shape: all three are PER-ROW Catalyst array algebra — token and
+    gram arrays via transform/sequence, per-gram counts via a
+    filter-inside-transform over the distinct grams (O(len²) in the
+    document's own length, length-bounded, zero shuffle) — so the gate
+    composes into a 100 TB scan as a projection, unlike a
+    groupBy-per-document formulation which would shuffle the corpus."""
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    n = F.size(toks)
+
+    def grams(k: int) -> Column:
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def max_count(arr: Column) -> Column:
+        # count of the most frequent element; 0 on empty
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda g: F.size(F.filter(arr, lambda x: x == g)),
+                )
+            ),
+            F.lit(0),
+        )
+
+    g2, g3 = grams(2), grams(3)
+    dup3_positions = F.aggregate(
+        F.transform(
+            F.array_distinct(g3),
+            lambda g: F.size(F.filter(g3, lambda x: x == g)),
+        ),
+        F.lit(0),
+        lambda acc, c: acc + F.when(c >= 2, c).otherwise(F.lit(0)),
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)) / n)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("word_rep_frac"),
+        F.round(
+            F.when(n > 0, 2.0 * max_count(g2) / n).otherwise(F.lit(0.0)), 6
+        ).alias("top2_cov"),
+        F.round(
+            F.when(
+                F.size(g3) > 0, dup3_positions / F.size(g3)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup3_frac"),
+    )
+
+
 def doc_fingerprint(text) -> Column:
     """Stable content fingerprint of the normalized text (md5 hex)."""
     return F.md5(norm_text_col(text))

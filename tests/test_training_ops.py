@@ -168,6 +168,52 @@ def test_fingerprints(spark):
     assert wby[0] == wby[1] != wby[2]
 
 
+# -------------------------------------------------- repetition / scrubbing
+def test_repetition_features_hand_computed(spark):
+    d = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "x x x x"), (2, "all tokens unique here")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_features(d).collect()}
+    # "a b a b c": 5 toks, 3 distinct; max bigram "a b"×2; no dup 3-gram
+    assert rows[0].n_tokens == 5
+    assert rows[0].word_rep_frac == pytest.approx(0.4)
+    assert rows[0].top2_cov == pytest.approx(0.8)
+    assert rows[0].dup3_frac == 0.0
+    # "x x x x": overlapping runs — top2_cov may exceed 1 by design
+    # (2·count of "x x"(×3) / 4); both 3-gram positions duplicated
+    assert rows[1].word_rep_frac == pytest.approx(0.75)
+    assert rows[1].top2_cov == pytest.approx(1.5)
+    assert rows[1].dup3_frac == pytest.approx(1.0)
+    assert (rows[2].word_rep_frac, rows[2].top2_cov, rows[2].dup3_frac) == (
+        0.0, 0.5, 0.0)  # unique toks: every bigram count 1 → 2·1/4
+
+
+def test_scrub_pii_hand_computed(spark):
+    from biosd_feature_annotator_spark.operators.scrub import (
+        scrub_features,
+        synth_pii_texts,
+    )
+
+    rows = {r.doc_id: r
+            for r in scrub_features(synth_pii_texts(spark, 6)).collect()}
+    assert (rows[0].n_email, rows[0].n_phone, rows[0].n_ip) == (0, 0, 0)
+    assert rows[0].scrubbed == "no contact info in record 0"
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ip) == (1, 1, 1)
+    assert rows[1].scrubbed == (
+        "reach user <EMAIL> from <IP> or call <PHONE> about batch 1"
+    )
+    # a hand-written line exercising boundaries the fixture doesn't
+    d = spark.createDataFrame(
+        [(9, "a.b-c@x.io,10.0.0.1 555-12-1234 555-123-4567")],
+        "doc_id int, text string",
+    )
+    r = scrub_features(d).collect()[0]
+    # 555-12-1234 is NOT a phone (middle group needs 3-4 digits)
+    assert (r.n_email, r.n_phone, r.n_ip) == (1, 1, 1)
+    assert r.scrubbed == "<EMAIL>,<IP> 555-12-1234 <PHONE>"
+
+
 # -------------------------------------------------------------- multimodal
 def test_multimodal_features(spark):
     media = synth_media(spark, 30)
