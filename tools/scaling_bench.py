@@ -141,7 +141,7 @@ def _ctl_texts() -> None:
         "rows = synth_transcripts(s, 120000, rich_rate=0.5, filler_words=40)"
         ".select('text').collect(); "
         "open('/tmp/kg_scale_ctl_texts.txt','w').write("
-        "'\n'.join(r.text.replace(chr(10),' ') for r in rows)); s.stop()"
+        "chr(10).join(r.text.replace(chr(10),' ') for r in rows)); s.stop()"
         % (REPO,)
     )
     subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
@@ -240,21 +240,27 @@ def main() -> None:
     inner = 3 if not quick else 2
 
     # --- headline: python backend at 2 → 8, adjacent phases per rep.
-    # Interference guard: a Spark-free control ceiling > 1.02 is physically
-    # impossible on an idle box (4x the processes cannot beat 4x the
-    # throughput of an embarrassingly parallel kernel; turbo boost only
-    # pushes it BELOW 1) — it means external load crushed the small-level
-    # phase of that rep, so the rep is remeasured once and, if still
-    # corrupted, recorded as-is and flagged.
+    # Interference guard, TWO-SIDED (r5: the r4 guard was one-sided and a
+    # noisy-box run slipped through with control 0.750):
+    # - control ceiling > 1.02 is physically impossible on an idle box
+    #   (4x the processes cannot beat 4x the throughput of an
+    #   embarrassingly parallel kernel; turbo only pushes it BELOW 1) —
+    #   external load crushed the 2-core phase;
+    # - control ceiling < 0.85 means the control's own 8-proc phase was
+    #   crushed (this box's genuine ceiling at 2→8 has measured 0.89-1.00
+    #   across every quiet window in rounds 2-5) — external load hit the
+    #   wide phase.
+    # Either way the rep is remeasured once and, if still corrupted,
+    # recorded as-is and flagged.
     head, ctls, flagged = [], [], 0
     for _ in range(reps):
         for attempt in range(2):
             a = run_level(2, N_HEAD, inner, "python", script)
             b = run_level(8, N_HEAD, inner, "python", script)
             c = hardware_ceiling(2, 8)
-            if c["ceiling_eff"] <= 1.02:
+            if 0.85 <= c["ceiling_eff"] <= 1.02:
                 break
-        if c["ceiling_eff"] > 1.02:
+        if not (0.85 <= c["ceiling_eff"] <= 1.02):
             flagged += 1
         head.append((a, b, (b["turns_per_sec"] / a["turns_per_sec"]) / 4.0))
         ctls.append(c["ceiling_eff"])
@@ -333,8 +339,9 @@ warm-up, ≥30 s timed windows, adjacent phases per rep, medians over
 **Scaling efficiency (median of per-rep (thr_8/thr_2)/4) = {eff:.3f}**
 (criterion ≥ 0.8: {"MET" if eff >= 0.8 else "NOT MET"}).
 Spark-free hardware control at the same pairing: {ceiling:.3f}
-({flagged} rep(s) still interference-flagged after remeasure — a control
-ceiling above 1.02 marks external load hitting the 2-core phase).
+({flagged} rep(s) still interference-flagged after remeasure — control
+ceiling > 1.02 marks external load on the 2-core phase, < 0.85 on the
+8-core phase; the guard remeasures either case once).
 
 Best-rep absolute throughput: {r2['turns_per_sec']:,} turns/s @2 cores,
 {r8['turns_per_sec']:,} turns/s @8 cores
@@ -360,16 +367,18 @@ The "jvm" rows are the zero-Python extraction backend
 Bloom-gated broadcast gram join, fingerprint-identical output
 (parity-tested against the pandas path on the synth AND golden corpora).
 It removes Arrow IPC and Python workers from the measurement entirely.
-Its lower efficiency here is understood, not hidden: after the r3 rework
-(anchor-keyed containment join, staged masking projections, folded Bloom
-literals) the remaining cross-level costs are the term stage's ONE
-best-match reduction shuffle — whose relative weight grows as cores
-shrink the scan — and the masking chain's regex passes, which are
-memory-bandwidth-bound and so hit the shared memory controller earlier
-than the pandas path's cache-resident per-row kernel. The production
-default remains the pandas path; the jvm rows exist as a second,
-Python-free witness of the same determinism and of the box's (not the
-engine's) saturation.
+Its lower efficiency here is understood, not hidden — and since r5 it is
+MEASURED, not argued: tools/jvm_stage_attribution.py tables every
+stage's wall and executor run time at both levels (see the r5
+attribution section below). The best-match reduction shuffle is ~5% of
+wall; ~75% of the gap is executor-runtime INFLATION (1.20-1.33×) in the
+two heavy codegen map branches — the masking chain and gram explode are
+memory-bandwidth-bound, so 4× the cores on ONE socket share the same
+DRAM channels (a real N→4N cluster adds sockets and does not) — and the
+rest is a fixed ~4 s broadcast-build floor. The production default
+remains the pandas path (compute-bound per row, hence 0.8+); the jvm
+rows exist as a second, Python-free witness of the same determinism and
+of the box's (not the engine's) saturation.
 
 ## Multi-JVM witness: 1 JVM × 2 cores → 4 JVMs × 2 cores
 
@@ -400,8 +409,20 @@ across every rep at both headline levels: {same_fp}
     # --quick runs are smoke tests of the harness, not evidence: never let
     # them overwrite the published measurement file
     out_name = "BASELINE.quick.md" if quick else "BASELINE.md"
-    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
-        f.write(md)
+    out_path = os.path.join(REPO, "BENCH", out_name)
+    # PRESERVE appended evidence: everything from the marker down
+    # (cross-round context, per-round drift checks, skew/attribution
+    # tables) is hand-curated history a regeneration must not destroy
+    marker = "<!-- appended-evidence -->"
+    tail = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if marker in old:
+            tail = old[old.index(marker):]
+    if not tail:
+        tail = marker + "\n"
+    with open(out_path, "w") as f:
+        f.write(md + "\n" + tail)
     print(json.dumps({"eff": eff, "ceiling": ceiling,
                       "mjvm_eff": mjvm_eff,
                       "curve": [(lo, hi, ex, e) for lo, hi, ex, _, _, e in curve],
