@@ -636,6 +636,24 @@ def q_emb_ivf_topk(spark, sf):
     )
 
 
+def q_emb_pq_topk(spark, sf):
+    """Product-quantization ADC top-k (similarity.pq_*): corpus vectors
+    compressed to 4 one-byte codes (16 centroids per 16-dim subspace,
+    deterministic md5 codebooks — the oracle-checkable configuration;
+    train_pq_codebooks is the drop-in quality swap), queries score
+    candidates via a per-query distance table with a FIXED-ORDER 4-term
+    sum, so even the unrounded ranking is engine-comparable. DuckDB
+    recomputes code assignment, the distance tables and the ADC ranking
+    from the same centroid literals."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    cbs = _sim.pq_seed_codebooks(m=4, k=16, dim=64)
+    return _sim.pq_adc_topk(q, e, cbs, k=3).select(
+        "query_id", "neighbor_id", F.round("adc", 3).alias("adc"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_docs_minhash_pairs(spark, sf):
     """MinHash→LSH→exact-verify on the portable md5 kernel: DuckDB
     recomputes the identical shingle hashes, signatures, band buckets and
@@ -1349,6 +1367,39 @@ def q_curate_docs(spark, sf):
     return out.select("doc_id", "q_score", F.col("bucket").cast("long"), "split")
 
 
+def q_decontaminate_docs(spark, sf):
+    """Benchmark decontamination (training.decontaminate): training docs
+    annotated with the count of distinct verbatim 6-token spans shared
+    with the held-out slice (doc_id % 10 == 7 plays the benchmark) — the
+    GPT-3-style n-gram overlap rule. md5 span kernel so the DuckDB twin
+    recomputes identical hashes; the eval span index is a broadcast and
+    the train side is one shingle pass (the 100 TB shape)."""
+    from biosd_feature_annotator_spark.operators.training import decontaminate
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    ev = d.where(F.col("doc_id") % 10 == 7)
+    tr = d.where(F.col("doc_id") % 10 != 7)
+    return decontaminate(tr, ev, n=6, min_hits=1, hasher="md5").select(
+        "doc_id", "contam_hits", "contaminated"
+    )
+
+
+def q_mix_sources(spark, sf):
+    """Temperature-style domain rebalancing (training.mix_sources,
+    alpha=0.5): source s keeps each row with fraction sqrt(n_min/n_s)
+    (kept counts ∝ sqrt(n_s); rarest source whole) via a pure
+    md5-digits-9-12 projection — no RNG, row-identical across engines,
+    reruns and partitionings. The per-source cut is a sqrt (correctly
+    rounded IEEE in both engines), so the SQL twin reproduces the exact
+    row set."""
+    from biosd_feature_annotator_spark.operators.training import mix_sources
+
+    d = _t(spark, sf, "documents")
+    return mix_sources(d, "doc_id", "source", alpha=0.5).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 def q_agg_state_merge(spark, sf):
     """Incremental aggregate maintenance (plans/materialize.partial_agg_
     state + merge_agg_states): two runs' partial states over disjoint
@@ -1594,6 +1645,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
         "media_decode_stats": q_media_decode_stats,
+        "decontaminate_docs": q_decontaminate_docs,
+        "mix_sources": q_mix_sources,
         "curate_docs": q_curate_docs,
         "agg_state_merge": q_agg_state_merge,
         "emb_centroids": q_emb_centroids,
@@ -1605,6 +1658,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-keyed / literal-plane / derivable forms — all oracle-checked
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_pq_topk": q_emb_pq_topk,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "stream_user_stats": q_stream_user_stats,
@@ -1935,6 +1989,77 @@ def _ivf_sql(n_cells: int = 8, n_probe: int = 2, dim: int = 64, k: int = 3) -> s
             FROM scored
         )
         SELECT query_id, neighbor_id, round(cos, 3) AS cos,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _pq_sql(m: int = 4, kc: int = 16, dim: int = 64, k: int = 3) -> str:
+    """DuckDB twin of q_emb_pq_topk: one UNION ALL arm per (subspace,
+    centroid) computes both the assignment metric (|c|² − 2·x·c, argmin
+    → code) and the true squared distance (the ADC table entry) from the
+    SAME centroid literals the Spark plan folds in; the per-candidate
+    ADC sum is pivoted per subspace and added with explicit left
+    association, matching the Spark fold's addition order bit-for-bit —
+    so the UNROUNDED ranking agrees (equal-code candidates get the
+    bitwise-identical sum, and the neighbor_id tie-break decides)."""
+    cbs = _sim.pq_seed_codebooks(m=m, k=kc, dim=dim)
+    sub = dim // m
+    arms = []
+    for j, cb in enumerate(cbs):
+        lo = j * sub + 1
+        sl = f"list_slice(embedding, {lo}, {lo + sub - 1})"
+        for c, cent in enumerate(cb):
+            lits = "[" + ", ".join(repr(x) for x in cent) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip({sl}, {lits}), "
+                "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            )
+            sq = (
+                f"list_sum(list_transform(list_zip({sl}, {lits}), "
+                "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+            )
+            normsq = repr(sum(x * x for x in cent))
+            arms.append(
+                f"SELECT vec_id, {j} AS j, {c} AS code, "
+                f"{normsq} - 2.0 * {dot} AS d_assign, {sq} AS d_true "
+                "FROM embeddings"
+            )
+    union = "\n            UNION ALL ".join(arms)
+    adc_terms = " + ".join(
+        f"max(CASE WHEN j = {j} THEN d_true END)" for j in range(m)
+    )
+    return f"""
+        WITH sub_d AS (
+            {union}
+        ),
+        assigned AS (
+            SELECT vec_id, j, code, d_true,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d_assign ASC, code ASC) AS rc
+            FROM sub_d
+        ),
+        n_codes AS (
+            SELECT vec_id AS neighbor_id, j, code
+            FROM assigned WHERE rc = 1
+        ),
+        q_tab AS (
+            SELECT vec_id AS query_id, j, code, d_true
+            FROM sub_d WHERE vec_id < 20
+        ),
+        adc AS (
+            SELECT q.query_id, n.neighbor_id, {adc_terms} AS adc
+            FROM q_tab q JOIN n_codes n USING (j, code)
+            WHERE q.query_id != n.neighbor_id
+            GROUP BY q.query_id, n.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc ASC, neighbor_id ASC) AS rank
+            FROM adc
+        )
+        SELECT query_id, neighbor_id, round(adc, 3) AS adc,
                CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= {k}
     """
@@ -2815,6 +2940,55 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN v USING (media_id)
             GROUP BY p.media_id, fmt, w, h, rate, nv
         """,
+        # decontaminate: same normalized tokenization, 6-token span
+        # builder (docs with <6 tokens emit nothing) and md5 span hash as
+        # training.decontaminate; hits count DISTINCT shared spans per
+        # train doc against the eval slice's distinct span index
+        "decontaminate_docs": f"""
+            WITH toks AS (
+                SELECT doc_id AS doc, string_split({_NORM_TEXT}, ' ') AS t
+                FROM documents WHERE doc_id < 400
+            ),
+            spans AS (
+                SELECT DISTINCT doc, {_md5_long('span')} AS sh FROM (
+                    SELECT doc, unnest(list_transform(
+                        range(1, greatest(len(t) - 5, 0) + 1),
+                        i -> array_to_string(t[i:i+5], ' '))) AS span
+                    FROM toks
+                ) WHERE length(span) > 0
+            ),
+            ev AS (SELECT DISTINCT sh FROM spans WHERE doc % 10 = 7),
+            hits AS (
+                SELECT doc, count(*) AS contam_hits
+                FROM spans JOIN ev USING (sh)
+                WHERE doc % 10 != 7
+                GROUP BY doc
+            )
+            SELECT d.doc_id,
+                   coalesce(h.contam_hits, 0) AS contam_hits,
+                   coalesce(h.contam_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc
+            WHERE d.doc_id < 400 AND d.doc_id % 10 != 7
+        """,
+        # mix_sources: per-source cut = round(sqrt(n_min/n_s) * 10000)
+        # (sqrt, not pow — correctly rounded IEEE in both engines), keep
+        # iff md5(id) hex digits 9-12 mod 10000 fall under the cut
+        "mix_sources": """
+            WITH counts AS (
+                SELECT source, count(*) AS n_s FROM documents GROUP BY source
+            ),
+            cuts AS (
+                SELECT source,
+                       CAST(round(sqrt(
+                           (SELECT min(n_s) FROM counts) / n_s
+                       ) * 10000) AS INT) AS cut
+                FROM counts
+            )
+            SELECT doc_id, source, n_chars
+            FROM documents JOIN cuts USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
+                       AS INT) % 10000 < cut
+        """,
         "curate_docs": r"""
             WITH q AS (
                 SELECT doc_id, text,
@@ -3084,6 +3258,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_ann_topk": _ann_sql(),
         "emb_ivf_topk": _ivf_sql(),
+        "emb_pq_topk": _pq_sql(),
         "transcripts_kg": _transcripts_kg_sql(),
         "transcripts_kg_stream": _transcripts_kg_sql(),
         "entity_stats_kg": _entity_stats_sql(),

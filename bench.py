@@ -177,7 +177,9 @@ def main() -> None:
     qreg = entrymod._query_registry()
     for extra_q in ("tfidf_top_terms", "bm25_docs", "doc_fluency",
                     "bloom_semi_join", "kg_triangles",
-                    "bpe_tokenize_docs", "media_decode_stats"):
+                    "bpe_tokenize_docs", "media_decode_stats",
+                    "doc_scrub_pii", "doc_repetition", "emb_pq_topk",
+                    "decontaminate_docs", "mix_sources"):
         extras[f"{extra_q}_sec"] = timed_min(
             lambda q=extra_q: qreg[q](spark, SF_DIR)
         )

@@ -337,6 +337,176 @@ def ann_recall(ann: DataFrame, exact: DataFrame) -> float:
     return (hit.count() / n_exact) if n_exact else 1.0
 
 
+# ------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale ANN technique — vectors
+# compressed to m small codes (one per subspace), queries scored against
+# codes via an asymmetric distance table (ADC), no full vectors touched
+# at search time. At 100 TB the win is the storage/shuffle footprint:
+# a 64-dim float vector (256 B) becomes m=4 bytes of codes.
+# ------------------------------------------------------------------
+
+
+def pq_seed_codebooks(
+    m: int = 4, k: int = 16, dim: int = 64, seed: int = 31
+) -> list[list[list[float]]]:
+    """Deterministic md5-derived codebooks (k centroids per subspace of
+    dim/m dims) — the oracle-checkable configuration, same philosophy as
+    the IVF seed centroids; train_pq_codebooks is the drop-in quality
+    swap (rounds=0 reproduces these exactly)."""
+    sub = dim // m
+    return [_planes(k, sub, seed + j) for j in range(m)]
+
+
+def _pq_assign(subvec, cents: list[list[float]]) -> F.Column:
+    """argmin_c |x − c|² over centroid literals, computed as
+    |c|² − 2·x·c (the |x|² term is constant per row and cancels from the
+    argmin). Deterministic tie-break: lowest code wins (array_sort on
+    (d, code) structs)."""
+    scored = F.array(*[
+        F.struct(
+            (
+                F.lit(sum(x * x for x in c)) - 2.0 * _dot_lit(subvec, c)
+            ).alias("d"),
+            F.lit(i).alias("code"),
+        )
+        for i, c in enumerate(cents)
+    ])
+    return F.element_at(F.array_sort(scored), 1)["code"]
+
+
+def pq_encode(
+    df: DataFrame, codebooks: list[list[list[float]]],
+    id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — m nearest-centroid codes per vector,
+    pure Catalyst (centroids folded as literals), zero shuffle: encoding
+    composes into the corpus scan as a projection."""
+    sub = len(codebooks[0][0])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(*[
+            _pq_assign(
+                F.slice(_vecd(F.col(vec)), j * sub + 1, sub), cb
+            ).cast("int")
+            for j, cb in enumerate(codebooks)
+        ]).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame, corpus: DataFrame, codebooks: list[list[list[float]]],
+    k: int = 3, id_q: str = "vec_id", id_c: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: each query precomputes its m×k_cents distance table
+    (true |q_j − c|² per subspace centroid — one row-local array), the
+    corpus contributes ONLY codes, and a candidate's approximate distance
+    is a fixed-order m-term table lookup sum — so the join moves 4-byte
+    code arrays, never 256-byte vectors. The fold order (j = 0..m−1,
+    left to right) is part of the contract: the DuckDB twin adds the same
+    four doubles in the same order, making even the unrounded ranking
+    comparable."""
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col=id_c, vec=vec).select(
+        F.col("id").alias("neighbor_id"), "codes"
+    )
+    dtab = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                F.slice(_vecd(F.col(vec)), j * sub + 1, sub),
+                _lit_darray(c),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(m)
+        for c in codebooks[j]
+    ])
+    q = queries.select(
+        F.col(id_q).alias("query_id"), dtab.alias("dtab")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("dtab"), (j * kc + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame, m: int = 4, k: int = 16, dim: int = 64, rounds: int = 3,
+    vec: str = "embedding", seed: int = 31,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means in DataFrame algebra (same loop
+    discipline as train_ivf_centroids: each round one aggregation job,
+    the only driver transfer is the k×sub centroid table). rounds=0 ≡
+    pq_seed_codebooks — the swap is drop-in and changes only literals."""
+    sub = dim // m
+    out = []
+    for j in range(m):
+        cents = _planes(k, sub, seed + j)
+        sv = df.select(
+            F.slice(_vecd(F.col(vec)), j * sub + 1, sub).alias("_v")
+        )
+        for _ in range(rounds):
+            assigned = sv.select(
+                _pq_assign(F.col("_v"), cents).alias("cell"), "_v"
+            )
+            rows = (
+                assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("mu"))
+                .collect()
+            )
+            new = [list(c) for c in cents]
+            for r in rows:
+                new[r["cell"]][r["pos"]] = r["mu"]
+            cents = new
+        out.append(cents)
+    return out
+
+
+def pq_reconstruction_mse(
+    df: DataFrame, codebooks: list[list[list[float]]], vec: str = "embedding"
+) -> float:
+    """Mean squared reconstruction error of the PQ code (per-subspace
+    nearest centroid substituted for the true subvector) — the quality
+    metric a codebook training pass must reduce. Report-time metric."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    err = None
+    for j, cb in enumerate(codebooks):
+        subv = F.slice(_vecd(F.col(vec)), j * sub + 1, sub)
+        code = _pq_assign(subv, cb)
+        cent_lit = F.array(*[_lit_darray(c) for c in cb])
+        e = F.aggregate(
+            F.zip_with(
+                subv, F.element_at(cent_lit, code + 1),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0), lambda a, v: a + v,
+        )
+        err = e if err is None else err + e
+    row = df.agg(F.avg(err).alias("mse")).collect()[0]
+    return float(row["mse"])
+
+
 def group_centroids_long(
     df: DataFrame, group_col: str, vec_col: str = "embedding",
     quant: int = 1_000_000,

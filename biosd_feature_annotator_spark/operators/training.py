@@ -144,3 +144,89 @@ def curate_documents(
     return hash_split(survivors, id_col).select(
         id_col, "q_score", F.col("bucket"), "split"
     )
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 8, min_hits: int = 1, hasher: str = "xx",
+) -> DataFrame:
+    """Benchmark decontamination: annotate every training document with
+    the number of distinct verbatim n-token spans it shares with ANY
+    eval/benchmark document (`contam_hits`) and a `contaminated` flag at
+    `min_hits` — the GPT-3-style n-gram overlap rule that keeps held-out
+    benchmarks out of the training set.
+
+    Scale shape (the asymmetry IS the design): the eval side is
+    benchmark-sized (10^3-10^6 docs, never TB), so its distinct span
+    index is a broadcast; the 100 TB train side is ONE shingle pass
+    (pure array algebra, no UDF) probed against that broadcast — the
+    only shuffle of train-sized data is the per-doc hit count, which is
+    map-side combinable. Hits count DISTINCT shared spans per train doc
+    (word_shingles de-dups spans within a doc, and the eval index is
+    distinct), so a span repeated across many eval docs still counts
+    once — the flag measures the train doc, not eval redundancy."""
+    from .dedup import word_shingles
+
+    ev = (
+        word_shingles(eval_docs, id_col, text_col, n, hasher=hasher)
+        .select("sh")
+        .distinct()
+    )
+    hits = (
+        word_shingles(train, id_col, text_col, n, hasher=hasher)
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc")
+        .agg(F.count("*").alias("contam_hits"))
+    )
+    return (
+        train.join(
+            hits.withColumnRenamed("doc", "__hit_id"),
+            F.col(id_col) == F.col("__hit_id"),
+            "left",
+        )
+        .drop("__hit_id")
+        .withColumn("contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("contam_hits") >= min_hits)
+    )
+
+
+def mix_sources(
+    df: DataFrame, id_col: str, source_col: str,
+    alpha: float = 0.5, buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-style domain rebalancing by deterministic
+    downsampling: source s with n_s rows keeps each row with fraction
+    (n_min / n_s)^(1 - alpha), so kept counts are ∝ n_s^alpha — alpha=1
+    keeps the natural mix, alpha→0 flattens toward uniform, and the
+    rarest source is always kept whole (no upsampling; the trainer's
+    epoch weights handle >1 passes). This is the multilingual/The-Pile
+    mixing rule expressed as a keep-predicate.
+
+    Scale shape: one tiny per-source count aggregate (map-side
+    combinable; |sources| rows) broadcast back onto the stream, then a
+    pure projection — the keep decision is md5(id) digits 9-12 against
+    the source's cut, DISJOINT from hash_split's digits 1-4 and
+    sample_stratified's 5-8, so mixing is independent of split and
+    stratum sampling on the same ids, and identical across reruns,
+    engines and partitionings (no RNG state)."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    ratio = F.col("n_min") / F.col("n_s")
+    # sqrt is IEEE-correctly-rounded in every engine; pow is only
+    # guaranteed to 1 ulp (Java Math.pow vs libm) — so the default
+    # alpha=0.5 cut is bit-replicable by a SQL oracle, and other alphas
+    # carry the documented 1-ulp caveat at the round() boundary
+    e = 1.0 - alpha
+    frac = F.sqrt(ratio) if abs(e - 0.5) < 1e-12 else F.pow(ratio, F.lit(e))
+    cuts = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            source_col,
+            F.round(frac * buckets).cast("int").alias("cut"),
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 9, 4), 16, 10
+    ).cast("int") % buckets
+    return df.join(F.broadcast(cuts), source_col).where(h < F.col("cut"))

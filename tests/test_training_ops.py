@@ -390,6 +390,91 @@ def test_ivf_trained_recall_on_clustered_embeddings(spark):
     )
 
 
+def test_pq_encode_and_adc_agree_with_bruteforce_on_codes(spark):
+    """PQ plumbing invariants: codes are in range, deterministic, and a
+    candidate sharing ALL codes with the query ranks by neighbor_id
+    (bitwise-equal ADC); rounds=0 training reproduces the seed
+    codebooks (drop-in swap)."""
+    from biosd_feature_annotator_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cbs = S.pq_seed_codebooks(m=4, k=16, dim=64)
+    assert S.train_pq_codebooks(e, m=4, k=16, dim=64, rounds=0) == cbs
+    codes = S.pq_encode(e, cbs).collect()
+    assert len(codes) == e.count()
+    assert all(len(r.codes) == 4 and all(0 <= c < 16 for c in r.codes)
+               for r in codes)
+    again = {r.id: r.codes for r in S.pq_encode(e, cbs).collect()}
+    assert all(again[r.id] == r.codes for r in codes)
+    top = S.pq_adc_topk(e.where("vec_id < 5"), e, cbs, k=3)
+    rows = top.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+    assert all(r.adc >= 0 for r in rows)
+
+
+def test_pq_training_reduces_reconstruction_error(spark):
+    """On clustered embeddings, Lloyd-trained codebooks must beat the
+    arbitrary seed codebooks on reconstruction MSE — the quality metric
+    PQ training exists for."""
+    from biosd_feature_annotator_spark.operators import similarity as S
+
+    e = S.synth_clustered_embeddings(spark, 400, dim=32, k_centers=4).cache()
+    e.count()
+    seed_cbs = S.pq_seed_codebooks(m=4, k=8, dim=32)
+    trained = S.train_pq_codebooks(e, m=4, k=8, dim=32, rounds=3)
+    mse_seed = S.pq_reconstruction_mse(e, seed_cbs)
+    mse_trained = S.pq_reconstruction_mse(e, trained)
+    e.unpersist()
+    assert mse_trained < mse_seed, (mse_trained, mse_seed)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A train doc containing a verbatim 6-token span from the eval set
+    is flagged; an unrelated doc is not; hits count DISTINCT shared
+    spans (a span repeated across eval docs counts once)."""
+    from biosd_feature_annotator_spark.operators.training import decontaminate
+
+    bench = "what is the capital of france and when was it founded"
+    ev = spark.createDataFrame(
+        [(100, bench), (101, bench + " exactly")],  # same spans twice in eval
+        ["doc_id", "text"],
+    )
+    tr = spark.createDataFrame(
+        [
+            (0, "quiz answer: what is the capital of france according to you"),
+            (1, "an entirely different training document about spark shuffles"),
+            (2, bench),  # full copy of the benchmark
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in decontaminate(tr, ev, n=6).collect()}
+    assert out[0].contaminated and out[0].contam_hits >= 1
+    assert not out[1].contaminated and out[1].contam_hits == 0
+    assert out[2].contaminated and out[2].contam_hits > out[0].contam_hits
+    # doc 2 shares every span of the benchmark sentence: 11 tokens → 6 spans
+    assert out[2].contam_hits == 6
+
+
+def test_mix_sources_deterministic_sqrt_rebalance(spark):
+    """Rarest source kept whole; kept counts ∝ sqrt(n_s); the keep set
+    is a pure projection of the id (identical on rerun and disjoint from
+    hash_split digits)."""
+    from biosd_feature_annotator_spark.operators.training import mix_sources
+
+    rows = [(i, "big" if i < 6400 else "rare") for i in range(6800)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = mix_sources(df, "doc_id", "source", alpha=0.5)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 400  # cut = round(sqrt(1)*10000) → keep all
+    # big: cut = round(sqrt(400/6400)*10000) = 2500 → ~25% of 6400
+    assert abs(counts["big"] - 1600) < 160
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in mix_sources(df, "doc_id", "source", alpha=0.5).select("doc_id").collect())
+    assert ids1 == ids2
+    # alpha=1 keeps the natural mix untouched
+    assert mix_sources(df, "doc_id", "source", alpha=1.0).count() == 6800
+
+
 def test_hash_split_deterministic_and_proportional(spark):
     from biosd_feature_annotator_spark.operators.training import hash_split
 
