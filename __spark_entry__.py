@@ -654,6 +654,72 @@ def q_emb_pq_topk(spark, sf):
     )
 
 
+def q_semantic_dedup_docs(spark, sf):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup): vectors
+    coarse-clustered into their nearest md5-seed cell, within-cell pairs
+    with cosine ≥ 0.3 drop the higher id (keep-lowest-id survivor).
+    Candidate generation is a self-equi-join on cell — never all-pairs.
+    DuckDB recomputes cell assignment from the same centroid literals and
+    the identical IEEE cosines, so the kept/dropped flag matches row for
+    row."""
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 2000)
+    return _sim.semantic_dedup(e, threshold=0.3, n_cells=8, dim=64).select(
+        "id", F.col("cell").cast("long").alias("cell"), "kept"
+    )
+
+
+def q_emb_filtered_topk(spark, sf):
+    """Metadata-filtered vector search (the RAG retrieval shape): the
+    label predicate lands BELOW candidate generation — Catalyst pushes it
+    to the corpus parquet scan, so scoring touches only the matching
+    partition of the corpus, exactly how a filtered ANN index behaves.
+    Exact cosine + per-query window top-k; even-label corpus, first 10
+    vectors as queries."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    corpus = e.where(F.col("label") % 2 == 0)
+    return _sim.cosine_topk(q, corpus, k=5).select(
+        "query_id", "neighbor_id", F.round("cos", 3).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_doc_quality_linear(spark, sf):
+    """Model-based quality scoring (training.linear_quality_score): a
+    logistic-linear classifier over engine-exact character-ratio features
+    (integer counts, one correctly-rounded division each), weights folded
+    as literals, logit summed LEFT-TO-RIGHT — a pure projection that
+    composes into the scan. The frozen QUALITY_PRIOR weights are the
+    oracle-checkable configuration; train_logistic_weights is the
+    deterministic drop-in swap (exact long gradient sums)."""
+    from biosd_feature_annotator_spark.operators.training import (
+        linear_quality_score,
+    )
+
+    d = _t(spark, sf, "documents")
+    return linear_quality_score(d).select(
+        "doc_id", F.round("q_logit", 4).alias("q_logit"), "q_keep"
+    )
+
+
+def q_emb_ivfpq_topk(spark, sf):
+    """IVF-PQ composite (similarity.ivfpq_adc_topk): coarse cells bound
+    WHICH candidates are scored (equi-join on cell), PQ codes bound WHAT
+    the join moves (4 bytes/candidate). Both tables are the deterministic
+    md5-seed configurations, so DuckDB replays cell assignment, code
+    assignment, the per-query distance tables and the fixed-order ADC
+    ranking exactly."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    cbs = _sim.pq_seed_codebooks(m=4, k=16, dim=64)
+    return _sim.ivfpq_adc_topk(
+        q, e, cbs, k=3, n_cells=8, n_probe=2, dim=64
+    ).select(
+        "query_id", "neighbor_id", F.round("adc", 3).alias("adc"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_docs_minhash_pairs(spark, sf):
     """MinHash→LSH→exact-verify on the portable md5 kernel: DuckDB
     recomputes the identical shingle hashes, signatures, band buckets and
@@ -1647,6 +1713,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": q_media_decode_stats,
         "decontaminate_docs": q_decontaminate_docs,
         "mix_sources": q_mix_sources,
+        "semantic_dedup_docs": q_semantic_dedup_docs,
+        "emb_filtered_topk": q_emb_filtered_topk,
+        "doc_quality_linear": q_doc_quality_linear,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "curate_docs": q_curate_docs,
         "agg_state_merge": q_agg_state_merge,
         "emb_centroids": q_emb_centroids,
@@ -2050,6 +2120,195 @@ def _pq_sql(m: int = 4, kc: int = 16, dim: int = 64, k: int = 3) -> str:
         adc AS (
             SELECT q.query_id, n.neighbor_id, {adc_terms} AS adc
             FROM q_tab q JOIN n_codes n USING (j, code)
+            WHERE q.query_id != n.neighbor_id
+            GROUP BY q.query_id, n.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc ASC, neighbor_id ASC) AS rank
+            FROM adc
+        )
+        SELECT query_id, neighbor_id, round(adc, 3) AS adc,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _semantic_dedup_sql(
+    n_cells: int = 8, dim: int = 64, threshold: float = 0.3,
+    limit_ids: int = 2000,
+) -> str:
+    """DuckDB twin of q_semantic_dedup_docs: cell assignment replays the
+    ivf_assign argmax (norm-free dot / |c|, tie-break cell DESC) from the
+    SAME md5 centroid literals; within-cell pairs compare the identical
+    IEEE cosine against the threshold, and the kept flag is a left
+    anti-membership on the dropped-id set."""
+    import math
+
+    cents = _sim._planes(n_cells, dim, seed=11)
+    cent_rows = "\n            UNION ALL ".join(
+        "SELECT {i} AS cell, {dot} / {norm!r} AS sim, vec_id, embedding "
+        "FROM embeddings WHERE vec_id < {lim}".format(
+            i=i,
+            lim=limit_ids,
+            norm=math.sqrt(sum(x * x for x in c)),
+            dot=(
+                "list_sum(list_transform(list_zip(embedding, ["
+                + ", ".join(repr(x) for x in c)
+                + "]), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            ),
+        )
+        for i, c in enumerate(cents)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(a.v, b.v), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+        WITH sims AS (
+            {cent_rows}
+        ),
+        ranked_cells AS (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell DESC) AS rc
+            FROM sims
+        ),
+        base AS (
+            SELECT vec_id AS id, embedding AS v, cell
+            FROM ranked_cells WHERE rc = 1
+        ),
+        dups AS (
+            SELECT DISTINCT b.id AS dup_id
+            FROM base a JOIN base b ON a.cell = b.cell AND a.id < b.id
+            WHERE {cos} >= {threshold!r}
+        )
+        SELECT base.id, CAST(base.cell AS BIGINT) AS cell,
+               dups.dup_id IS NULL AS kept
+        FROM base LEFT JOIN dups ON base.id = dups.dup_id
+    """
+
+
+def _quality_linear_sql() -> str:
+    """DuckDB twin of q_doc_quality_linear: the same integer-count ratio
+    features (DuckDB regexp_replace needs the 'g' flag to match Spark's
+    global default) and the same left-to-right weighted sum from
+    training.QUALITY_PRIOR, so the unrounded logit is bit-identical."""
+    from biosd_feature_annotator_spark.operators.training import (
+        QUALITY_PRIOR,
+        QUALITY_PRIOR_BIAS,
+    )
+
+    strip = {
+        "punct_r": "[.,;:!?]",
+        "digit_r": "[0-9]",
+        "upper_r": "[A-Z]",
+        "space_r": " ",
+    }
+    feats = {"len_k": "(CAST(length(text) AS DOUBLE) / 1000.0)"}
+    for name, pat in strip.items():
+        feats[name] = (
+            "(CAST(length(text) - length(regexp_replace(text, '{p}', '', 'g')) AS DOUBLE)"
+            " / CAST(greatest(length(text), 1) AS DOUBLE))".format(p=pat)
+        )
+    logit = repr(QUALITY_PRIOR_BIAS)
+    for name in QUALITY_PRIOR:  # insertion order == Spark fold order
+        logit = f"({logit} + {QUALITY_PRIOR[name]!r} * {feats[name]})"
+    return f"""
+        SELECT doc_id, round({logit}, 4) AS q_logit, {logit} > 0 AS q_keep
+        FROM documents
+    """
+
+
+def _ivfpq_sql(
+    m: int = 4, kc: int = 16, n_cells: int = 8, n_probe: int = 2,
+    dim: int = 64, k: int = 3,
+) -> str:
+    """DuckDB twin of q_emb_ivfpq_topk: the _ivf_sql cell-assignment CTEs
+    (argmax of norm-free dot, tie-break cell DESC) fused with the _pq_sql
+    code/table CTEs (argmin of |c|²−2xc, tie-break code ASC); candidates
+    require a shared probed cell and score by the same fixed-order
+    left-associated ADC sum."""
+    import math
+
+    cents = _sim._planes(n_cells, dim, seed=11)
+    cbs = _sim.pq_seed_codebooks(m=m, k=kc, dim=dim)
+    sub = dim // m
+    cell_rows = "\n            UNION ALL ".join(
+        "SELECT {i} AS cell, {dot} / {norm!r} AS sim, vec_id, embedding "
+        "FROM embeddings".format(
+            i=i,
+            norm=math.sqrt(sum(x * x for x in c)),
+            dot=(
+                "list_sum(list_transform(list_zip(embedding, ["
+                + ", ".join(repr(x) for x in c)
+                + "]), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            ),
+        )
+        for i, c in enumerate(cents)
+    )
+    arms = []
+    for j, cb in enumerate(cbs):
+        lo = j * sub + 1
+        sl = f"list_slice(embedding, {lo}, {lo + sub - 1})"
+        for c, cent in enumerate(cb):
+            lits = "[" + ", ".join(repr(x) for x in cent) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip({sl}, {lits}), "
+                "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            )
+            sq = (
+                f"list_sum(list_transform(list_zip({sl}, {lits}), "
+                "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+            )
+            normsq = repr(sum(x * x for x in cent))
+            arms.append(
+                f"SELECT vec_id, {j} AS j, {c} AS code, "
+                f"{normsq} - 2.0 * {dot} AS d_assign, {sq} AS d_true "
+                "FROM embeddings"
+            )
+    union = "\n            UNION ALL ".join(arms)
+    adc_terms = " + ".join(
+        f"max(CASE WHEN q.j = {j} THEN q.d_true END)" for j in range(m)
+    )
+    return f"""
+        WITH cell_sims AS (
+            {cell_rows}
+        ),
+        cell_ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell DESC) AS rc
+            FROM cell_sims
+        ),
+        sub_d AS (
+            {union}
+        ),
+        code_ranked AS (
+            SELECT vec_id, j, code, d_true,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d_assign ASC, code ASC) AS rcc
+            FROM sub_d
+        ),
+        n_codes AS (
+            SELECT c.vec_id AS neighbor_id, cr.cell, c.j, c.code
+            FROM code_ranked c
+            JOIN cell_ranked cr ON cr.vec_id = c.vec_id AND cr.rc = 1
+            WHERE c.rcc = 1
+        ),
+        q_tab AS (
+            SELECT s.vec_id AS query_id, cr.cell, s.j, s.code, s.d_true
+            FROM sub_d s
+            JOIN cell_ranked cr ON cr.vec_id = s.vec_id AND cr.rc <= {n_probe}
+            WHERE s.vec_id < 20
+        ),
+        adc AS (
+            SELECT q.query_id, n.neighbor_id, {adc_terms} AS adc
+            FROM q_tab q JOIN n_codes n
+              ON q.cell = n.cell AND q.j = n.j AND q.code = n.code
             WHERE q.query_id != n.neighbor_id
             GROUP BY q.query_id, n.neighbor_id
         ),
@@ -3259,6 +3518,35 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_topk": _ann_sql(),
         "emb_ivf_topk": _ivf_sql(),
         "emb_pq_topk": _pq_sql(),
+        "semantic_dedup_docs": _semantic_dedup_sql(),
+        "doc_quality_linear": _quality_linear_sql(),
+        "emb_ivfpq_topk": _ivfpq_sql(),
+        # filtered vector search: the label predicate restricts the
+        # corpus BEFORE scoring (the pushdown the Spark plan performs at
+        # the parquet scan); exact cosine, top-5 per query
+        "emb_filtered_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(q.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 10 AND c.label % 2 = 0
+                 AND q.vec_id != c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos, 3) AS cos,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
         "transcripts_kg": _transcripts_kg_sql(),
         "transcripts_kg_stream": _transcripts_kg_sql(),
         "entity_stats_kg": _entity_stats_sql(),

@@ -179,7 +179,9 @@ def main() -> None:
                     "bloom_semi_join", "kg_triangles",
                     "bpe_tokenize_docs", "media_decode_stats",
                     "doc_scrub_pii", "doc_repetition", "emb_pq_topk",
-                    "decontaminate_docs", "mix_sources"):
+                    "decontaminate_docs", "mix_sources",
+                    "semantic_dedup_docs", "emb_filtered_topk",
+                    "doc_quality_linear", "emb_ivfpq_topk"):
         extras[f"{extra_q}_sec"] = timed_min(
             lambda q=extra_q: qreg[q](spark, SF_DIR)
         )

@@ -82,6 +82,33 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Brute-force squared-L2 top-k (ascending distance) — the exact
+    baseline PQ-ADC recall is measured against (ADC approximates L2, not
+    cosine). Same broadcast-query shape as cosine_topk."""
+    q = queries.select(F.col(id_q).alias("query_id"), F.col(vec).alias("qv"))
+    c = corpus.select(F.col(id_c).alias("neighbor_id"), F.col(vec).alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with(_vecd(F.col("qv")), _vecd(F.col("cv")),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )
+
+
 def _planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes from md5 —
     reproducible across sessions/parallelism (no RNG state)."""
@@ -235,6 +262,50 @@ def cosine_pairs_above(
         a.join(b, F.col("a") < F.col("b"))
         .select("a", "b", cosine("va", "vb").alias("cos"))
         .where(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec: str = "embedding", n_cells: int = 8, dim: int = 64, seed: int = 11,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: every vector is assigned to
+    its nearest coarse cell (ivf_assign — pure Catalyst, centroids folded
+    as literals), and a row is dropped iff a LOWER-id row in the SAME
+    cell has cosine ≥ threshold with it (keep-lowest-id representative,
+    the same canonical-survivor rule the exact/MinHash dedups use).
+
+    Returns (id, cell, kept) for EVERY input row — a flagged frame, so
+    the caller chooses `where(kept)` for the survivors or inspects the
+    drops; deterministic row count for oracle checking.
+
+    Scale shape: candidate generation is a self-equi-join on cell id —
+    never an all-pairs product. Within-cell work is quadratic in CELL
+    size only; at 10^9 vectors you raise n_cells so cells stay ~10^3-10^4
+    (SemDeDup's published configuration is exactly this: k-means cells of
+    a few thousand, pairwise cosine inside each). The trained-centroid
+    path (train_ivf_centroids) balances cell populations and slots in
+    without changing the plan; the seed-centroid default is the
+    oracle-checkable form."""
+    cents = centroids if centroids is not None else _planes(n_cells, dim, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec).alias("v"),
+        F.element_at(ivf_assign(F.col(vec), cents, 1), 1).alias("cell"),
+    )
+    a = base.select("cell", F.col("id").alias("a"), F.col("v").alias("va"))
+    b = base.select("cell", F.col("id").alias("b"), F.col("v").alias("vb"))
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("a") < F.col("b"))
+        .where(cosine("va", "vb") >= threshold)
+        .select(F.col("b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        base.join(dups, base["id"] == dups["dup_id"], "left")
+        .select("id", "cell", F.col("dup_id").isNull().alias("kept"))
     )
 
 
@@ -445,6 +516,79 @@ def pq_adc_topk(
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def ivfpq_adc_topk(
+    queries: DataFrame, corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3, n_cells: int = 8, n_probe: int = 2, dim: int = 64,
+    seed: int = 11, centroids: list[list[float]] | None = None,
+    id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two memory-scale pieces composed the FAISS way —
+    coarse cells bound WHICH candidates are scored (equi-join on cell,
+    never a cross join), PQ codes bound WHAT the join moves (m bytes per
+    candidate, never the vector). Corpus side is one projection (cell +
+    codes); query side explodes its n_probe cells and carries its ADC
+    distance table; the probe is an equi-join on cell followed by the
+    same fixed-order m-term table-lookup sum as pq_adc_topk.
+
+    This variant encodes the RAW vector (IVF-Flat-PQ) rather than the
+    residual, so the codebooks are shared across cells and the whole
+    operator stays oracle-expressible; residual encoding is a drop-in
+    refinement (subtract the cell centroid literal before pq_encode) that
+    changes only the encode/table expressions, not the join shape."""
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    cents = centroids if centroids is not None else _planes(n_cells, dim, seed)
+    c = corpus.select(
+        F.col(id_c).alias("neighbor_id"),
+        F.element_at(ivf_assign(F.col(vec), cents, 1), 1).alias("cell"),
+        F.array(*[
+            _pq_assign(
+                F.slice(_vecd(F.col(vec)), j * sub + 1, sub), cb
+            ).cast("int")
+            for j, cb in enumerate(codebooks)
+        ]).alias("codes"),
+    )
+    dtab = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                F.slice(_vecd(F.col(vec)), j * sub + 1, sub),
+                _lit_darray(codebooks[j][ci]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(m)
+        for ci in range(kc)
+    ])
+    q = queries.select(
+        F.col(id_q).alias("query_id"),
+        dtab.alias("dtab"),
+        F.explode(ivf_assign(F.col(vec), cents, n_probe)).alias("cell"),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("dtab"), (j * kc + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+        ),
+    )
+    cand = (
+        F.broadcast(q).join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )

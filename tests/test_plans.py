@@ -169,3 +169,45 @@ def test_khop_frontier_joins_broadcast(spark):
     out.collect()  # finalize AQE
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_is_equi_join_on_cell(spark):
+    """SemDeDup candidate generation must be an equi join on the cell id
+    (shuffle- or broadcast-hash), NEVER a cartesian/BNL all-pairs — the
+    property that makes it viable at 10^9 vectors."""
+    from biosd_feature_annotator_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(semantic_dedup(e, threshold=0.3, dim=64))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_linear_quality_score_is_zero_shuffle_projection(spark):
+    """Model scoring composes into the scan: no Exchange anywhere in the
+    plan, and only the text/id columns are read (column pruning)."""
+    import re
+
+    from biosd_feature_annotator_spark.operators.training import (
+        linear_quality_score,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(linear_quality_score(d).select("doc_id", "q_logit"))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
+    m = re.search(r"ReadSchema: (.*)", p)
+    assert m and "n_chars" not in m.group(1)  # pruned to doc_id + text
+
+
+def test_filtered_topk_predicate_pushed_to_scan(spark):
+    """The RAG metadata filter must reach the corpus parquet scan as a
+    pushed filter, so a label-partitioned corpus prunes before scoring."""
+    from biosd_feature_annotator_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    p = plan_of(cosine_topk(q, e.where(F.col("label") == 3), k=4))
+    import re
+
+    m = re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)[^\]]*\]", p)
+    assert m and "IsNotNull(label)" in m.group(0)

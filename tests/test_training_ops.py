@@ -583,3 +583,116 @@ def test_partial_agg_states_merge_exactly(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b
+
+
+def test_semantic_dedup_drops_near_identical_in_cluster(spark):
+    """Clustered fixture: same-cluster vectors are near-parallel, so at a
+    high threshold every cluster keeps exactly its lowest-id member; the
+    flagged frame covers every input row; rerun is identical."""
+    from biosd_feature_annotator_spark.operators import similarity as S
+
+    e = S.synth_clustered_embeddings(
+        spark, 200, dim=32, k_centers=4, sigma=0.05
+    ).cache()
+    n = e.count()
+    out = S.semantic_dedup(e, threshold=0.98, n_cells=8, dim=32)
+    rows = out.collect()
+    assert len(rows) == n
+    kept = [r.id for r in rows if r.kept]
+    # survivors are each cell's minimum id among its mutually-similar runs:
+    # every dropped row must have a lower-id survivor in the same cell
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rs in by_cell.items():
+        min_id = min(r.id for r in rs)
+        assert any(r.id == min_id and r.kept for r in rs)
+    # high-σ clusters at 0.98 must actually drop something
+    assert 0 < len(kept) < n
+    again = {r.id: r.kept for r in S.semantic_dedup(
+        e, threshold=0.98, n_cells=8, dim=32).collect()}
+    assert all(again[r.id] == r.kept for r in rows)
+    e.unpersist()
+
+
+def test_linear_quality_score_and_training(spark, docs):
+    """Frozen-prior scoring: q_keep ≡ (q_logit > 0), finite logits.
+    Training: starting FROM the prior on a label the prior itself gets
+    ~70% wrong would not converge — so train on a separable synthetic
+    label (long docs good) and require the loss to drop and accuracy to
+    beat the zero-weight baseline; gradient sums are exact longs, so two
+    runs (different partitioning) give bit-identical weights."""
+    import math
+
+    from biosd_feature_annotator_spark.operators.training import (
+        linear_quality_score,
+        logistic_log_loss,
+        train_logistic_weights,
+    )
+
+    scored = linear_quality_score(docs).select("doc_id", "q_logit", "q_keep")
+    for r in scored.collect():
+        assert math.isfinite(r.q_logit)
+        assert r.q_keep == (r.q_logit > 0)
+
+    lab = docs.withColumn("y", (F.length("text") > 200).cast("int")).cache()
+    lab.count()
+    loss0 = logistic_log_loss(lab, "y", weights={k: 0.0 for k in
+                              ("len_k", "punct_r", "digit_r", "upper_r",
+                               "space_r")}, bias=0.0)
+    w, b = train_logistic_weights(lab, "y", rounds=25, lr=1.0)
+    loss1 = logistic_log_loss(lab, "y", weights=w, bias=b)
+    assert loss1 < loss0, (loss1, loss0)
+    w2, b2 = train_logistic_weights(lab.repartition(7), "y", rounds=25, lr=1.0)
+    assert w == w2 and b == b2  # exact long sums ⇒ partitioning-independent
+    lab.unpersist()
+
+
+def test_filtered_topk_respects_metadata_predicate(spark, emb):
+    """Every returned neighbor satisfies the corpus predicate, and ranks
+    are dense 1..k per query."""
+    from biosd_feature_annotator_spark.operators import similarity as S
+
+    q = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("label") % 2 == 0)
+    out = S.cosine_topk(q, corpus, k=4).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out:
+        assert labels[r.neighbor_id] % 2 == 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivfpq_full_probe_equals_pq(spark, emb):
+    """With n_probe = n_cells the IVF stage filters nothing, so IVF-PQ
+    must return exactly pq_adc_topk's result (bitwise ADC, same ranks);
+    with n_probe=1 every candidate shares the query's top cell."""
+    from biosd_feature_annotator_spark.operators import similarity as S
+
+    cbs = S.pq_seed_codebooks(m=4, k=16, dim=64)
+    q = emb.where(F.col("vec_id") < 5)
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc)
+        for r in S.ivfpq_adc_topk(q, emb, cbs, k=3, n_cells=8,
+                                  n_probe=8, dim=64).collect()
+    }
+    pq = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc)
+        for r in S.pq_adc_topk(q, emb, cbs, k=3).collect()
+    }
+    assert full == pq
+    cents = S._planes(8, 64, seed=11)
+    cell_of = {
+        r.vec_id: r.c
+        for r in emb.select(
+            "vec_id",
+            F.element_at(S.ivf_assign(F.col("embedding"), cents, 1), 1).alias("c"),
+        ).collect()
+    }
+    probe1 = S.ivfpq_adc_topk(q, emb, cbs, k=3, n_cells=8, n_probe=1,
+                              dim=64).collect()
+    for r in probe1:
+        assert cell_of[r.neighbor_id] == cell_of[r.query_id]

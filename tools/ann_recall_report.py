@@ -94,12 +94,39 @@ def report_clustered(
     return {name: round(v, 4) for name, v in out.items()}
 
 
+def report_pq(spark, sf: str, k: int = 3, dim: int = 64) -> dict:
+    """PQ-ADC recall@k against the exact squared-L2 top-k (ADC
+    approximates L2, so that is the honest baseline), seed codebooks vs
+    3-round Lloyd-trained — training changes only the codebook literals,
+    never the plan — plus the reconstruction MSE both configurations,
+    the quantity training minimizes."""
+    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet")).cache()
+    e.count()
+    q = e.where("vec_id < 20")
+    exact = S.l2_topk(q, e, k=k).cache()
+    exact.count()
+    seed = S.pq_seed_codebooks(m=4, k=16, dim=dim)
+    trained = S.train_pq_codebooks(e, m=4, k=16, dim=dim, rounds=3)
+    out = {
+        "pq_seed_m4k16": S.ann_recall(
+            S.pq_adc_topk(q, e, seed, k=k), exact),
+        "pq_lloyd3_m4k16": S.ann_recall(
+            S.pq_adc_topk(q, e, trained, k=k), exact),
+        "mse_seed": S.pq_reconstruction_mse(e, seed),
+        "mse_lloyd3": S.pq_reconstruction_mse(e, trained),
+    }
+    exact.unpersist()
+    e.unpersist()
+    return {name: round(v, 4) for name, v in out.items()}
+
+
 def main() -> None:
     sfs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     spark = get_spark(master="local[8]", app_name="ann-recall",
                       shuffle_partitions=8)
     for sf in sfs:
         print(json.dumps({"sf_dir": sf, "recall_at_3": report(spark, sf)}))
+        print(json.dumps({"sf_dir": sf, "pq_vs_exact_l2": report_pq(spark, sf)}))
     print(json.dumps({
         "fixture": "clustered_mog_n2000_dim64_k8",
         "recall_at_3": report_clustered(spark),

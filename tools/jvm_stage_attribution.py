@@ -16,7 +16,8 @@ a per-stage efficiency table:
 
 Paste the printed table into BENCH/BASELINE.md.
 
-Usage: python tools/jvm_stage_attribution.py [n_turns]   (default 400000)
+Usage: python tools/jvm_stage_attribution.py [n_turns] [backend]
+(default 400000 jvm; backend "python" attributes the pandas path)
 """
 
 from __future__ import annotations
@@ -38,8 +39,9 @@ from biosd_feature_annotator_spark.plans.pipeline import annotate
 from pyspark.sql import functions as F
 
 cores, n_turns, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+backend = sys.argv[4] if len(sys.argv) > 4 else "jvm"
 spark = get_spark(
-    master=f"local[{cores}]", app_name=f"jvm-attr-{cores}",
+    master=f"local[{cores}]", app_name=f"attr-{backend}-{cores}",
     shuffle_partitions=cores,
     extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(port)},
 )
@@ -49,7 +51,7 @@ tr.persist(); tr.count()
 
 def run():
     return annotate(spark, tr, lex, build_graph=False, repartition=0,
-                    extraction="jvm")["triples"].groupBy().agg(
+                    extraction=backend)["triples"].groupBy().agg(
         F.count("*").alias("n")).collect()[0]["n"]
 
 run()  # warm-up (grammar/codegen compile + JIT)
@@ -85,6 +87,9 @@ for s in sorted(stages(), key=lambda s: s["stageId"]):
         "run_sec": round(s["executorRunTime"] / 1000.0, 2),
         "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
         "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+        "gc_sec": round(s.get("jvmGcTime", 0) / 1000.0, 2),
+        "cpu_sec": round(s.get("executorCpuTime", 0) / 1e9, 2),
+        "mem_spill_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
     })
 print("@@RESULT@@" + json.dumps({
     "cores": cores, "n_triples": n, "wall_total": round(wall_total, 2),
@@ -94,9 +99,10 @@ spark.stop()
 """
 
 
-def run_level(cores: int, n_turns: int, script: str, port: int) -> dict:
+def run_level(cores: int, n_turns: int, script: str, port: int,
+              backend: str = "jvm") -> dict:
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, script,
-           str(cores), str(n_turns), str(port)]
+           str(cores), str(n_turns), str(port), backend]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True,
                          cwd=REPO)
     for line in out.stdout.splitlines():
@@ -107,24 +113,27 @@ def run_level(cores: int, n_turns: int, script: str, port: int) -> dict:
 
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    backend = sys.argv[2] if len(sys.argv) > 2 else "jvm"
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(WORKER.replace("@@REPO@@", REPO))
         script = f.name
-    lo = run_level(2, n_turns, script, 4051)
-    hi = run_level(8, n_turns, script, 4052)
+    lo = run_level(2, n_turns, script, 4051, backend)
+    hi = run_level(8, n_turns, script, 4052, backend)
     assert lo["n_triples"] == hi["n_triples"]
-    print(json.dumps({"n_turns": n_turns, "n_triples": lo["n_triples"],
+    print(json.dumps({"backend": backend, "n_turns": n_turns, "n_triples": lo["n_triples"],
                       "wall_2c": lo["wall_total"], "wall_8c": hi["wall_total"],
                       "eff_total": round(lo["wall_total"] / (4 * hi["wall_total"]), 3)}))
     print(f"{'stage (2c id/8c id)':<58} {'tasks':>5} {'wall2':>7} {'wall8':>7} "
-          f"{'eff':>5} {'run2':>7} {'run8':>7} {'infl':>5}")
+          f"{'eff':>5} {'run2':>7} {'run8':>7} {'infl':>5} {'gc2':>5} {'gc8':>5} {'cpu8':>7} {'spill8':>7}")
     for a, b in zip(lo["stages"], hi["stages"]):
         eff = (round(a["wall_sec"] / (4 * b["wall_sec"]), 2)
                if a["wall_sec"] and b["wall_sec"] else None)
         infl = (round(b["run_sec"] / a["run_sec"], 2) if a["run_sec"] else None)
         print(f"{a['name'][:44] + ' (' + str(a['stageId']) + '/' + str(b['stageId']) + ')':<58} "
               f"{b['numTasks']:>5} {a['wall_sec']:>7} {b['wall_sec']:>7} "
-              f"{str(eff):>5} {a['run_sec']:>7} {b['run_sec']:>7} {str(infl):>5}")
+              f"{str(eff):>5} {a['run_sec']:>7} {b['run_sec']:>7} {str(infl):>5} "
+              f"{a.get('gc_sec', 0):>5} {b.get('gc_sec', 0):>5} "
+              f"{b.get('cpu_sec', 0):>7} {b.get('mem_spill_mb', 0):>7}")
 
 
 if __name__ == "__main__":

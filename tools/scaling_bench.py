@@ -27,6 +27,13 @@ Methodology details:
   reps inside one JVM clear the Spark cache first (a second annotate()
   would otherwise silently reuse the first's persisted mention frame —
   Spark's cache manager dedups identical plans).
+- input is large enough that the timed window is ≥25-30 s at BOTH
+  levels (r5: formerly only the SMALL level was sized, leaving the
+  4N-core window at ~13 s where fixed per-job costs — broadcast build,
+  stage setup, python-worker handshake — masquerade as scaling loss;
+  measured at 2→8 cores on a quiet box: eff 0.68-0.74 at 800k turns vs
+  0.977 at 2M turns, SAME code — the 800k readings understated the
+  engine, exactly the artifact the next bullet's rule exists to avoid);
 - input is large enough that the timed window is ≥30 s at the SMALL
   level — at small inputs fixed per-job costs (scheduling, stage setup)
   masquerade as scaling loss.
@@ -236,7 +243,11 @@ def main() -> None:
         script = f.name
     _ctl_texts()
 
-    N_HEAD = 800_000 if not quick else 200_000
+    # 2M turns sizes BOTH timed windows past ~25 s (2-core ~110 s,
+    # 8-core ~28 s); at the former 800k the 8-core window was ~13 s and
+    # the fixed per-job floor read as a 0.68-0.74 "efficiency" that
+    # vanished at 2M (0.977 measured, same code, same box)
+    N_HEAD = 2_000_000 if not quick else 200_000
     inner = 3 if not quick else 2
 
     # --- headline: python backend at 2 → 8, adjacent phases per rep.
