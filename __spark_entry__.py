@@ -1007,6 +1007,35 @@ def q_sessionize_events(spark, sf):
     )
 
 
+def q_funnel_signup_purchase(spark, sf):
+    """Ordered funnel signup → view → purchase
+    (operators/funnel.funnel_depths): greedy earliest-match chaining via
+    ONE user-keyed shuffle + a Catalyst higher-order fold over the
+    sorted step events. The oracle re-derives the identical semantics
+    as the min(ts) > previous-step chain, one CTE per step."""
+    from biosd_feature_annotator_spark.operators.funnel import funnel_depths
+
+    return funnel_depths(_t(spark, sf, "events"),
+                         ["signup", "view", "purchase"])
+
+
+def q_scd2_user_value(spark, sf):
+    """Type-2 slowly-changing dimension built from the event stream
+    (operators/scd.scd2_history): each user's value-bucket history with
+    effective_from/effective_to/is_current; consecutive duplicate
+    buckets collapse (NULL-safe change test). Window algebra only —
+    one shuffle, both window passes share the sort."""
+    from biosd_feature_annotator_spark.operators.scd import scd2_history
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / 100)
+        .cast("long").alias("bucket"),
+        "ts", "event_id",
+    )
+    return scd2_history(e, ["user_id"], "bucket", "ts", "event_id")
+
+
 def q_top_sources(spark, sf):
     """O2 top-k with deterministic tie-break."""
     d = _t(spark, sf, "documents")
@@ -1717,6 +1746,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_filtered_topk": q_emb_filtered_topk,
         "doc_quality_linear": q_doc_quality_linear,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "scd2_user_value": q_scd2_user_value,
         "curate_docs": q_curate_docs,
         "agg_state_merge": q_agg_state_merge,
         "emb_centroids": q_emb_centroids,
@@ -2995,6 +3026,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY source
             ORDER BY n DESC, source ASC LIMIT 10
+        """,
+        # greedy earliest-match == min(ts) > previous-step chaining: one
+        # CTE per funnel step (the Spark side proves the same semantics
+        # with a single-shuffle Catalyst fold)
+        "funnel_signup_purchase": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS depth,
+                   s1.t1 AS ts_1, s2.t2 AS ts_2, s3.t3 AS ts_3
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
+        """,
+        "scd2_user_value": """
+            WITH v AS (
+                SELECT user_id,
+                       CAST(floor(coalesce(value, 0) / 100) AS BIGINT)
+                           AS bucket,
+                       ts, event_id
+                FROM events
+            ), c AS (
+                SELECT user_id, bucket, ts, event_id,
+                       lag(bucket) OVER w AS prev,
+                       row_number() OVER w AS rn
+                FROM v
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), ch AS (
+                SELECT user_id, bucket, ts, event_id FROM c
+                -- bucket is coalesced non-NULL, so plain <> is the
+                -- NULL-safe change test here (prev is NULL only at rn=1)
+                WHERE rn = 1 OR bucket <> prev
+            )
+            SELECT user_id, bucket, ts AS effective_from,
+                   lead(ts) OVER w2 AS effective_to,
+                   lead(ts) OVER w2 IS NULL AS is_current
+            FROM ch
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "tfidf_top_terms": """
             WITH toks AS (

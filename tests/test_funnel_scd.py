@@ -1,0 +1,195 @@
+"""Funnel, SCD2 and bucketed-join tests.
+
+Funnel semantics are pinned against a tiny hand-computed fixture plus a
+brute-force python reference on the sf0.001 events table; SCD2 against
+hand fixtures and an invariant audit (intervals tile, one current row
+per key); the bucketed join against the physical plan (no Exchange)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from biosd_feature_annotator_spark.operators.funnel import (
+    funnel_conversion,
+    funnel_depths,
+)
+from biosd_feature_annotator_spark.operators.scd import scd2_apply, scd2_history
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, user_id=u, ts=_ts(t), event_type=e)
+         for i, (u, t, e) in enumerate(rows)]
+    )
+
+
+STEPS = ["signup", "view", "purchase"]
+
+
+def test_funnel_basic_depths(spark):
+    ev = _events(spark, [
+        # u1 completes the funnel in order
+        (1, "2024-01-01T00:00:00", "signup"),
+        (1, "2024-01-01T01:00:00", "view"),
+        (1, "2024-01-01T02:00:00", "purchase"),
+        # u2 purchases BEFORE signup: depth 1 only
+        (2, "2024-01-01T00:00:00", "purchase"),
+        (2, "2024-01-01T01:00:00", "signup"),
+        # u3 has only noise events: depth 0, still present
+        (3, "2024-01-01T00:00:00", "error"),
+    ])
+    got = {r.user_id: r for r in funnel_depths(ev, STEPS).collect()}
+    assert got[1].depth == 3 and got[1].ts_3 == _ts("2024-01-01T02:00:00")
+    assert got[2].depth == 1 and got[2].ts_2 is None
+    assert got[3].depth == 0 and got[3].ts_1 is None
+
+
+def test_funnel_strictly_after_same_ts_does_not_advance(spark):
+    ev = _events(spark, [
+        (1, "2024-01-01T00:00:00", "signup"),
+        (1, "2024-01-01T00:00:00", "view"),   # same instant: NOT after
+        (1, "2024-01-01T00:30:00", "view"),
+    ])
+    row = funnel_depths(ev, STEPS).collect()[0]
+    assert row.depth == 2
+    assert row.ts_2 == _ts("2024-01-01T00:30:00")
+
+
+def test_funnel_greedy_equals_min_chaining_reference(spark):
+    """Property: the fold's result equals the min(ts) > prev chain,
+    brute-forced in python on real sf0.001 events."""
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(path)
+    got = {r.user_id: r.depth for r in funnel_depths(ev, STEPS).collect()}
+
+    rows = [(r.user_id, r.ts, r.event_type) for r in ev.collect()]
+    by_user: dict = {}
+    for u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    for u, evs in by_user.items():
+        depth, last = 0, None
+        for want in STEPS:
+            nxt = [ts for ts, et in evs if et == want and (last is None or ts > last)]
+            if not nxt:
+                break
+            last = min(nxt)
+            depth += 1
+        assert got[u] == depth, f"user {u}: spark {got[u]} != ref {depth}"
+
+
+def test_funnel_conversion_monotone(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = funnel_conversion(ev, STEPS).orderBy("step").collect()
+    assert [r.step for r in rows] == [1, 2, 3]
+    reached = [r.users_reached for r in rows]
+    assert reached == sorted(reached, reverse=True)
+    assert all(0 <= r.conversion_from_prev <= 1 for r in rows)
+
+
+def test_scd2_history_collapses_and_tiles(spark):
+    obs = spark.createDataFrame([
+        Row(k="a", v=1, ts=_ts("2024-01-01T00:00:00"), i=0),
+        Row(k="a", v=1, ts=_ts("2024-01-02T00:00:00"), i=1),  # dup: merged
+        Row(k="a", v=2, ts=_ts("2024-01-03T00:00:00"), i=2),
+        Row(k="a", v=None, ts=_ts("2024-01-04T00:00:00"), i=3),  # NULL = change
+        Row(k="b", v=9, ts=_ts("2024-01-01T00:00:00"), i=4),
+    ])
+    hist = scd2_history(obs, ["k"], "v", "ts", "i").orderBy("k", "effective_from")
+    rows = hist.collect()
+    a = [r for r in rows if r.k == "a"]
+    assert [r.v for r in a] == [1, 2, None]
+    # intervals tile: each effective_to equals the next effective_from
+    for prev, nxt in zip(a, a[1:]):
+        assert prev.effective_to == nxt.effective_from
+    assert a[-1].is_current and a[-1].effective_to is None
+    assert sum(r.is_current for r in rows) == 2  # exactly one per key
+
+
+def test_scd2_apply_merge_semantics(spark):
+    dim = scd2_history(
+        spark.createDataFrame([
+            Row(k="a", v=1, ts=_ts("2024-01-01T00:00:00"), i=0),
+            Row(k="a", v=2, ts=_ts("2024-01-05T00:00:00"), i=1),
+            Row(k="b", v=7, ts=_ts("2024-01-01T00:00:00"), i=2),
+        ]),
+        ["k"], "v", "ts", "i",
+    )
+    updates = spark.createDataFrame([
+        Row(k="a", v=3, ts=_ts("2024-02-01T00:00:00")),   # changed: close + insert
+        Row(k="b", v=7, ts=_ts("2024-02-01T00:00:00")),   # unchanged: no-op
+        Row(k="c", v=5, ts=_ts("2024-02-01T00:00:00")),   # brand-new key
+    ])
+    out = scd2_apply(dim, updates, ["k"], ["v"], "ts")
+    rows = sorted(out.collect(), key=lambda r: (r.k, r.effective_from))
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    assert [r.v for r in by_key["a"]] == [1, 2, 3]
+    assert by_key["a"][1].effective_to == _ts("2024-02-01T00:00:00")
+    assert not by_key["a"][1].is_current and by_key["a"][2].is_current
+    assert len(by_key["b"]) == 1 and by_key["b"][0].is_current  # untouched
+    assert len(by_key["c"]) == 1 and by_key["c"][0].is_current
+    # invariant: exactly one current row per key, intervals still tile
+    for k, vs in by_key.items():
+        assert sum(r.is_current for r in vs) == 1
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev.effective_to == nxt.effective_from
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from biosd_feature_annotator_spark.plans.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    n = 8
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("x")
+    )
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("y")
+    )
+    write_bucketed(left.repartition(n, "k"), "t_bleft", "k", n,
+                   path=str(tmp_path / "bl"))
+    write_bucketed(right.repartition(n, "k"), "t_bright", "k", n,
+                   path=str(tmp_path / "br"))
+    try:
+        with _forced_smj(spark):
+            joined = read_bucketed(spark, "t_bleft").join(
+                read_bucketed(spark, "t_bright"), "k"
+            )
+            plan = _plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan  # co-located: zero shuffle
+            assert joined.count() == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+@contextlib.contextmanager
+def _forced_smj(spark):
+    """Force the sort-merge path (broadcast would hide the exchange
+    question entirely) without leaking config to other tests."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

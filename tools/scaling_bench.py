@@ -104,8 +104,17 @@ if ready_path != "-":
 
 walls, fp, n_triples = [], None, None
 for _ in range(reps):
-    spark.catalog.clearCache()   # a prior rep's mention cache would be reused
-    tr.persist(); tr.count()
+    # Drop ONLY the prior rep's operator intermediates (the mention
+    # frame) — not the whole cache: clearCache() also evicted the 2M-row
+    # input, and the per-rep re-persist churned the old gen so hard that
+    # inner reps degraded monotonically at 8 cores (measured walls
+    # 29.2 -> 30.4 -> 33.2 -> 36.6 s; the 2-core walls moved 1%), i.e.
+    # the HARNESS was manufacturing a scaling penalty. A production
+    # executor neither re-caches its input per job nor times rep 3 of a
+    # fragmented heap. GC between reps evens the starting heap.
+    from biosd_feature_annotator_spark import cache as _opcache
+    _opcache.release_all()
+    spark.sparkContext._jvm.System.gc()
     t0 = time.time()
     row = fingerprint(annotate(spark, tr, lex, build_graph=False,
                                repartition=0, extraction=extraction)["triples"])
@@ -430,6 +439,14 @@ across every rep at both headline levels: {same_fp}
         old = open(out_path).read()
         if marker in old:
             tail = old[old.index(marker):]
+        else:
+            # legacy file without the marker (pre-r4-tail format): its
+            # hand-curated history starts at the first cross-round
+            # heading — preserve from there instead of dropping it (this
+            # exact failure lost the r4 history once; see git 714bd09)
+            idx = old.find("## Cross-round context")
+            if idx != -1:
+                tail = marker + "\n" + old[idx:]
     if not tail:
         tail = marker + "\n"
     with open(out_path, "w") as f:
