@@ -181,7 +181,8 @@ def main() -> None:
                     "doc_scrub_pii", "doc_repetition", "emb_pq_topk",
                     "decontaminate_docs", "mix_sources",
                     "semantic_dedup_docs", "emb_filtered_topk",
-                    "doc_quality_linear", "emb_ivfpq_topk"):
+                    "doc_quality_linear", "emb_ivfpq_topk",
+                    "funnel_signup_purchase", "scd2_user_value"):
         extras[f"{extra_q}_sec"] = timed_min(
             lambda q=extra_q: qreg[q](spark, SF_DIR)
         )

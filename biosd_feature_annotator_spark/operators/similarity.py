@@ -27,6 +27,8 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import pandas as pd  # module-level: pandas_udf type hints resolve in globals
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,6 +48,126 @@ def _lit_darray(values) -> F.Column:
     return F.split(F.lit(",".join(repr(float(x)) for x in values)), ",").cast(
         "array<double>"
     )
+
+
+# --------------------------------------------------------------- kernels
+#
+# Every centroid-literal computation below has TWO kernels with
+# bit-identical output (parity-gated by tests/test_similarity_kernels.py):
+#
+# - "catalyst": centroids folded into higher-order-function expressions
+#   (aggregate/zip_with). Fully JVM-side and the form the DuckDB oracles
+#   replay — but Spark plans/codegens a tree of ~10^3 nodes per centroid
+#   table, which costs a fixed ~3-8 s of DRIVER time per query (measured:
+#   pq_encode wall is flat 3.5 s from 500 to 8,000 rows — all plan build,
+#   no per-row term visible at test scale). Fine at 100 TB (one plan,
+#   amortized), wasteful for interactive/bench use.
+# - "arrow" (default): the same math as a vectorized numpy kernel inside
+#   a pandas UDF. Summation is the IDENTICAL left-to-right fold over
+#   vector positions (numpy elementwise += in an explicit t-loop, no
+#   BLAS/pairwise reordering, no FMA), casts are the same float32→double
+#   widenings, and ties break by the same rule — so doubles and code
+#   assignments are bit-equal to the catalyst kernel and the SQL oracles
+#   stay hash-exact. Plan cost: one PythonUDF node.
+
+
+def _np_rows(series):
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _arrow_pq_codes(codebooks):
+    """pandas_udf: embedding → m nearest-centroid codes (PQ encode)."""
+    import numpy as np
+
+    sub = len(codebooks[0][0])
+    cbs = [np.array([[float(x) for x in c] for c in cb]) for cb in codebooks]
+    # centroid self-norms accumulated in PYTHON sum order — the same
+    # scalar the catalyst kernel folds in as F.lit(sum(x*x for x in c))
+    nrm = [np.array([sum(x * x for x in c) for c in cb]) for cb in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def codes(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        x = _np_rows(s)
+        out = np.empty((x.shape[0], len(cbs)), dtype=np.int32)
+        for j, (cb, cn) in enumerate(zip(cbs, nrm)):
+            acc = np.zeros((x.shape[0], cb.shape[0]))
+            off = j * sub
+            for t in range(sub):  # explicit left fold — order is the contract
+                acc += x[:, off + t, None] * cb[None, :, t]
+            d = cn[None, :] - 2.0 * acc
+            out[:, j] = np.argmin(d, axis=1)  # first min == lowest code
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _arrow_pq_dtab(codebooks):
+    """pandas_udf: embedding → flattened m×k_cents ADC distance table
+    (true |q_j − c|² per subspace centroid, same (x−c)² left fold as the
+    catalyst form)."""
+    import numpy as np
+
+    sub = len(codebooks[0][0])
+    cbs = [np.array([[float(x) for x in c] for c in cb]) for cb in codebooks]
+
+    @F.pandas_udf("array<double>")
+    def dtab(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        x = _np_rows(s)
+        parts = []
+        for j, cb in enumerate(cbs):
+            acc = np.zeros((x.shape[0], cb.shape[0]))
+            off = j * sub
+            for t in range(sub):
+                diff = x[:, off + t, None] - cb[None, :, t]
+                acc += diff * diff
+            parts.append(acc)
+        return pd.Series(list(np.concatenate(parts, axis=1)))
+
+    return dtab
+
+
+def _arrow_ivf_cells(centroids, n_probe: int):
+    """pandas_udf: embedding → ids of the n_probe nearest cells, ordered
+    by descending cosine-proxy sim with the catalyst kernel's exact
+    tie-break (reverse(array_sort) on (sim, cell) structs ⇒ ties take
+    the HIGHER cell first)."""
+    import math
+
+    import numpy as np
+
+    cmat = np.array([[float(x) for x in c] for c in centroids])
+    cn = np.array([math.sqrt(sum(x * x for x in c)) for c in centroids])
+    k = cmat.shape[0]
+    neg_ids = -np.arange(k)
+
+    @F.pandas_udf("array<int>")
+    def cells(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        x = _np_rows(s)
+        acc = np.zeros((x.shape[0], k))
+        for t in range(cmat.shape[1]):
+            acc += x[:, t, None] * cmat[None, :, t]
+        sim = acc / cn[None, :]
+        out = []
+        for row in sim:
+            order = np.lexsort((neg_ids, -row))  # sim desc, cell desc on ties
+            out.append(order[:n_probe].astype(np.int32))
+        return pd.Series(out)
+
+    return cells
+
+
+def _cells_col(vec_col, cents, n_probe: int, kernel: str) -> F.Column:
+    if kernel == "catalyst":
+        return ivf_assign(vec_col, cents, n_probe)
+    return _arrow_ivf_cells(cents, n_probe)(vec_col)
 
 
 def cosine(a, b) -> F.Column:
@@ -217,7 +339,7 @@ def ivf_cosine_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5,
     id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
     n_cells: int = 8, n_probe: int = 2, dim: int = 64, seed: int = 11,
-    centroids: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None, kernel: str = "arrow",
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their single nearest cell, queries
     probe their n_probe nearest cells, exact cosine re-rank inside the
@@ -230,11 +352,11 @@ def ivf_cosine_topk(
     cents = centroids if centroids is not None else _planes(n_cells, dim, seed)
     c = corpus.select(
         F.col(id_c).alias("neighbor_id"), F.col(vec).alias("cv"),
-        F.element_at(ivf_assign(F.col(vec), cents, 1), 1).alias("cell"),
+        F.element_at(_cells_col(F.col(vec), cents, 1, kernel), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_q).alias("query_id"), F.col(vec).alias("qv"),
-        F.explode(ivf_assign(F.col(vec), cents, n_probe)).alias("cell"),
+        F.explode(_cells_col(F.col(vec), cents, n_probe, kernel)).alias("cell"),
     )
     cand = q.join(c, "cell").where(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
@@ -268,7 +390,7 @@ def cosine_pairs_above(
 def semantic_dedup(
     df: DataFrame, threshold: float, id_col: str = "vec_id",
     vec: str = "embedding", n_cells: int = 8, dim: int = 64, seed: int = 11,
-    centroids: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None, kernel: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: every vector is assigned to
     its nearest coarse cell (ivf_assign — pure Catalyst, centroids folded
@@ -292,7 +414,7 @@ def semantic_dedup(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec).alias("v"),
-        F.element_at(ivf_assign(F.col(vec), cents, 1), 1).alias("cell"),
+        F.element_at(_cells_col(F.col(vec), cents, 1, kernel), 1).alias("cell"),
     )
     a = base.select("cell", F.col("id").alias("a"), F.col("v").alias("va"))
     b = base.select("cell", F.col("id").alias("b"), F.col("v").alias("vb"))
@@ -311,7 +433,7 @@ def semantic_dedup(
 
 def train_ivf_centroids(
     df: DataFrame, n_cells: int = 8, dim: int = 64, rounds: int = 3,
-    vec: str = "embedding", seed: int = 11,
+    vec: str = "embedding", seed: int = 11, kernel: str = "arrow",
 ) -> list[list[float]]:
     """Spherical k-means for IVF centroids, expressed as DataFrame algebra
     (Lloyd rounds): assign every vector to its nearest centroid
@@ -328,7 +450,7 @@ def train_ivf_centroids(
         # struct-array cell expression in ONE projection trips an analyzer
         # quirk that drops the struct field names (FIELD_NOT_FOUND)
         cells = df.select(
-            F.element_at(ivf_assign(F.col(vec), cents, 1), 1).alias("cell"),
+            F.element_at(_cells_col(F.col(vec), cents, 1, kernel), 1).alias("cell"),
             _vecd(F.col(vec)).alias("_v"),
         )
         assigned = cells.select("cell", F.posexplode("_v").alias("pos", "x"))
@@ -445,29 +567,57 @@ def _pq_assign(subvec, cents: list[list[float]]) -> F.Column:
     return F.element_at(F.array_sort(scored), 1)["code"]
 
 
-def pq_encode(
-    df: DataFrame, codebooks: list[list[list[float]]],
-    id_col: str = "vec_id", vec: str = "embedding",
-) -> DataFrame:
-    """(id, codes array<int>) — m nearest-centroid codes per vector,
-    pure Catalyst (centroids folded as literals), zero shuffle: encoding
-    composes into the corpus scan as a projection."""
-    sub = len(codebooks[0][0])
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array(*[
+def _pq_codes_col(vec_col, codebooks, kernel: str) -> F.Column:
+    if kernel == "catalyst":
+        sub = len(codebooks[0][0])
+        return F.array(*[
             _pq_assign(
-                F.slice(_vecd(F.col(vec)), j * sub + 1, sub), cb
+                F.slice(_vecd(vec_col), j * sub + 1, sub), cb
             ).cast("int")
             for j, cb in enumerate(codebooks)
-        ]).alias("codes"),
+        ])
+    return _arrow_pq_codes(codebooks)(vec_col)
+
+
+def pq_encode(
+    df: DataFrame, codebooks: list[list[list[float]]],
+    id_col: str = "vec_id", vec: str = "embedding", kernel: str = "arrow",
+) -> DataFrame:
+    """(id, codes array<int>) — m nearest-centroid codes per vector,
+    zero shuffle: encoding composes into the corpus scan as a
+    projection. kernel="arrow" (default, vectorized numpy) and
+    kernel="catalyst" (centroid literals in HOF expressions, the
+    oracle-replayable reference) are bit-identical — see the kernels
+    note at the top of this module."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _pq_codes_col(F.col(vec), codebooks, kernel).alias("codes"),
     )
+
+
+def _pq_dtab_col(vec_col, codebooks, kernel: str) -> F.Column:
+    m, sub = len(codebooks), len(codebooks[0][0])
+    if kernel == "catalyst":
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(_vecd(vec_col), j * sub + 1, sub),
+                    _lit_darray(c),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for j in range(m)
+            for c in codebooks[j]
+        ])
+    return _arrow_pq_dtab(codebooks)(vec_col)
 
 
 def pq_adc_topk(
     queries: DataFrame, corpus: DataFrame, codebooks: list[list[list[float]]],
     k: int = 3, id_q: str = "vec_id", id_c: str = "vec_id",
-    vec: str = "embedding",
+    vec: str = "embedding", kernel: str = "arrow",
 ) -> DataFrame:
     """ADC top-k: each query precomputes its m×k_cents distance table
     (true |q_j − c|² per subspace centroid — one row-local array), the
@@ -476,28 +626,17 @@ def pq_adc_topk(
     code arrays, never 256-byte vectors. The fold order (j = 0..m−1,
     left to right) is part of the contract: the DuckDB twin adds the same
     four doubles in the same order, making even the unrounded ranking
-    comparable."""
+    comparable. kernel= selects the encode/dtab implementation
+    (bit-identical pair — see the kernels note)."""
     m = len(codebooks)
     kc = len(codebooks[0])
-    sub = len(codebooks[0][0])
-    codes = pq_encode(corpus, codebooks, id_col=id_c, vec=vec).select(
+    codes = pq_encode(corpus, codebooks, id_col=id_c, vec=vec,
+                      kernel=kernel).select(
         F.col("id").alias("neighbor_id"), "codes"
     )
-    dtab = F.array(*[
-        F.aggregate(
-            F.zip_with(
-                F.slice(_vecd(F.col(vec)), j * sub + 1, sub),
-                _lit_darray(c),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for j in range(m)
-        for c in codebooks[j]
-    ])
     q = queries.select(
-        F.col(id_q).alias("query_id"), dtab.alias("dtab")
+        F.col(id_q).alias("query_id"),
+        _pq_dtab_col(F.col(vec), codebooks, kernel).alias("dtab"),
     )
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -527,6 +666,7 @@ def ivfpq_adc_topk(
     k: int = 3, n_cells: int = 8, n_probe: int = 2, dim: int = 64,
     seed: int = 11, centroids: list[list[float]] | None = None,
     id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """IVF-PQ: the two memory-scale pieces composed the FAISS way —
     coarse cells bound WHICH candidates are scored (equi-join on cell,
@@ -543,35 +683,16 @@ def ivfpq_adc_topk(
     changes only the encode/table expressions, not the join shape."""
     m = len(codebooks)
     kc = len(codebooks[0])
-    sub = len(codebooks[0][0])
     cents = centroids if centroids is not None else _planes(n_cells, dim, seed)
     c = corpus.select(
         F.col(id_c).alias("neighbor_id"),
-        F.element_at(ivf_assign(F.col(vec), cents, 1), 1).alias("cell"),
-        F.array(*[
-            _pq_assign(
-                F.slice(_vecd(F.col(vec)), j * sub + 1, sub), cb
-            ).cast("int")
-            for j, cb in enumerate(codebooks)
-        ]).alias("codes"),
+        F.element_at(_cells_col(F.col(vec), cents, 1, kernel), 1).alias("cell"),
+        _pq_codes_col(F.col(vec), codebooks, kernel).alias("codes"),
     )
-    dtab = F.array(*[
-        F.aggregate(
-            F.zip_with(
-                F.slice(_vecd(F.col(vec)), j * sub + 1, sub),
-                _lit_darray(codebooks[j][ci]),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for j in range(m)
-        for ci in range(kc)
-    ])
     q = queries.select(
         F.col(id_q).alias("query_id"),
-        dtab.alias("dtab"),
-        F.explode(ivf_assign(F.col(vec), cents, n_probe)).alias("cell"),
+        _pq_dtab_col(F.col(vec), codebooks, kernel).alias("dtab"),
+        F.explode(_cells_col(F.col(vec), cents, n_probe, kernel)).alias("cell"),
     )
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
