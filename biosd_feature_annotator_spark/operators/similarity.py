@@ -245,8 +245,35 @@ def _planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
-def lsh_signature(vec_col, planes: list[list[float]]) -> F.Column:
-    """Sign-bit signature as a long (n_planes ≤ 63 bits), pure Catalyst."""
+def _arrow_lsh_sig(planes):
+    """pandas_udf: embedding → packed sign-bit signature. Same
+    left-fold dots and >= 0 threshold as the catalyst kernel — the
+    packed long is integer-exact, so parity is bit-for-bit."""
+    import numpy as np
+
+    pmat = np.array([[float(x) for x in p] for p in planes])
+
+    @F.pandas_udf("long")
+    def sig(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        x = _np_rows(s)
+        acc = np.zeros((x.shape[0], pmat.shape[0]))
+        for t in range(pmat.shape[1]):
+            acc += x[:, t, None] * pmat[None, :, t]
+        bits = (acc >= 0).astype(np.int64)
+        weights = (1 << np.arange(pmat.shape[0], dtype=np.int64))
+        return pd.Series(bits @ weights)
+
+    return sig
+
+
+def lsh_signature(vec_col, planes: list[list[float]], kernel: str = "arrow") -> F.Column:
+    """Sign-bit signature as a long (n_planes ≤ 63 bits). Dual kernel
+    like the PQ/IVF math (see the kernels note): catalyst is the
+    oracle-replayable HOF form, arrow the plan-cheap numpy twin."""
+    if kernel != "catalyst":
+        return _arrow_lsh_sig(planes)(vec_col)
     sig = F.lit(0).cast("long")
     v = _vecd(vec_col)
     for b, plane in enumerate(planes):
@@ -263,6 +290,7 @@ def lsh_cosine_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5,
     id_q: str = "vec_id", id_c: str = "vec_id", vec: str = "embedding",
     n_planes: int = 16, bands: int = 4, dim: int | None = None, seed: int = 7,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """ANN top-k: candidates share ≥1 LSH band, re-ranked by exact cosine.
 
@@ -279,7 +307,7 @@ def lsh_cosine_topk(
     mask = (1 << per_band) - 1
 
     def banded(df, idc, alias_id, keep_vec):
-        sig = lsh_signature(F.col(vec), planes)
+        sig = lsh_signature(F.col(vec), planes, kernel=kernel)
         base = df.select(
             F.col(idc).alias(alias_id), F.col(vec).alias(keep_vec), sig.alias("sig")
         )

@@ -92,3 +92,23 @@ def test_ivfpq_query_identical_across_kernels(spark, emb):
     c = s.ivfpq_adc_topk(q, emb, cbs, k=3, n_cells=8, n_probe=2, dim=64,
                          kernel="catalyst")
     assert _rows(a) == _rows(c)
+
+
+def test_lsh_signature_bit_identical(spark, emb):
+    planes = s._planes(16, 64, 7)
+    a = {r.vec_id: r.sig for r in emb.select(
+        "vec_id", s.lsh_signature(F.col("embedding"), planes, "arrow").alias("sig")
+    ).collect()}
+    c = {r.vec_id: r.sig for r in emb.select(
+        "vec_id", s.lsh_signature(F.col("embedding"), planes, "catalyst").alias("sig")
+    ).collect()}
+    assert a == c
+
+
+def test_lsh_topk_identical_across_kernels(spark, emb):
+    q = emb.where(F.col("vec_id") < 20)
+    a = s.lsh_cosine_topk(q, emb, k=3, n_planes=16, bands=4, dim=64,
+                          kernel="arrow")
+    c = s.lsh_cosine_topk(q, emb, k=3, n_planes=16, bands=4, dim=64,
+                          kernel="catalyst")
+    assert _rows(a) == _rows(c)
