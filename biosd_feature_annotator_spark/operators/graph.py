@@ -152,3 +152,59 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = 3,
+    a: str = "src", b: str = "dst", directed: bool = False,
+    checkpoint_iters: bool = False,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over
+    edges(a, b) → (node, label). Labels seed as the node's own id; each
+    iteration every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — so the algorithm is
+    fully deterministic (the classic asynchronous LPA is run-order
+    dependent; this is the deterministic semi-synchronous variant, the
+    same determinism discipline as pagerank's fixed iterations).
+
+    Per iteration: one equi-join (neighbor label lookup), one
+    map-side-combinable count shuffle keyed by (node, label), one
+    per-node window for the argmax — all partitioned by node, no
+    all-pairs stage, no driver actions in the loop. Isolated or
+    degree-0-this-direction nodes keep their current label (left join +
+    coalesce). Fixed iteration count keeps the loop action-free and the
+    result engine-replicable (unrollable as per-iteration SQL CTEs for
+    an r6 oracle twin)."""
+    from pyspark.sql import Window
+
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    if not directed:
+        sym = sym.unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+    sym = sym.where(F.col("src") != F.col("dst")).dropDuplicates()
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(iters):
+        counts = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        best = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+        if checkpoint_iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -209,3 +209,40 @@ def test_group_centroids_partition_independent(spark):
     a = sorted(map(tuple, group_centroids_long(df, "label").collect()))
     b = sorted(map(tuple, group_centroids_long(df.repartition(17), "label").collect()))
     assert a == b  # exact long sums: no float-order dependence
+
+
+def test_label_propagation_finds_cliques(spark):
+    from biosd_feature_annotator_spark.operators.graph import label_propagation
+
+    # two 4-cliques bridged by a single edge: LPA must give each clique
+    # one label and keep the two labels distinct
+    c1 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    c2 = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(edges, iters=4).collect()}
+    assert len({out[i] for i in range(4)}) == 1
+    assert len({out[i] for i in range(10, 14)}) == 1
+    assert out[0] != out[10]
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(40)] + [(i, i + 1) for i in range(39)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+    b = sorted(map(tuple,
+                   label_propagation(edges.repartition(17), iters=3).collect()))
+    assert a == b
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    from biosd_feature_annotator_spark.operators.graph import label_propagation
+
+    # node 1 has exactly two neighbors with distinct labels (0 and 2):
+    # after one iteration it must adopt the SMALLER label
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(edges, iters=1).collect()}
+    assert out[1] == 0
