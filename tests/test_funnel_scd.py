@@ -193,3 +193,32 @@ def _forced_smj(spark):
         yield
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_bucketed_triples_aggregate_without_exchange(spark, tmp_path):
+    """Pipeline-level bucketing proof: materialize the flagship's triple
+    output as a subj-bucketed table and the follow-up entity-stats
+    aggregation (groupBy subj) plans with ZERO Exchange — the scan's
+    HashPartitioning(subj) feeds the aggregate directly. This is the
+    SURVEY sink spec's bucket(subj) layout paying off on the engine's
+    own output, not just on synthetic join inputs."""
+    import __spark_entry__ as e
+    from biosd_feature_annotator_spark.plans.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    triples = e.entry(spark).select("subj", "pred", "obj", "confidence")
+    write_bucketed(triples.repartition(8, "subj"), "t_triples_b", "subj", 8,
+                   path=str(tmp_path / "tb"))
+    try:
+        stats = (
+            read_bucketed(spark, "t_triples_b")
+            .groupBy("subj")
+            .agg(F.count("*").alias("n"), F.max("confidence").alias("max_conf"))
+        )
+        plan = _plan_of(stats)
+        assert "Exchange" not in plan, plan
+        assert stats.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_triples_b")
