@@ -1059,6 +1059,109 @@ def q_phonetic_strings(spark, sf):
     )
 
 
+# --------------------------------------------------- r6 registration queue
+#
+# Implemented and oracle-VERIFIED this round (tests/test_r6_queue.py runs
+# each against its DuckDB twin directly), but NOT in _query_registry yet:
+# the driver's 50-entry check window is exactly full in r5 (5 pinned + 13
+# new + 32 round-3-stale), and registering more green=0 entries would push
+# r3-stale queries out of the window (r4 VERDICT ask #1). r6 registers
+# these by adding two registry lines and moving the SQL into oracle_sql().
+
+def q_zorder_events(spark, sf):
+    """Morton keys for the z-order layout (plans/zorder.zvalue): the
+    clustering key zorder_layout range-partitions on, as a checkable
+    projection — flat codegen bit interleave of (user_id, floor(value))
+    clamped to 16 bits. The oracle re-derives every key as an exact
+    disjoint-bit integer sum over generate_series(0, 15)."""
+    from biosd_feature_annotator_spark.plans.zorder import zvalue
+
+    e = _t(spark, sf, "events")
+    xk = F.pmod(F.col("user_id"), F.lit(65536)).cast("long")
+    yk = F.pmod(
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0))).cast("long"),
+        F.lit(65536),
+    )
+    return e.select(
+        "event_id", xk.alias("xk"), yk.alias("yk"),
+        zvalue(xk, yk, 16).alias("zv"),
+    )
+
+
+def q_kg_label_prop(spark, sf):
+    """Label-propagation communities (operators/graph.label_propagation,
+    iters=2) over the customer–supplier bipartite graph derived from
+    lineitem⋈orders (suppliers offset into a disjoint id space). The
+    oracle unrolls both iterations: per round one neighbor-label join,
+    one (node, label) count, one per-node argmax window with the same
+    (count desc, label asc) tie-break."""
+    from biosd_feature_annotator_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 20)
+    o = _t(spark, sf, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    return label_propagation(edges, iters=2)
+
+
+R6_QUEUE_ORACLES = {
+    "zorder_events": """
+        WITH k AS (
+            SELECT event_id,
+                   ((user_id % 65536) + 65536) % 65536 AS xk,
+                   ((CAST(floor(coalesce(value, 0)) AS BIGINT) % 65536)
+                     + 65536) % 65536 AS yk
+            FROM events
+        )
+        SELECT k.event_id, k.xk, k.yk,
+               CAST(sum((((xk >> i) & 1) << (2 * i))
+                        + (((yk >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zv
+        FROM k CROSS JOIN generate_series(0, 15) t(i)
+        GROUP BY k.event_id, k.xk, k.yk
+    """,
+    "kg_label_prop": """
+        WITH e0 AS (
+            SELECT DISTINCT o_custkey AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 20
+        ), sym AS (
+            SELECT src, dst FROM e0 WHERE src <> dst
+            UNION
+            SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM sym
+            UNION SELECT DISTINCT dst FROM sym
+        ), l0 AS (
+            SELECT node, node AS label FROM nodes
+        ), c1 AS (
+            SELECT s.src AS node, l.label, count(*) AS n
+            FROM sym s JOIN l0 l ON s.dst = l.node
+            GROUP BY s.src, l.label
+        ), l1 AS (
+            SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+                FROM c1) WHERE rk = 1
+        ), c2 AS (
+            SELECT s.src AS node, l.label, count(*) AS n
+            FROM sym s JOIN l1 l ON s.dst = l.node
+            GROUP BY s.src, l.label
+        )
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+            FROM c2) WHERE rk = 1
+    """,
+}
+
+
 def q_winnow_docs(spark, sf):
     """Winnowing-style robust fingerprints on the portable md5 kernel —
     the DuckDB oracle recomputes every char-8-gram hash and the bottom-4

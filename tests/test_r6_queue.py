@@ -1,0 +1,58 @@
+"""The r6 registration queue must be driver-ready NOW: each queued
+query runs against its DuckDB oracle with the same comparison the
+driver applies (row count, column set, order-insensitive value
+multiset), so next round's registration is two registry lines with
+zero new risk."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from oracle_check import frame_multiset  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name,fn", [
+    ("zorder_events", entrymod.q_zorder_events),
+    ("kg_label_prop", entrymod.q_kg_label_prop),
+])
+def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
+    spd = fn(spark, SF).toPandas()
+    opd = duck.sql(entrymod.R6_QUEUE_ORACLES[name]).df()
+    assert len(spd) > 0
+    assert len(spd) == len(opd)
+    assert sorted(map(str.lower, spd.columns)) == sorted(map(str.lower, opd.columns))
+    assert frame_multiset(spd) == frame_multiset(opd)
+
+
+def test_r6_queue_not_registered_this_round():
+    # the 50-slot window invariant: registering these in r5 would push
+    # round-3-stale queries out of the driver's check window
+    q = entrymod.queries()
+    assert "zorder_events" not in q and "kg_label_prop" not in q
+    green = entrymod._driver_green_rounds()
+    first50 = list(q)[:50]
+    assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
+               for n in first50[:18])
