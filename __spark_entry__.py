@@ -1110,6 +1110,20 @@ def q_kg_label_prop(spark, sf):
     return label_propagation(edges, iters=2)
 
 
+def q_fuzzy_customer_pairs(spark, sf):
+    """Blocked fuzzy self-match (canonicalize.fuzzy_pairs): customer-name
+    pairs within Levenshtein 2 inside a shared 15-char prefix block —
+    the typo-tolerant entity-resolution primitive that feeds
+    connected_components. Candidates come from an equi-join on the block
+    key, never all-pairs; the oracle replays block, join, and DuckDB's
+    own levenshtein (the true edit distance — engine-agnostic)."""
+    from biosd_feature_annotator_spark.operators.canonicalize import fuzzy_pairs
+
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 200)
+    return fuzzy_pairs(c, "c_custkey", "c_name", max_dist=2,
+                       block="prefix", block_arg=15)
+
+
 R6_QUEUE_ORACLES = {
     "zorder_events": """
         WITH k AS (
@@ -1124,6 +1138,17 @@ R6_QUEUE_ORACLES = {
                         + (((yk >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zv
         FROM k CROSS JOIN generate_series(0, 15) t(i)
         GROUP BY k.event_id, k.xk, k.yk
+    """,
+    "fuzzy_customer_pairs": """
+        WITH base AS (
+            SELECT c_custkey AS id, c_name AS txt,
+                   lower(substring(c_name, 1, 15)) AS blk
+            FROM customer WHERE c_custkey < 200
+        )
+        SELECT a.id AS a, b.id AS b,
+               CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
+        FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.txt, b.txt) <= 2
     """,
     "kg_label_prop": """
         WITH e0 AS (

@@ -213,3 +213,50 @@ def canonicalize(
         )
     )
     return nodes, edges
+
+
+def fuzzy_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_dist: int = 2,
+    block: str = "prefix", block_arg: int = 4, max_block: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy self-match: (a, b, dist) for every id pair a < b
+    whose texts share a block key and sit within Levenshtein
+    ``max_dist`` — the entity-resolution primitive that feeds
+    connected_components when surface forms carry typos the exact /
+    token matchers miss.
+
+    Scale shape: candidate generation is an equi-join on the block key
+    (``prefix``: lowered first ``block_arg`` chars — engine-portable,
+    the oracle-checkable form; ``soundex``: phonetic, Spark-side only),
+    so the join is hash-partitionable and NEVER all-pairs; the O(len²)
+    Levenshtein only runs inside blocks. Like the MinHash banding,
+    blocking trades recall for boundedness — a pair differing inside
+    the block key is missed by construction (callers union several
+    block functions for higher recall). ``max_block`` drops blocks with
+    more members than the cap (the same hot-bucket guard as
+    dedup.minhash's max_bucket): a degenerate key ("Customer#") would
+    otherwise quadratically explode one reducer.
+    """
+    if block == "prefix":
+        key = F.lower(F.substring(F.col(text_col), 1, block_arg))
+    elif block == "soundex":
+        key = F.soundex(F.col(text_col))
+    else:
+        raise ValueError(f"unknown block function: {block}")
+    base = df.select(
+        key.alias("blk"), F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    if max_block is not None:
+        sizes = base.groupBy("blk").agg(F.count("*").alias("_n"))
+        base = base.join(sizes.where(F.col("_n") <= max_block), "blk").drop("_n")
+    a = base.select("blk", F.col("id").alias("a"), F.col("txt").alias("ta"))
+    b = base.select("blk", F.col("id").alias("b"), F.col("txt").alias("tb"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

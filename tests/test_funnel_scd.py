@@ -222,3 +222,35 @@ def test_bucketed_triples_aggregate_without_exchange(spark, tmp_path):
         assert stats.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_triples_b")
+
+
+def test_fuzzy_pairs_semantics_and_block_cap(spark):
+    from biosd_feature_annotator_spark.operators.canonicalize import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corporation"),
+            (2, "acme corporatian"),   # 1 substitution: matched
+            (3, "acme inc"),           # same block, dist > 2: excluded
+            (4, "zenith labs"),        # different block entirely
+            (5, "zenith labz"),        # 1 sub vs 4: matched
+        ],
+        "id long, name string",
+    )
+    got = {(r.a, r.b): r.dist for r in
+           fuzzy_pairs(df, "id", "name", max_dist=2, block_arg=4).collect()}
+    assert got == {(1, 2): 1, (4, 5): 1}
+
+    # soundex block finds phonetic twins the prefix block can't
+    df2 = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "jones")], "id long, name string"
+    )
+    got2 = {(r.a, r.b) for r in
+            fuzzy_pairs(df2, "id", "name", max_dist=2, block="soundex").collect()}
+    assert got2 == {(1, 2)}
+
+    # hot-block guard: a degenerate shared prefix is dropped, not exploded
+    hot = spark.createDataFrame(
+        [(i, f"same prefix {i}") for i in range(10)], "id long, name string"
+    )
+    assert fuzzy_pairs(hot, "id", "name", max_dist=99, max_block=5).count() == 0
