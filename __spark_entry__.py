@@ -1124,6 +1124,21 @@ def q_fuzzy_customer_pairs(spark, sf):
                        block="prefix", block_arg=15)
 
 
+def q_pit_user_values(spark, sf):
+    """Point-in-time lookup (operators/scd.scd2_point_in_time): every
+    event joined to the value-bucket dimension version effective at its
+    own timestamp — the leakage-free feature-store join over the
+    scd2_user_value history. Equi-join on user_id with the interval
+    bounds as residual predicates; tiling intervals ⇒ no fan-out."""
+    from biosd_feature_annotator_spark.operators.scd import scd2_point_in_time
+
+    hist = q_scd2_user_value(spark, sf)
+    facts = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    return scd2_point_in_time(facts, hist, ["user_id"]).select(
+        "event_id", "user_id", "bucket", "effective_from", "is_current"
+    )
+
+
 R6_QUEUE_ORACLES = {
     "zorder_events": """
         WITH k AS (
@@ -1138,6 +1153,34 @@ R6_QUEUE_ORACLES = {
                         + (((yk >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zv
         FROM k CROSS JOIN generate_series(0, 15) t(i)
         GROUP BY k.event_id, k.xk, k.yk
+    """,
+    "pit_user_values": """
+        WITH v AS (
+            SELECT user_id,
+                   CAST(floor(coalesce(value, 0) / 100) AS BIGINT) AS bucket,
+                   ts, event_id
+            FROM events
+        ), c AS (
+            SELECT user_id, bucket, ts, event_id,
+                   lag(bucket) OVER w AS prev,
+                   row_number() OVER w AS rn
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), ch AS (
+            SELECT user_id, bucket, ts, event_id FROM c
+            WHERE rn = 1 OR bucket <> prev
+        ), hist AS (
+            SELECT user_id, bucket, ts AS effective_from,
+                   lead(ts) OVER w2 AS effective_to,
+                   lead(ts) OVER w2 IS NULL AS is_current
+            FROM ch
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e.event_id, e.user_id, h.bucket, h.effective_from,
+               h.is_current
+        FROM events e LEFT JOIN hist h
+          ON e.user_id = h.user_id AND h.effective_from <= e.ts
+         AND (h.effective_to IS NULL OR e.ts < h.effective_to)
     """,
     "fuzzy_customer_pairs": """
         WITH base AS (

@@ -127,3 +127,43 @@ def scd2_apply(
         .unionByName(closed)
         .unionByName(inserts)
     )
+
+
+def scd2_point_in_time(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (as-of) lookup: join each fact row to the dimension
+    version that was effective AT the fact's timestamp — the
+    feature-store primitive that makes type-2 history usable without
+    leakage (a fact must never see a version that started after it).
+
+    Semantics: version matches iff ``effective_from <= ts`` and
+    (``effective_to`` is NULL or ``ts < effective_to``). Because
+    scd2_history's intervals tile and never overlap, at most ONE version
+    matches per fact — the join cannot fan out.
+
+    Scale shape: an equi-join on the dimension key with the interval
+    bounds as residual join predicates — Spark plans a hash/sort-merge
+    join partitioned by key (the range conditions filter within each
+    key group, they don't force a cartesian or a broadcast-nested-loop).
+    Facts that predate the first version (or miss the key) keep NULL
+    attributes under how="left".
+    """
+    d = dim.select(
+        *[F.col(k).alias(f"_d_{k}") for k in key_cols],
+        *[F.col(c) for c in dim.columns if c not in key_cols],
+    )
+    cond = [F.col(k) == F.col(f"_d_{k}") for k in key_cols]
+    cond.append(F.col("effective_from") <= F.col(ts_col))
+    cond.append(
+        F.col("effective_to").isNull() | (F.col(ts_col) < F.col("effective_to"))
+    )
+    joined = facts.join(d, cond, how)
+    return joined.select(
+        *facts.columns,
+        *[c for c in dim.columns if c not in key_cols + [ts_col]],
+    )

@@ -254,3 +254,50 @@ def test_fuzzy_pairs_semantics_and_block_cap(spark):
         [(i, f"same prefix {i}") for i in range(10)], "id long, name string"
     )
     assert fuzzy_pairs(hot, "id", "name", max_dist=99, max_block=5).count() == 0
+
+
+def test_scd2_point_in_time_self_consistent(spark):
+    """Self-validation on real data: an event joined to the history
+    derived from the same events must see its OWN value bucket (the
+    version effective at its ts starts at or before it with the same
+    bucket), and the tiling intervals guarantee exactly one match."""
+    from biosd_feature_annotator_spark.operators.scd import (
+        scd2_history,
+        scd2_point_in_time,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / 100)
+        .cast("long").alias("bucket"),
+    )
+    hist = scd2_history(
+        e.select("user_id", "bucket", "ts", "event_id"),
+        ["user_id"], "bucket", "ts", "event_id",
+    )
+    pit = scd2_point_in_time(
+        e.select("event_id", "user_id", "ts", F.col("bucket").alias("own")),
+        hist, ["user_id"],
+    )
+    assert pit.count() == e.count()  # tiling intervals: no fan-out
+    assert pit.where(F.col("bucket") != F.col("own")).count() == 0
+    assert pit.where(F.col("bucket").isNull()).count() == 0
+
+
+def test_scd2_point_in_time_before_first_version_is_null(spark):
+    from datetime import datetime
+
+    from biosd_feature_annotator_spark.operators.scd import scd2_point_in_time
+
+    dim = spark.createDataFrame(
+        [("a", 1, datetime(2024, 2, 1), None, True)],
+        "k string, v long, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [Row(fid=1, k="a", ts=datetime(2024, 1, 1)),    # predates history
+         Row(fid=2, k="a", ts=datetime(2024, 3, 1))]
+    )
+    rows = {r.fid: r.v for r in
+            scd2_point_in_time(facts, dim, ["k"]).collect()}
+    assert rows[1] is None and rows[2] == 1

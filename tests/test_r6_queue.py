@@ -38,6 +38,7 @@ def duck():
     ("zorder_events", entrymod.q_zorder_events),
     ("kg_label_prop", entrymod.q_kg_label_prop),
     ("fuzzy_customer_pairs", entrymod.q_fuzzy_customer_pairs),
+    ("pit_user_values", entrymod.q_pit_user_values),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -52,7 +53,8 @@ def test_r6_queue_not_registered_this_round():
     # the 50-slot window invariant: registering these in r5 would push
     # round-3-stale queries out of the driver's check window
     q = entrymod.queries()
-    assert not {"zorder_events", "kg_label_prop", "fuzzy_customer_pairs"} & set(q)
+    assert not {"zorder_events", "kg_label_prop", "fuzzy_customer_pairs",
+                "pit_user_values"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
