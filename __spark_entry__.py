@@ -1139,6 +1139,26 @@ def q_pit_user_values(spark, sf):
     )
 
 
+def q_dq_orders_report(spark, sf):
+    """Data-quality gate (plans/quality.check_constraints) over orders:
+    NULL/value/range/regex rules fold into one aggregation pass;
+    uniqueness is one combinable count shuffle; referential integrity
+    one anti-join against customer. The oracle recomputes each count as
+    its own scalar subquery."""
+    from biosd_feature_annotator_spark.plans import quality as dq
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return dq.check_constraints(o, [
+        dq.not_null("o_custkey"),
+        dq.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        dq.in_range("o_totalprice", 0.0, 1e7),
+        dq.matches("o_orderpriority", r"^[1-5]-"),
+        dq.unique(["o_orderkey"]),
+        dq.referential("o_custkey", c, "c_custkey", "customer"),
+    ])
+
+
 R6_QUEUE_ORACLES = {
     "zorder_events": """
         WITH k AS (
@@ -1153,6 +1173,52 @@ R6_QUEUE_ORACLES = {
                         + (((yk >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zv
         FROM k CROSS JOIN generate_series(0, 15) t(i)
         GROUP BY k.event_id, k.xk, k.yk
+    """,
+    "dq_orders_report": """
+        WITH t AS (SELECT count(*) AS total FROM orders)
+        SELECT 'not_null(o_custkey)' AS rule,
+               CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                   AS BIGINT) AS violations,
+               t.total, (SELECT count(*) FROM orders
+                         WHERE o_custkey IS NULL) = 0 AS passed FROM t
+        UNION ALL
+        SELECT 'accepted_values(o_orderstatus)',
+               CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+               t.total, (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O','F','P')) = 0 FROM t
+        UNION ALL
+        SELECT 'range(o_totalprice,0.0,10000000.0)',
+               CAST((SELECT count(*) FROM orders WHERE o_totalprice IS NULL
+                     OR o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+                   AS BIGINT),
+               t.total, (SELECT count(*) FROM orders WHERE o_totalprice IS NULL
+                         OR o_totalprice < 0.0 OR o_totalprice > 10000000.0) = 0
+        FROM t
+        UNION ALL
+        SELECT 'matches(o_orderpriority)',
+               CAST((SELECT count(*) FROM orders WHERE o_orderpriority IS NULL
+                     OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                   AS BIGINT),
+               t.total, (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL
+                         OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+        FROM t
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               CAST(coalesce((SELECT sum(n) FROM (
+                   SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+                   HAVING count(*) > 1)), 0) AS BIGINT),
+               t.total, coalesce((SELECT sum(n) FROM (
+                   SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+                   HAVING count(*) > 1)), 0) = 0 FROM t
+        UNION ALL
+        SELECT 'referential(o_custkey->customer.c_custkey)',
+               CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                     AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+                   AS BIGINT),
+               t.total, (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                         AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+                   = 0 FROM t
     """,
     "pit_user_values": """
         WITH v AS (

@@ -301,3 +301,41 @@ def test_scd2_point_in_time_before_first_version_is_null(spark):
     rows = {r.fid: r.v for r in
             scd2_point_in_time(facts, dim, ["k"]).collect()}
     assert rows[1] is None and rows[2] == 1
+
+
+def test_check_constraints_counts_injected_violations(spark):
+    from biosd_feature_annotator_spark.plans import quality as dq
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "ok"),
+            (1, "X", -5.0, "ok"),      # dup key, bad status, below range
+            (2, None, 20.0, "bad!"),   # null status, regex miss
+            (3, "F", None, "ok"),      # null price counts as range violation
+        ],
+        "k long, status string, price double, tag string",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "k long")  # 3 dangles
+    rep = {r.rule: (r.violations, r.total, r.passed) for r in
+           dq.check_constraints(df, [
+               dq.not_null("status"),
+               dq.accepted_values("status", ["O", "F"]),
+               dq.in_range("price", 0.0, 100.0),
+               dq.matches("tag", "^ok$"),
+               dq.unique(["k"]),
+               dq.referential("k", dim, "k", "d"),
+           ]).collect()}
+    assert rep["not_null(status)"] == (1, 4, False)
+    assert rep["accepted_values(status)"] == (2, 4, False)
+    assert rep["range(price,0.0,100.0)"] == (2, 4, False)
+    assert rep["matches(tag)"] == (1, 4, False)
+    assert rep["unique(k)"] == (2, 4, False)      # both rows of the dup key
+    assert rep["referential(k->d.k)"] == (1, 4, False)
+
+
+def test_check_constraints_all_green_on_clean_data(spark):
+    from biosd_feature_annotator_spark.plans import quality as dq
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    rep = dq.check_constraints(df, [dq.not_null("k"), dq.unique(["k"])])
+    assert rep.where(~F.col("passed")).count() == 0
