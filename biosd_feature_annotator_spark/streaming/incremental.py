@@ -478,3 +478,98 @@ def stream_join_signup_purchase(
         F.col("signup_ts").cast("timestamp_ntz").alias("signup_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+def stream_funnel_depths(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str,
+    steps: list[str] | None = None,
+    n_input_files: int = 1, max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming funnel: the batch funnel_depths state machine
+    (operators/funnel.py) maintained incrementally per user via
+    applyInPandasWithState — depth so far, the last matched step's
+    timestamp, and the matched timestamps, carried ACROSS micro-batches.
+
+    Equality contract: identical to the batch fold when the source is
+    time-ordered across arriving files (each batch's rows are folded in
+    (ts, event_id) order; the driver events table is ts-sorted and the
+    row-range staging preserves that — asserted against the batch
+    operator in tests/test_streaming.py). A source that delivers an
+    EARLIER event in a LATER file violates any unbuffered streaming
+    funnel's assumptions — handle that upstream with a watermark +
+    delay, not here.
+
+    State is (depth, last_us, hits_csv): epoch-microsecond longs, so the
+    cross-batch state is exact (no float time). Emits the user's current
+    row per batch; the sink is the same append + last-batch-wins upsert
+    view as stream_user_running_stats."""
+    import shutil
+
+    import pandas as pd
+
+    steps = steps or ["signup", "view", "purchase"]
+    k = len(steps)
+    for p in (out_path, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+    events_path = _stage_single_file(events_path, checkpoint, n_files=n_input_files)
+
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        depth, last_us, hits_csv = (
+            state.get if state.exists else (0, -1, "")
+        )
+        hits = [int(h) for h in hits_csv.split(",") if h]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["event_type"].isin(steps)]
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if depth < k and et == steps[depth] and (depth == 0 or us > last_us):
+                    depth += 1
+                    last_us = us
+                    hits.append(us)
+        state.update((depth, last_us, ",".join(str(h) for h in hits)))
+        out = {"user_id": [user_id], "depth": [depth]}
+        for i in range(k):
+            out[f"ts_{i + 1}"] = [
+                pd.Timestamp(hits[i] * 1000) if i < len(hits) else pd.NaT
+            ]
+        yield pd.DataFrame(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ts_cols = ", ".join(f"ts_{i + 1} timestamp" for i in range(k))
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=f"user_id long, depth long, {ts_cols}",
+        stateStructType="depth int, last_us long, hits_csv string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_path)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "depth", *[f"ts_{i + 1}" for i in range(k)])
+    )

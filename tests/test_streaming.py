@@ -315,3 +315,33 @@ def test_stream_stream_join_across_micro_batches(spark, tmp_path):
     ).select("purchase_id", "user_id", "signup_ts", "purchase_ts")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_funnel_matches_batch_multi_batch(spark, tmp_path):
+    """Streaming funnel state machine across a REAL 3-micro-batch
+    availableNow run equals the batch funnel fold row for row (the
+    events table is ts-sorted, so row-range file splits are time
+    splits — the operator's documented ordering contract)."""
+    from biosd_feature_annotator_spark.operators.funnel import funnel_depths
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_funnel_depths,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_funnel_depths(
+        spark, f"{sf}/events.parquet", str(tmp_path / "out"),
+        str(tmp_path / "ck"), n_input_files=3, max_files_per_trigger=1,
+    )
+    batch_ids = {
+        r.batch_id
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("batch_id").distinct().collect()
+    }
+    assert len(batch_ids) >= 3, batch_ids
+    want = funnel_depths(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        ["signup", "view", "purchase"],
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
