@@ -697,9 +697,9 @@ def q_doc_quality_linear(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    return linear_quality_score(d).select(
-        "doc_id", F.round("q_logit", 4).alias("q_logit"), "q_keep"
-    )
+    # full-precision logit: bit-identical on both engines, and the
+    # rounding audit showed round(…, 4) sits ON a tie boundary here
+    return linear_quality_score(d).select("doc_id", "q_logit", "q_keep")
 
 
 def q_emb_ivfpq_topk(spark, sf):
@@ -2485,8 +2485,13 @@ def _quality_linear_sql() -> str:
     logit = repr(QUALITY_PRIOR_BIAS)
     for name in QUALITY_PRIOR:  # insertion order == Spark fold order
         logit = f"({logit} + {QUALITY_PRIOR[name]!r} * {feats[name]})"
+    # no display round: the logit is bit-identical across engines (fixed
+    # fold order over correctly-rounded ratio features), and the r5
+    # rounding audit measured a round(…, 4) margin of EXACTLY 0 — the
+    # quantized-rational logit can land on a tie boundary, so emitting
+    # the full-precision double is the tie-proof form
     return f"""
-        SELECT doc_id, round({logit}, 4) AS q_logit, {logit} > 0 AS q_keep
+        SELECT doc_id, {logit} AS q_logit, {logit} > 0 AS q_keep
         FROM documents
     """
 
@@ -3420,7 +3425,11 @@ def oracle_sql() -> dict[str, str]:
                      unnest(range(1, len(e) + 1)) AS u(i)
             )
             SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
-                   round(CAST(sum(vm) AS DOUBLE) / (count(*) * 1000000.0), 6)
+                   -- full precision: exact long sum / exact product is one
+                   -- correctly-rounded IEEE division, bit-identical on both
+                   -- engines; a display round(…, 6) would sit ON a tie
+                   -- boundary (audit margin 0) and could flip the hash
+                   CAST(sum(vm) AS DOUBLE) / (count(*) * 1000000.0)
                        AS centroid
             FROM x GROUP BY label, dim
         """,

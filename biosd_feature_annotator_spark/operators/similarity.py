@@ -814,9 +814,15 @@ def group_centroids_long(
     float-addition-order dependence of sum(double) across partitions
     (which no engine pair, or even two runs of one engine, reproduces
     bit-for-bit) is gone by construction. centroid = sum_micro /
-    (n * quant), one deterministic double division at the end. The
-    shuffle carries (group, dim) pairs — map-side combinable, never a
-    whole vector row."""
+    (n * quant), one deterministic double division at the end — emitted
+    at FULL precision: the division of exact operands is correctly
+    rounded and therefore bit-identical on any IEEE-754 engine, whereas
+    a display round(…, 6) re-introduces a tie hazard (s/n can land
+    exactly on a half-micro boundary, where Spark's BigDecimal HALF_UP
+    and another engine's float-multiply rounding may diverge; the
+    rounding audit measured margin exactly 0 here). The shuffle carries
+    (group, dim) pairs — map-side combinable, never a whole vector
+    row."""
     exploded = df.select(
         F.col(group_col).alias("grp"),
         F.posexplode(_vecd(F.col(vec_col))).alias("dim", "v"),
@@ -830,8 +836,8 @@ def group_centroids_long(
         .select(
             F.col("grp").alias(group_col),
             F.col("dim").cast("long").alias("dim"),
-            F.round(
-                F.col("s").cast("double") / (F.col("n") * F.lit(float(quant))), 6
+            (
+                F.col("s").cast("double") / (F.col("n") * F.lit(float(quant)))
             ).alias("centroid"),
         )
     )

@@ -52,8 +52,15 @@ def _match_paren(s: str, open_idx: int) -> int:
     raise ValueError("unbalanced parens")
 
 
-def _split_last_arg(inner: str) -> tuple[str, str]:
-    """Split 'expr, d' at the LAST top-level comma."""
+def _split_last_arg(inner: str) -> tuple[str, str] | None:
+    """Split 'expr, d' at the LAST top-level comma. Returns None for
+    single-argument round(x): those are COMPUTATIONAL quantizers (the
+    micro-quantized long-sum kernels — emb_centroids, doc_fluency,
+    mix_sources), not display rounds. Both engines feed them the
+    bit-identical double (literal-folded products of exact casts), so
+    there is no cross-engine input disagreement for a tie boundary to
+    amplify — and stripping them would CHANGE the query (their output
+    feeds downstream arithmetic), so they must stay in place."""
     depth = 0
     for i in range(len(inner) - 1, -1, -1):
         c = inner[i]
@@ -63,7 +70,7 @@ def _split_last_arg(inner: str) -> tuple[str, str]:
             depth -= 1
         elif c == "," and depth == 0:
             return inner[:i], inner[i + 1:]
-    raise ValueError("round() without a digits argument")
+    return None
 
 
 def deround(sql: str) -> tuple[str, list[tuple[str, int]]]:
@@ -71,14 +78,19 @@ def deround(sql: str) -> tuple[str, list[tuple[str, int]]]:
     for the ones directly aliased with `AS name` (the output columns)."""
     audited: list[tuple[str, int]] = []
     pat = re.compile(r"\bround\s*\(", re.IGNORECASE)
+    pos = 0
     while True:
-        m = pat.search(sql)
+        m = pat.search(sql, pos)
         if m is None:
             return sql, audited
         open_idx = sql.index("(", m.start())
         close_idx = _match_paren(sql, open_idx)
         inner = sql[open_idx + 1:close_idx]
-        expr, digits = _split_last_arg(inner)
+        split = _split_last_arg(inner)
+        if split is None:  # quantizer round(x): keep, scan past it
+            pos = open_idx + 1
+            continue
+        expr, digits = split
         alias_m = _AS_RE.match(sql[close_idx + 1:])
         if alias_m:
             audited.append((alias_m.group(1).lower(), int(digits.strip())))
