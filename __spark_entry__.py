@@ -1139,6 +1139,21 @@ def q_pit_user_values(spark, sf):
     )
 
 
+def q_docs_prefix_jaccard(spark, sf):
+    """EXACT Jaccard ≥ τ set-similarity self-join via prefix filtering
+    (dedup.prefix_jaccard_pairs, the AllPairs/PPJoin discipline): each
+    doc indexes only its ⌊(1−τ)|d|⌋+1 rarest shingles, pigeonhole
+    guarantees zero false negatives, array_intersect verifies. Because
+    the algorithm is exact, the oracle is the straight brute-force
+    inverted index with the same integer rational-τ test — the oracle
+    checks SEMANTICS while the Spark plan carries the ~(1−τ)-sized
+    index. Exact integer output (inter, uni): no rounding to audit."""
+    from biosd_feature_annotator_spark.operators.dedup import prefix_jaccard_pairs
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return prefix_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.3)
+
+
 def q_dq_orders_report(spark, sf):
     """Data-quality gate (plans/quality.check_constraints) over orders:
     NULL/value/range/regex rules fold into one aggregation pass;
@@ -1160,6 +1175,32 @@ def q_dq_orders_report(spark, sf):
 
 
 R6_QUEUE_ORACLES = {
+    "docs_prefix_jaccard": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+            FROM documents WHERE doc_id < 200
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> t[i] || ' ' || t[i + 1]))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b, CAST(i AS BIGINT) AS inter,
+               CAST(sa.n + sb.n - i AS BIGINT) AS uni
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE i * 10 >= 3 * (sa.n + sb.n - i)
+    """,
     "zorder_events": """
         WITH k AS (
             SELECT event_id,

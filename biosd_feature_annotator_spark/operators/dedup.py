@@ -329,6 +329,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, threshold: float = 0.8, hasher: str = "xx",
+) -> DataFrame:
+    """EXACT Jaccard ≥ τ self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate-generation discipline, Bayardo et al. /
+    Xiao et al. — public algorithms): each document indexes only its
+    ⌊(1−τ)·|d|⌋ + 1 RAREST shingles under a global total order
+    (document frequency ascending, shingle hash as the deterministic
+    tie-break). Pigeonhole guarantee: two sets with J ≥ τ overlap in
+    more than (1−τ)·min(|a|,|b|) elements, so they MUST share at least
+    one prefix token — no false negatives, unlike ngram_jaccard_pairs'
+    max_df cap (which trades recall for join safety) or MinHash (which
+    is probabilistic). At τ=0.8 the index carries ~20% of the postings,
+    and rare-first ordering makes the surviving buckets small by
+    construction — boilerplate shingles are exactly the ones prefix
+    selection skips.
+
+    Scale shape: df-count (map-side combinable) → per-doc rank window
+    (partitioned by doc — scales with docs, no global sort) → prefix
+    postings equi-join on the shingle (never all-pairs) + symmetric
+    length filter ⌈τ·max⌉ ≤ min → verify by array_intersect over the
+    per-doc sorted shingle arrays (one join per side, per-pair O(|d|),
+    all codegen). Emits exact integers (inter, uni) — the engine-
+    portable form (jaccard = inter/uni is derivable; no rounded double,
+    no tie hazard).
+
+    Every threshold comparison is INTEGER arithmetic on a rational
+    τ = num/den (Fraction(threshold).limit_denominator; 0.8 → 4/5
+    exactly): float ⌊(1−τ)·sz⌋ would under-compute the prefix length
+    whenever τ·sz is an exact integer (0.8·5 → 0.9999… → 0, one
+    position short of the pigeonhole bound — a real false-negative
+    class), and a float inter ≥ τ·uni verify has the same boundary
+    exposure. sz − ⌈num·sz/den⌉ + 1 and inter·den ≥ num·uni have
+    none, on any engine."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    sh = word_shingles(df, id_col, text_col, n, hasher=hasher)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    by_doc = Window.partitionBy("doc")
+    ranked = sh.join(dfreq, "sh").select(
+        "doc", "sh",
+        F.row_number().over(by_doc.orderBy("df_", "sh")).alias("pos"),
+        F.count("*").over(by_doc).alias("sz"),
+    )
+    # prefix length sz − ⌈τ·sz⌉ + 1, integer-exact:
+    # ⌈num·sz/den⌉ = (num·sz + den − 1) div den
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"(({num} * sz + {den} - 1)) div {den}")
+        + F.lit(1)
+    )
+    pre = ranked.where(F.col("pos") <= prefix_len).select("doc", "sh", "sz")
+    cand = (
+        pre.select(F.col("doc").alias("a"), "sh", F.col("sz").alias("sa"))
+        .join(pre.select(F.col("doc").alias("b"), "sh", F.col("sz").alias("sb")), "sh")
+        .where(
+            (F.col("a") < F.col("b"))
+            # length filter: τ·max(|a|,|b|) ≤ min(|a|,|b|) is necessary
+            # for J ≥ τ (inter ≤ min, uni ≥ max); integer cross-multiply
+            & (F.least("sa", "sb") * F.lit(den)
+               >= F.greatest("sa", "sb") * F.lit(num))
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    toks = sh.groupBy("doc").agg(
+        F.sort_array(F.collect_list("sh")).alias("toks"),
+        F.count("*").alias("sz"),
+    )
+    verified = (
+        cand.join(
+            toks.select(F.col("doc").alias("a"), F.col("toks").alias("ta"),
+                        F.col("sz").alias("sa")), "a")
+        .join(
+            toks.select(F.col("doc").alias("b"), F.col("toks").alias("tb"),
+                        F.col("sz").alias("sb")), "b")
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("inter"),
+            (F.col("sa") + F.col("sb")
+             - F.size(F.array_intersect("ta", "tb"))).cast("long").alias("uni"),
+        )
+        # integer cross-multiply: inter/uni ≥ τ without a float divide
+        .where(F.col("inter") * F.lit(den) >= F.col("uni") * F.lit(num))
+    )
+    return verified
+
+
 def shared_ngram_spans(
     df: DataFrame, id_col: str, text_col: str,
     n: int = 8, max_df: int = 50, hasher: str = "xx",

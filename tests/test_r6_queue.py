@@ -40,6 +40,7 @@ def duck():
     ("fuzzy_customer_pairs", entrymod.q_fuzzy_customer_pairs),
     ("pit_user_values", entrymod.q_pit_user_values),
     ("dq_orders_report", entrymod.q_dq_orders_report),
+    ("docs_prefix_jaccard", entrymod.q_docs_prefix_jaccard),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -55,7 +56,8 @@ def test_r6_queue_not_registered_this_round():
     # round-3-stale queries out of the driver's check window
     q = entrymod.queries()
     assert not {"zorder_events", "kg_label_prop", "fuzzy_customer_pairs",
-                "pit_user_values", "dq_orders_report"} & set(q)
+                "pit_user_values", "dq_orders_report",
+                "docs_prefix_jaccard"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

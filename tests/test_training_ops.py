@@ -88,6 +88,60 @@ def test_ngram_jaccard(spark):
     assert pairs[(0, 1)] == 1.0 and (0, 2) in pairs
 
 
+def test_prefix_jaccard_exact_vs_bruteforce(docs):
+    """Prefix filtering is EXACT: on real driver data it must emit the
+    identical pair set as the uncapped brute-force inverted index, with
+    jaccard == inter/uni for every pair."""
+    d = docs.where("doc_id < 200")
+    ref = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=2, threshold=0.3, max_df=10**9).collect()}
+    got = {(r.a, r.b): (r.inter, r.uni) for r in dedup.prefix_jaccard_pairs(
+        d, "doc_id", "text", n=2, threshold=0.3).collect()}
+    assert set(ref) == set(got) and len(got) > 0
+    for k, (i, u) in got.items():
+        assert abs(i / u - ref[k]) < 1e-6
+
+
+def test_prefix_jaccard_integer_boundary(spark):
+    """The float-hazard class the rational-τ arithmetic exists for:
+    τ·|d| an exact integer. Two 5-shingle docs sharing exactly 4
+    shingles (J = 4/6 < 0.8 → excluded) and two identical docs
+    (J = 1 ≥ 0.8 → kept, found via a 1-token prefix that a float
+    ⌊(1−0.8)·5⌋ = 0 prefix would never index)."""
+    rows = [
+        (0, "a b c d e f g"),   # 5 3-shingles
+        (1, "a b c d e f g"),   # identical: J=1
+        (2, "a b c d e f x"),   # shares 4 of 5: J=4/6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b): (r.inter, r.uni) for r in
+             dedup.prefix_jaccard_pairs(df, "doc_id", "text",
+                                        n=3, threshold=0.8).collect()}
+    assert pairs == {(0, 1): (5, 5)}
+
+
+def test_prefix_jaccard_index_is_smaller(docs):
+    """The point of the discipline: the prefix index carries a strict
+    subset of the postings (≈(1−τ) of them), so the candidate self-join
+    is on a much smaller relation than the full inverted index."""
+    from pyspark.sql import Window
+
+    d = docs.where("doc_id < 200")
+    sh = dedup.word_shingles(d, "doc_id", "text", 2)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    by_doc = Window.partitionBy("doc")
+    ranked = sh.join(dfreq, "sh").select(
+        "doc",
+        F.row_number().over(by_doc.orderBy("df_", "sh")).alias("pos"),
+        F.count("*").over(by_doc).alias("sz"),
+    )
+    full = sh.count()
+    pre = ranked.where(
+        F.col("pos") <= F.col("sz") - F.expr("((8 * sz + 9)) div 10") + 1
+    ).count()
+    assert pre < full * 0.35  # τ=0.8 ⇒ ~20% + the +1 per doc
+
+
 def test_dedup_on_documents_table(docs):
     # determinism + sanity on real driver data
     n = docs.count()
