@@ -1154,6 +1154,32 @@ def q_docs_prefix_jaccard(spark, sf):
     return prefix_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.3)
 
 
+def q_quantile_sketch_orders(spark, sf):
+    """Mergeable grid-quantile sketch (operators/sketches.py): the Spark
+    side builds TWO half-states (orderkey parity split), merges them,
+    and extracts p50/p95 per order status; the oracle computes the same
+    integer bucket math directly over all orders — a hash match
+    therefore witnesses merge ≡ direct state, the materialized-view
+    property for percentiles (the non-algebraic complement of
+    agg_state_merge). Every rank test is an integer cross-multiply;
+    the emitted doubles are exact-integer/100 conversions — no rounding
+    to audit."""
+    from biosd_feature_annotator_spark.operators import sketches as S
+
+    o = _t(spark, sf, "orders")
+    lo, hi, nb = 0.0, 1_000_000.0, 10_000
+    halves = [
+        S.grid_quantile_state(
+            o.where(F.col("o_orderkey") % 2 == i),
+            ["o_orderstatus"], "o_totalprice", lo, hi, nb)
+        for i in (0, 1)
+    ]
+    merged = S.merge_quantile_states(*halves)
+    return S.state_quantiles(
+        merged, ["o_orderstatus"], {"p50": (1, 2), "p95": (19, 20)},
+        lo, hi, nb)
+
+
 def q_dq_orders_report(spark, sf):
     """Data-quality gate (plans/quality.check_constraints) over orders:
     NULL/value/range/regex rules fold into one aggregation pass;
@@ -1175,6 +1201,33 @@ def q_dq_orders_report(spark, sf):
 
 
 R6_QUEUE_ORACLES = {
+    "quantile_sketch_orders": """
+        WITH q AS (
+            SELECT o_orderstatus AS k,
+                   least(greatest(CAST(round(o_totalprice * 100) AS BIGINT),
+                                  0), 99999999) AS vq
+            FROM orders
+        ),
+        s AS (
+            SELECT k, vq // 10000 AS bucket, count(*) AS cnt
+            FROM q GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT k, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY k ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY k) AS total
+            FROM s
+        )
+        SELECT k AS o_orderstatus,
+               min(CASE WHEN cum * 2 >= total
+                        THEN CAST((bucket + 1) * 10000 AS DOUBLE) / 100.0
+                   END) AS p50,
+               min(CASE WHEN cum * 20 >= total * 19
+                        THEN CAST((bucket + 1) * 10000 AS DOUBLE) / 100.0
+                   END) AS p95
+        FROM c GROUP BY k
+    """,
     "docs_prefix_jaccard": """
         WITH toks AS (
             SELECT doc_id,

@@ -41,6 +41,7 @@ def duck():
     ("pit_user_values", entrymod.q_pit_user_values),
     ("dq_orders_report", entrymod.q_dq_orders_report),
     ("docs_prefix_jaccard", entrymod.q_docs_prefix_jaccard),
+    ("quantile_sketch_orders", entrymod.q_quantile_sketch_orders),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -57,7 +58,7 @@ def test_r6_queue_not_registered_this_round():
     q = entrymod.queries()
     assert not {"zorder_events", "kg_label_prop", "fuzzy_customer_pairs",
                 "pit_user_values", "dq_orders_report",
-                "docs_prefix_jaccard"} & set(q)
+                "docs_prefix_jaccard", "quantile_sketch_orders"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
