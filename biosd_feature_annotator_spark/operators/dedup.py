@@ -368,10 +368,19 @@ def prefix_jaccard_pairs(
 
     from pyspark.sql import Window
 
+    from ..cache import scoped_persist
+
     frac = Fraction(threshold).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
 
-    sh = word_shingles(df, id_col, text_col, n, hasher=hasher)
+    # the shingle relation feeds FOUR plan branches (df counts, the
+    # rank window, and both verify sides); without a persist each
+    # branch re-tokenizes the corpus — at 100 TB that is 4 full scans.
+    # scoped_persist keeps at most one live cache across invocations.
+    sh = scoped_persist(
+        word_shingles(df, id_col, text_col, n, hasher=hasher),
+        "dedup.prefix_jaccard.sh",
+    )
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
     by_doc = Window.partitionBy("doc")
     ranked = sh.join(dfreq, "sh").select(
