@@ -1180,6 +1180,41 @@ def q_quantile_sketch_orders(spark, sf):
         lo, hi, nb)
 
 
+def q_weighted_sample_docs(spark, sf):
+    """Deterministic weighted Bernoulli sampling
+    (training.weighted_sample): keep each doc with probability
+    min(1, n_chars/4000) — weight-proportional corpus subsampling as a
+    pure projection of the id (md5 digits 9-13, disjoint from split and
+    strata digits). The oracle replays the identical integer coin and
+    the ONE float multiply (same literal, same operands — bit-identical
+    on both engines)."""
+    from biosd_feature_annotator_spark.operators.training import weighted_sample
+
+    d = _t(spark, sf, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", 1 / 4000).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_retention_cohorts_events(spark, sf):
+    """Retention-cohort matrix (funnel.retention_cohorts): users
+    cohorted by first-activity month, cells count active users per
+    (cohort, month). ONE shuffle on user_id produces both the cohort
+    (min) and the distinct active months (collect_set → explode); the
+    cell count is map-side combinable. DATE-typed periods — integer
+    calendar arithmetic, nothing to round."""
+    from biosd_feature_annotator_spark.operators.funnel import retention_cohorts
+
+    # DATE → TIMESTAMP for the driver compare: pandas renders Spark DATE
+    # as datetime.date but DuckDB DATE as datetime64 — same value,
+    # different isoformat; timestamps render identically on both
+    return retention_cohorts(_t(spark, sf, "events")).select(
+        F.col("cohort").cast("timestamp").alias("cohort"),
+        F.col("period").cast("timestamp").alias("period"),
+        "n_users",
+    )
+
+
 def q_dq_orders_report(spark, sf):
     """Data-quality gate (plans/quality.check_constraints) over orders:
     NULL/value/range/regex rules fold into one aggregation pass;
@@ -1201,6 +1236,27 @@ def q_dq_orders_report(spark, sf):
 
 
 R6_QUEUE_ORACLES = {
+    "weighted_sample_docs": """
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 5) AS BIGINT)
+              < CAST(floor(least(1.0, 0.00025 * n_chars) * 1048576.0) AS BIGINT)
+    """,
+    "retention_cohorts_events": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(date_trunc('month', ts)) AS cohort,
+                   list_distinct(list(date_trunc('month', ts))) AS periods
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT cohort, unnest(periods) AS period FROM per_user
+        )
+        SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+               CAST(period AS TIMESTAMP) AS period,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM cells GROUP BY cohort, period
+    """,
     "quantile_sketch_orders": """
         WITH q AS (
             SELECT o_orderstatus AS k,

@@ -138,3 +138,44 @@ def funnel_conversion(
             F.col("users_reached") / F.coalesce(w_prev, F.col("users_reached")), 4
         ).alias("conversion_from_prev"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "month",
+) -> DataFrame:
+    """Classic retention-cohort matrix: users are assigned to the cohort
+    of their FIRST activity period, and each (cohort, period) cell
+    counts how many of that cohort were active in that period — the
+    standard growth-analytics rollup (every product analytics stack
+    ships it; none of the engine's other operators express it:
+    funnel is ordered-step, sessionize is gap-based).
+
+    Scale shape: ONE shuffle on user_id computes both the cohort
+    (min over the user's periods) and the user's distinct active
+    periods — groupBy(user) with min + collect_set(period), then
+    explode; the (cohort, period) count that follows is map-side
+    combinable. No join back to the event stream (the naive
+    min-ts-join-events form shuffles the full event table twice and
+    counts DISTINCT users per cell — strictly worse). Periods are
+    date_trunc'd DATEs: integer-exact, no float anywhere."""
+    per_user = (
+        events
+        .select(
+            F.col(user_col).alias("u"),
+            F.date_trunc(grain, F.col(ts_col)).cast("date").alias("period"),
+        )
+        .groupBy("u")
+        .agg(
+            F.min("period").alias("cohort"),
+            F.collect_set("period").alias("periods"),
+        )
+    )
+    return (
+        per_user
+        .select("cohort", F.explode("periods").alias("period"))
+        .groupBy("cohort", "period")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -117,6 +117,33 @@ def sample_stratified(
     return df.where(expr if expr is not None else F.lit(False))
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, rate: float,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli (Poisson) sampling: keep row i
+    with probability min(1, rate·wᵢ) — the weight-proportional
+    subsampling step of corpus curation (e.g. keep long/high-quality
+    documents preferentially). Same engine-replicable design as
+    hash_split / sample_stratified: the coin is md5 hex digits 9-13 of
+    the id (DISJOINT from split digits 1-4 and strata digits 5-8, so
+    the sample is independent of both), a 20-bit integer compared
+    against floor(min(1, rate·w)·16⁵). The only float op is ONE
+    multiply of a Python literal by the weight column (correctly
+    rounded, bit-identical on any IEEE engine) before an exact floor —
+    deliberately NOT u^(1/w) / ln(u)/w reservoir keys, whose pow/ln
+    are not guaranteed to round identically across engines. Pure
+    per-row projection: no shuffle, no RNG state, stable across
+    reruns, partitionings and cluster sizes."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 9, 5), 16, 10
+    ).cast("long")
+    thresh = F.floor(
+        F.least(F.lit(1.0), F.lit(float(rate)) * F.col(weight_col))
+        * F.lit(float(16 ** 5))
+    ).cast("long")
+    return df.where(h < thresh)
+
+
 def curate_documents(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     min_score: float = 0.7,

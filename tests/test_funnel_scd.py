@@ -339,3 +339,35 @@ def test_check_constraints_all_green_on_clean_data(spark):
     df = spark.range(100).select(F.col("id").alias("k"))
     rep = dq.check_constraints(df, [dq.not_null("k"), dq.unique(["k"])])
     assert rep.where(~F.col("passed")).count() == 0
+
+
+# ------------------------------------------------------------- cohorts
+def test_retention_cohorts_hand_fixture(spark):
+    from biosd_feature_annotator_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        ("u1", datetime(2024, 1, 5)), ("u1", datetime(2024, 2, 9)),
+        ("u1", datetime(2024, 2, 20)),  # same period twice: counted once
+        ("u2", datetime(2024, 1, 28)),
+        ("u3", datetime(2024, 2, 1)), ("u3", datetime(2024, 3, 1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {(str(r.cohort), str(r.period)): r.n_users
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2024-01-01", "2024-01-01"): 2,   # u1, u2 start in Jan
+        ("2024-01-01", "2024-02-01"): 1,   # u1 retained in Feb
+        ("2024-02-01", "2024-02-01"): 1,   # u3 starts in Feb
+        ("2024-02-01", "2024-03-01"): 1,   # u3 retained in Mar
+    }
+
+
+def test_retention_cohorts_invariants_on_events(spark):
+    from biosd_feature_annotator_spark.operators.funnel import retention_cohorts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cells = retention_cohorts(ev).collect()
+    # no cell before its cohort, and the diagonal sums to distinct users
+    assert all(r.period >= r.cohort for r in cells)
+    diag = sum(r.n_users for r in cells if r.period == r.cohort)
+    assert diag == ev.select("user_id").distinct().count()

@@ -42,6 +42,8 @@ def duck():
     ("dq_orders_report", entrymod.q_dq_orders_report),
     ("docs_prefix_jaccard", entrymod.q_docs_prefix_jaccard),
     ("quantile_sketch_orders", entrymod.q_quantile_sketch_orders),
+    ("weighted_sample_docs", entrymod.q_weighted_sample_docs),
+    ("retention_cohorts_events", entrymod.q_retention_cohorts_events),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -58,7 +60,8 @@ def test_r6_queue_not_registered_this_round():
     q = entrymod.queries()
     assert not {"zorder_events", "kg_label_prop", "fuzzy_customer_pairs",
                 "pit_user_values", "dq_orders_report",
-                "docs_prefix_jaccard", "quantile_sketch_orders"} & set(q)
+                "docs_prefix_jaccard", "quantile_sketch_orders",
+                "weighted_sample_docs", "retention_cohorts_events"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -750,3 +750,37 @@ def test_ivfpq_full_probe_equals_pq(spark, emb):
                               dim=64).collect()
     for r in probe1:
         assert cell_of[r.neighbor_id] == cell_of[r.query_id]
+
+
+def test_weighted_sample_deterministic_and_monotone(docs):
+    from biosd_feature_annotator_spark.operators.training import weighted_sample
+
+    a = sorted(r.doc_id for r in
+               weighted_sample(docs, "doc_id", "n_chars", 1 / 4000).collect())
+    b = sorted(r.doc_id for r in
+               weighted_sample(docs.repartition(17), "doc_id", "n_chars",
+                               1 / 4000).collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # rate high enough that min(1, rate*w) == 1 for every row: keep all
+    assert weighted_sample(docs, "doc_id", "n_chars", 1.0).count() == docs.count()
+    # monotone in rate: a lower rate's sample is a subset
+    lo = {r.doc_id for r in
+          weighted_sample(docs, "doc_id", "n_chars", 1 / 8000).collect()}
+    assert lo <= set(a)
+
+
+def test_weighted_sample_tracks_expected_mass(docs):
+    from biosd_feature_annotator_spark.operators.training import weighted_sample
+
+    rate = 1 / 4000
+    expected, var = docs.select(
+        F.sum(F.least(F.lit(1.0), F.lit(rate) * F.col("n_chars"))),
+        F.sum(
+            F.least(F.lit(1.0), F.lit(rate) * F.col("n_chars"))
+            * (1 - F.least(F.lit(1.0), F.lit(rate) * F.col("n_chars")))
+        ),
+    ).first()
+    got = weighted_sample(docs, "doc_id", "n_chars", rate).count()
+    # Poisson-binomial 4σ bound (one fixed hash draw per id, so this is
+    # a single realization — the bound just catches gross bias)
+    assert abs(got - expected) <= 4 * var ** 0.5, (got, expected, var)
