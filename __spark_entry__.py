@@ -1215,6 +1215,28 @@ def q_retention_cohorts_events(spark, sf):
     )
 
 
+def q_langid_trained_docs(spark, sf):
+    """TRAINED language ID (textstats.train_langid + langid_predict):
+    char-trigram naive Bayes whose per-language log-prob profiles are
+    trained in DataFrame algebra — the same train-distributed
+    discipline as the BPE merge table and the k-means centroids,
+    replacing detect_lang's hand-written marker lexicons when labeled
+    data exists. Scores are exact long sums of micro-quantized logs
+    (the bigram_fluency kernel), argmax with a pinned tie-break. The
+    oracle replays the ENTIRE train-and-score pipeline in SQL. Trains
+    and predicts on the same slice — resubstitution verifies the MATH;
+    model quality is shown on the labeled fixture in pytest (the
+    documents lang label is independent of its text by construction)."""
+    from biosd_feature_annotator_spark.operators.textstats import (
+        langid_predict,
+        train_langid,
+    )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    profiles, defaults = train_langid(d)
+    return langid_predict(d, profiles, defaults)
+
+
 def q_dq_orders_report(spark, sf):
     """Data-quality gate (plans/quality.check_constraints) over orders:
     NULL/value/range/regex rules fold into one aggregation pass;
@@ -1236,6 +1258,61 @@ def q_dq_orders_report(spark, sf):
 
 
 R6_QUEUE_ORACLES = {
+    "langid_trained_docs": r"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+            FROM documents WHERE doc_id < 300
+        ),
+        g AS (
+            SELECT lang, substr(t, i, 3) AS gram
+            FROM d, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+        ),
+        counts AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        totals AS (SELECT lang, count(*) AS n_lang FROM g GROUP BY 1),
+        v AS (SELECT count(DISTINCT gram) AS v FROM g),
+        profiles AS (
+            SELECT lang, gram,
+                   CAST(round(ln((c + 1.0) / (n_lang + v.v)) * 1000000.0)
+                        AS BIGINT) AS lp_micro
+            FROM counts JOIN totals USING (lang) CROSS JOIN v
+        ),
+        defaults AS (
+            SELECT lang,
+                   CAST(round(ln(1.0 / (n_lang + v.v)) * 1000000.0)
+                        AS BIGINT) AS lp0
+            FROM totals CROSS JOIN v
+        ),
+        dgc AS (
+            SELECT doc_id, substr(t, i, 3) AS gram, count(*) AS cnt
+            FROM d, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT doc_id, greatest(len(t) - 2, 0) AS n_total FROM d),
+        matched AS (
+            SELECT doc_id, lang, sum(cnt * lp_micro) AS m_sum,
+                   sum(cnt) AS m_cnt
+            FROM dgc JOIN profiles USING (gram) GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT t.doc_id, f.lang, t.n_total,
+                   coalesce(m.m_sum, 0)
+                   + (t.n_total - coalesce(m.m_cnt, 0)) * f.lp0 AS score_micro
+            FROM tot t CROSS JOIN defaults f
+            LEFT JOIN matched m ON m.doc_id = t.doc_id AND m.lang = f.lang
+        ),
+        best AS (
+            SELECT doc_id, lang, n_total, score_micro,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score_micro DESC, lang ASC) AS rn
+            FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN n_total > 0 THEN lang ELSE 'und' END AS lang_pred,
+               CAST(CASE WHEN n_total > 0 THEN score_micro ELSE 0 END
+                    AS BIGINT) AS score_micro
+        FROM best WHERE rn = 1
+    """,
     "weighted_sample_docs": """
         SELECT doc_id, source, n_chars
         FROM documents

@@ -298,3 +298,183 @@ def bigram_fluency(
             4,
         ).alias("fluency"),
     ).select(F.col("doc").alias(id_col), "n_bigrams", "fluency")
+
+
+# ------------------------------------------------------- trained langid
+
+def char_ngrams(text, n: int = 3) -> Column:
+    """Array of character n-grams (WITH multiplicity) of the normalized
+    text — pure array algebra (sequence of start offsets → substr), no
+    UDF. Texts shorter than n emit an empty array (the descending-
+    sequence guard, same as word_shingles)."""
+    t = norm_text_col(text)
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_langid(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a char-n-gram naive-Bayes language identifier IN DATAFRAME
+    ALGEBRA (the same train-distributed discipline as the BPE merge
+    table and the IVF k-means centroids — detect_lang's hand-written
+    marker lexicons are the untrained stand-in this replaces when
+    labeled data exists).
+
+    Returns (profiles, defaults):
+    - profiles (lang, gram, lp_micro): add-1-smoothed log P(gram|lang)
+      quantized to integer micro-units — round(ln((c+1)/(N_lang+V))·1e6)
+      as long, the bigram_fluency kernel, so scoring sums EXACT longs
+      (no float-order dependence across partitions or engines);
+    - defaults (lang, lp0_micro, n_lang): the unseen-gram penalty
+      ln(1/(N_lang+V)) per language, same quantization.
+
+    One explode + two map-side-combinable counts; V is the corpus-wide
+    distinct-gram vocabulary (one scalar, broadcast). Profile size is
+    bounded by the gram vocabulary × languages — model state, not data
+    state, exactly like the centroid and merge tables."""
+    g = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    from ..cache import scoped_persist
+
+    g = scoped_persist(g, "textstats.langid.grams")
+    counts = g.groupBy("lang", "gram").agg(F.count("*").alias("c"))
+    totals = g.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    v = g.agg(F.count_distinct("gram").alias("v"))
+    profiles = (
+        counts.join(totals, "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang", "gram",
+            F.round(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("n_lang") + F.col("v")))
+                * F.lit(1000000.0)
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    defaults = (
+        totals.crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.lit(1.0) / (F.col("n_lang") + F.col("v")))
+                * F.lit(1000000.0)
+            ).cast("long").alias("lp0_micro"),
+            "n_lang",
+        )
+    )
+    return profiles, defaults
+
+
+def langid_predict(
+    docs: DataFrame, profiles: DataFrame, defaults: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """Classify each document with the trained profiles: score(d, L) =
+    Σ_grams cnt·lp_micro(g|L) + (unseen grams)·lp0_micro(L), argmax L
+    with a deterministic tie-break (score desc, lang asc). Documents
+    too short to produce a gram predict 'und'.
+
+    Scale shape: per-doc gram counts (one combinable shuffle) → join
+    the profile (model-sized, broadcastable) → per-(doc, lang) long
+    sums → the full doc×lang grid via a broadcast cross join with the
+    tiny language list (so zero-match languages still score) → one
+    row_number window per doc. All score arithmetic is exact longs."""
+    from pyspark.sql import Window
+
+    dg = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .groupBy("doc", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from ..cache import scoped_persist
+
+    dg = scoped_persist(dg, "textstats.langid.doc_grams")
+    # totals from the docs themselves (size of the gram array), not from
+    # dg: a gram-less doc has no dg rows and would vanish from the
+    # output instead of predicting 'und'
+    totals = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(char_ngrams(F.col(text_col), n)).cast("long").alias("n_total"),
+    )
+    matched = (
+        dg.join(F.broadcast(profiles), "gram")
+        .groupBy("doc", "lang")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lp_micro")).alias("m_sum"),
+            F.sum("cnt").alias("m_cnt"),
+        )
+    )
+    langs = defaults.select("lang", "lp0_micro")
+    grid = totals.crossJoin(F.broadcast(langs))
+    scored = grid.join(matched, ["doc", "lang"], "left").select(
+        "doc", "lang", "n_total",
+        (
+            F.coalesce(F.col("m_sum"), F.lit(0))
+            + (F.col("n_total") - F.coalesce(F.col("m_cnt"), F.lit(0)))
+            * F.col("lp0_micro")
+        ).alias("score_micro"),
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score_micro"), F.asc("lang"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc").alias(id_col),
+            F.when(F.col("n_total") > 0, F.col("lang"))
+            .otherwise(F.lit("und")).alias("lang_pred"),
+            F.when(F.col("n_total") > 0, F.col("score_micro"))
+            .otherwise(F.lit(0)).alias("score_micro"),
+        )
+    )
+    return best
+
+
+def synth_labeled_corpus(spark, n_docs: int = 300, words_per_doc: int = 25):
+    """Deterministic labeled corpus whose TEXT actually carries the
+    language signal (the driver `documents` table's lang column is a
+    label drawn independently of its text, so it can prove scoring
+    math but not model quality — same reason the clustered-embedding
+    fixture exists for IVF recall). Five small vocabularies with
+    characteristic character statistics; word j of doc i is picked by
+    md5(i:j) — no RNG state, identical on every machine."""
+    import hashlib
+
+    vocabs = {
+        "en": ["the", "and", "with", "from", "house", "water", "light",
+               "think", "would", "people", "about", "which", "their",
+               "there", "where", "should", "through", "nothing"],
+        "de": ["und", "nicht", "schnell", "haus", "wasser", "licht",
+               "denken", "würde", "menschen", "über", "welche", "ihre",
+               "zeitung", "straße", "mädchen", "fünf", "zwischen"],
+        "es": ["información", "corazón", "también", "después", "canción",
+               "pequeño", "trabajo", "tiempo", "ciudad", "mujer", "nueva",
+               "años", "día", "señor", "aquí", "cuándo", "niño"],
+        "fr": ["été", "français", "être", "avec", "maison", "eau",
+               "lumière", "penser", "gens", "leur", "où", "chanson",
+               "travail", "temps", "aujourd'hui", "garçon", "château"],
+        "zh": ["中国", "人民", "学习", "工作", "时间", "朋友", "学校",
+               "老师", "电脑", "手机", "城市", "音乐", "快乐", "谢谢"],
+    }
+    langs = sorted(vocabs)
+    rows = []
+    for i in range(n_docs):
+        lang = langs[i % len(langs)]
+        v = vocabs[lang]
+        words = [
+            v[int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) % len(v)]
+            for j in range(words_per_doc)
+        ]
+        rows.append((i, lang, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")

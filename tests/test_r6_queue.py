@@ -44,6 +44,7 @@ def duck():
     ("quantile_sketch_orders", entrymod.q_quantile_sketch_orders),
     ("weighted_sample_docs", entrymod.q_weighted_sample_docs),
     ("retention_cohorts_events", entrymod.q_retention_cohorts_events),
+    ("langid_trained_docs", entrymod.q_langid_trained_docs),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -61,7 +62,8 @@ def test_r6_queue_not_registered_this_round():
     assert not {"zorder_events", "kg_label_prop", "fuzzy_customer_pairs",
                 "pit_user_values", "dq_orders_report",
                 "docs_prefix_jaccard", "quantile_sketch_orders",
-                "weighted_sample_docs", "retention_cohorts_events"} & set(q)
+                "weighted_sample_docs", "retention_cohorts_events",
+                "langid_trained_docs"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -784,3 +784,37 @@ def test_weighted_sample_tracks_expected_mass(docs):
     # Poisson-binomial 4σ bound (one fixed hash draw per id, so this is
     # a single realization — the bound just catches gross bias)
     assert abs(got - expected) <= 4 * var ** 0.5, (got, expected, var)
+
+
+def test_langid_trained_beats_heldout(spark):
+    """Trained char-trigram NB langid (textstats.train_langid) on the
+    deterministic labeled fixture: ≥0.9 held-out accuracy (the driver
+    documents table cannot show this — its lang label is independent of
+    its text), 'und' for gram-less docs, repartition-identical."""
+    from biosd_feature_annotator_spark.operators.training import hash_split
+
+    corpus = textstats.synth_labeled_corpus(spark, 300, 25)
+    split = hash_split(corpus, "doc_id")
+    train = split.where("split = 'train'")
+    test = split.where("split != 'train'")
+    profiles, defaults = textstats.train_langid(train)
+    pred = textstats.langid_predict(test, profiles, defaults)
+    joined = pred.join(test.select("doc_id", "lang"), "doc_id")
+    n = joined.count()
+    acc = joined.where("lang_pred = lang").count() / n
+    assert n > 40 and acc >= 0.9, (n, acc)
+    p2 = textstats.langid_predict(test.repartition(13), profiles, defaults)
+    assert sorted(map(tuple, pred.collect())) == sorted(map(tuple, p2.collect()))
+    # gram-less doc (text shorter than n chars) → 'und'
+    tiny = spark.createDataFrame([(999, "hi")], "doc_id long, text string")
+    got = textstats.langid_predict(tiny, profiles, defaults).collect()
+    assert [(r.doc_id, r.lang_pred, r.score_micro) for r in got] == [(999, "und", 0)]
+
+
+def test_char_ngrams_hand_values(spark):
+    df = spark.createDataFrame([("AB  cd",), ("ab",), (None,)], "text string")
+    got = [r.g for r in df.select(
+        textstats.char_ngrams(F.col("text"), 3).alias("g")).collect()]
+    assert got[0] == ["ab ", "b c", " cd"]  # normalized: 'ab cd'
+    assert got[1] == []
+    assert got[2] is None or got[2] == []
