@@ -573,3 +573,82 @@ def stream_funnel_depths(
         .where(F.col("_rn") == 1)
         .select("user_id", "depth", *[f"ts_{i + 1}" for i in range(k)])
     )
+
+
+def stream_quantile_sketch(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str,
+    lo: float = 0.0, hi: float = 1000.0, n_buckets: int = 1000,
+    n_files: int = 3, fresh: bool = True,
+) -> DataFrame:
+    """Incrementally maintained quantile sketch over a stream — the
+    composition the mergeable state (operators/sketches.py) exists for:
+    each micro-batch computes its own grid state and MERGES it into the
+    materialized running state (union + sum), so percentile dashboards
+    never rescan history. The state stays keys×buckets-sized no matter
+    how long the stream runs.
+
+    Exactly-once under foreachBatch replay: the merged state and an
+    `_applied` batch-id marker are written to a scratch dir and
+    COMMITTED BY ONE ATOMIC RENAME (the verify-then-swap discipline of
+    plans/compact.py); a replayed batch sees batch_id ≤ marker and
+    skips, and a crash between compute and rename leaves the previous
+    state intact for the replay to redo. Spark's parquet reader ignores
+    underscore-prefixed files, so the marker travels inside the state
+    directory itself — state and marker cannot diverge.
+
+    NULL values are dropped before bucketing (a NULL would otherwise
+    produce a NULL bucket row); the batch-equivalence test applies the
+    same filter to its reference."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.sketches import grid_quantile_state, merge_quantile_states
+
+    if fresh:
+        for p in (out_path, checkpoint):
+            shutil.rmtree(p, ignore_errors=True)
+        events_path = _stage_single_file(events_path, checkpoint, n_files=n_files)
+    else:
+        # restart: reuse the staged input, checkpoint and state — the
+        # source's file tracking replays nothing already committed
+        events_path = os.path.join(
+            os.path.dirname(checkpoint.rstrip("/")), "in"
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    marker = os.path.join(out_path, "_applied")
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return  # replayed batch: already folded in
+        delta = grid_quantile_state(
+            batch_df.where(F.col("value").isNotNull()),
+            ["event_type"], "value", lo, hi, n_buckets,
+        )
+        if os.path.isdir(out_path):
+            prev = batch_df.sparkSession.read.parquet(out_path)
+            merged = merge_quantile_states(prev, delta)
+        else:
+            merged = delta
+        tmp = out_path.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        shutil.rmtree(out_path, ignore_errors=True)
+        os.rename(tmp, out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

@@ -345,3 +345,46 @@ def test_stream_funnel_matches_batch_multi_batch(spark, tmp_path):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w
+
+
+def test_stream_quantile_sketch_matches_batch_and_is_restart_safe(spark, tmp_path):
+    """The incrementally-merged sketch state after a REAL 3-micro-batch
+    run is row-identical to the batch state over the full input (merge
+    exactness end-to-end), and a RESTART against the same checkpoint
+    (fresh=False, no new files) replays nothing and leaves the state
+    untouched — the atomic rename + _applied marker plus the source's
+    file tracking make the maintenance loop idempotent."""
+    import json
+    import os
+
+    from biosd_feature_annotator_spark.operators.sketches import (
+        grid_quantile_state,
+    )
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_quantile_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    got = stream_quantile_sketch(
+        spark, f"{sf}/events.parquet", out, ck,
+        lo=0.0, hi=1000.0, n_buckets=1000, n_files=3,
+    )
+    want = grid_quantile_state(
+        spark.read.parquet(f"{sf}/events.parquet").where(F.col("value").isNotNull()),
+        ["event_type"], "value", 0.0, 1000.0, 1000,
+    )
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, want.collect())) and len(g) > 0
+
+    with open(os.path.join(out, "_applied")) as fh:
+        applied = json.load(fh)["batch_id"]
+    assert applied >= 2  # three micro-batches really ran
+
+    again = stream_quantile_sketch(
+        spark, f"{sf}/events.parquet", out, ck,
+        lo=0.0, hi=1000.0, n_buckets=1000, fresh=False,
+    )
+    assert sorted(map(tuple, again.collect())) == g
+    with open(os.path.join(out, "_applied")) as fh:
+        assert json.load(fh)["batch_id"] == applied  # nothing re-applied
