@@ -1184,8 +1184,8 @@ def q_weighted_sample_docs(spark, sf):
     """Deterministic weighted Bernoulli sampling
     (training.weighted_sample): keep each doc with probability
     min(1, n_chars/4000) — weight-proportional corpus subsampling as a
-    pure projection of the id (md5 digits 9-13, disjoint from split and
-    strata digits). The oracle replays the identical integer coin and
+    pure projection of the id (md5 digits 14-18, disjoint from split,
+    strata and mix_sources digits). The oracle replays the identical integer coin and
     the ONE float multiply (same literal, same operands — bit-identical
     on both engines)."""
     from biosd_feature_annotator_spark.operators.training import weighted_sample
@@ -1316,7 +1316,7 @@ R6_QUEUE_ORACLES = {
     "weighted_sample_docs": """
         SELECT doc_id, source, n_chars
         FROM documents
-        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 5) AS BIGINT)
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 14, 5) AS BIGINT)
               < CAST(floor(least(1.0, 0.00025 * n_chars) * 1048576.0) AS BIGINT)
     """,
     "retention_cohorts_events": """

@@ -203,18 +203,22 @@ def main() -> None:
                                         num_hashes=16, bands=8, threshold=0.3)
     )
 
-    # r5-session ops staged in the r6 registration queue: timed here so
-    # their cost at sf-bench is on record before they enter the driver's
+    # EVERY op staged in the r6 registration queue: timed here so their
+    # cost at sf-bench is on record before they enter the driver's
     # check window (same min-of-2 + scoped_persist honesty as above)
-    extras["prefix_jaccard_sec"] = timed_min(
-        lambda: entrymod.q_docs_prefix_jaccard(spark, SF_DIR)
-    )
-    extras["langid_trained_sec"] = timed_min(
-        lambda: entrymod.q_langid_trained_docs(spark, SF_DIR)
-    )
-    extras["quantile_sketch_sec"] = timed_min(
-        lambda: entrymod.q_quantile_sketch_orders(spark, SF_DIR)
-    )
+    for queued, fn in (
+        ("prefix_jaccard", entrymod.q_docs_prefix_jaccard),
+        ("langid_trained", entrymod.q_langid_trained_docs),
+        ("quantile_sketch", entrymod.q_quantile_sketch_orders),
+        ("weighted_sample", entrymod.q_weighted_sample_docs),
+        ("retention_cohorts", entrymod.q_retention_cohorts_events),
+        ("zorder_events", entrymod.q_zorder_events),
+        ("kg_label_prop", entrymod.q_kg_label_prop),
+        ("fuzzy_customer_pairs", entrymod.q_fuzzy_customer_pairs),
+        ("pit_user_values", entrymod.q_pit_user_values),
+        ("dq_orders_report", entrymod.q_dq_orders_report),
+    ):
+        extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -80,8 +80,18 @@ def state_quantiles(
     q-quantile estimate is the UPPER EDGE of the first bucket whose
     cumulative count reaches ⌈q·total⌉ — rank test as integer
     cross-multiply cum·den ≥ num·total. quantiles maps output column →
-    (num, den), e.g. {"p50": (1, 2), "p95": (19, 20)}."""
+    (num, den), e.g. {"p50": (1, 2), "p95": (19, 20)}.
+
+    (lo, hi, n_buckets, quant) MUST be the values the state was built
+    with — the state carries bucket indexes, not edges, so mismatched
+    parameters rescale every returned edge. The same divisibility check
+    as grid_quantile_state catches the grid-shape half of that mistake;
+    the rest is the caller's contract (a production wrapper would store
+    the grid parameters next to the state, as the streaming maintainer's
+    state directory does with its marker)."""
     lo_q = round(lo * quant)
+    if (round(hi * quant) - lo_q) % n_buckets:
+        raise ValueError("bucket grid must divide the quantized range exactly")
     width_q = (round(hi * quant) - lo_q) // n_buckets
     w_cum = (
         Window.partitionBy(*key_cols).orderBy("bucket")

@@ -390,6 +390,10 @@ def langid_predict(
     row_number window per doc. All score arithmetic is exact longs."""
     from pyspark.sql import Window
 
+    # dg has exactly ONE downstream consumer (the profile join into
+    # `matched`) — no persist: a cache write with zero plan reuse would
+    # be pure overhead at corpus scale (train_langid's gram stream, by
+    # contrast, feeds three branches and is persisted)
     dg = (
         docs.select(
             F.col(id_col).alias("doc"),
@@ -398,9 +402,6 @@ def langid_predict(
         .groupBy("doc", "gram")
         .agg(F.count("*").alias("cnt"))
     )
-    from ..cache import scoped_persist
-
-    dg = scoped_persist(dg, "textstats.langid.doc_grams")
     # totals from the docs themselves (size of the gram array), not from
     # dg: a gram-less doc has no dg rows and would vanish from the
     # output instead of predicting 'und'

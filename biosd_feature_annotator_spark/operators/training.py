@@ -124,9 +124,11 @@ def weighted_sample(
     with probability min(1, rate·wᵢ) — the weight-proportional
     subsampling step of corpus curation (e.g. keep long/high-quality
     documents preferentially). Same engine-replicable design as
-    hash_split / sample_stratified: the coin is md5 hex digits 9-13 of
-    the id (DISJOINT from split digits 1-4 and strata digits 5-8, so
-    the sample is independent of both), a 20-bit integer compared
+    hash_split / sample_stratified: the coin is md5 hex digits 14-18 of
+    the id (DISJOINT from split digits 1-4, strata digits 5-8 AND
+    mix_sources' digits 9-12, so the sample composes independently
+    with every other id-hash decision — overlapping ranges correlate
+    keep decisions and silently bias a composed pipeline), a 20-bit integer compared
     against floor(min(1, rate·w)·16⁵). The only float op is ONE
     multiply of a Python literal by the weight column (correctly
     rounded, bit-identical on any IEEE engine) before an exact floor —
@@ -135,7 +137,7 @@ def weighted_sample(
     per-row projection: no shuffle, no RNG state, stable across
     reruns, partitionings and cluster sizes."""
     h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 9, 5), 16, 10
+        F.substring(F.md5(F.col(id_col).cast("string")), 14, 5), 16, 10
     ).cast("long")
     thresh = F.floor(
         F.least(F.lit(1.0), F.lit(float(rate)) * F.col(weight_col))

@@ -588,13 +588,16 @@ def stream_quantile_sketch(
     how long the stream runs.
 
     Exactly-once under foreachBatch replay: the merged state and an
-    `_applied` batch-id marker are written to a scratch dir and
-    COMMITTED BY ONE ATOMIC RENAME (the verify-then-swap discipline of
-    plans/compact.py); a replayed batch sees batch_id ≤ marker and
-    skips, and a crash between compute and rename leaves the previous
-    state intact for the replay to redo. Spark's parquet reader ignores
-    underscore-prefixed files, so the marker travels inside the state
-    directory itself — state and marker cannot diverge.
+    `_applied` batch-id marker are written to a scratch dir, then
+    committed by the rename-to-.bak swap (the verify-then-swap
+    discipline of plans/compact.py) — there is NO window where the
+    state exists nowhere: out → out.bak, tmp → out, delete .bak, with
+    a recovery step at the head of every batch that rolls a stranded
+    .bak forward (crash between the two renames) or deletes a stale
+    one (crash before its cleanup). A replayed batch sees batch_id ≤
+    marker and skips. Spark's parquet reader ignores underscore-
+    prefixed files, so the marker travels inside the state directory
+    itself — state and marker cannot diverge.
 
     NULL values are dropped before bucketing (a NULL would otherwise
     produce a NULL bucket row); the batch-equivalence test applies the
@@ -605,16 +608,18 @@ def stream_quantile_sketch(
 
     from ..operators.sketches import grid_quantile_state, merge_quantile_states
 
+    bak = out_path.rstrip("/") + ".bak"
+    tmp = out_path.rstrip("/") + ".tmp"
     if fresh:
-        for p in (out_path, checkpoint):
+        for p in (out_path, checkpoint, bak, tmp):
             shutil.rmtree(p, ignore_errors=True)
         events_path = _stage_single_file(events_path, checkpoint, n_files=n_files)
-    else:
-        # restart: reuse the staged input, checkpoint and state — the
-        # source's file tracking replays nothing already committed
-        events_path = os.path.join(
-            os.path.dirname(checkpoint.rstrip("/")), "in"
-        )
+    elif os.path.isfile(events_path):
+        # restart on a single-file input: reuse the dir the fresh run
+        # staged it into (same convention as _stage_single_file)
+        events_path = os.path.join(os.path.dirname(checkpoint.rstrip("/")), "in")
+    # restart on a directory input: stream from it as-is — new files
+    # keep folding in, already-committed ones are tracked by the source
 
     stream = (
         spark.readStream.schema(EVENT_STREAM_SCHEMA)
@@ -623,7 +628,17 @@ def stream_quantile_sketch(
     )
     marker = os.path.join(out_path, "_applied")
 
+    def recover() -> None:
+        """Roll forward/back an interrupted swap so out_path is whole."""
+        if os.path.isdir(bak):
+            if os.path.isdir(out_path):
+                shutil.rmtree(bak)  # crash after commit, before cleanup
+            else:
+                os.rename(bak, out_path)  # crash mid-swap: restore
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def write_batch(batch_df, batch_id: int) -> None:
+        recover()
         if os.path.isfile(marker):
             with open(marker) as fh:
                 if batch_id <= json.load(fh)["batch_id"]:
@@ -637,12 +652,13 @@ def stream_quantile_sketch(
             merged = merge_quantile_states(prev, delta)
         else:
             merged = delta
-        tmp = out_path.rstrip("/") + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_applied"), "w") as fh:
             json.dump({"batch_id": batch_id}, fh)
-        shutil.rmtree(out_path, ignore_errors=True)
+        if os.path.isdir(out_path):
+            os.rename(out_path, bak)
         os.rename(tmp, out_path)
+        shutil.rmtree(bak, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
