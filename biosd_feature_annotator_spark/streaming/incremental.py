@@ -637,6 +637,11 @@ def stream_quantile_sketch(
                 os.rename(bak, out_path)  # crash mid-swap: restore
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # up front as well as per-batch: a restart whose source has no new
+    # files runs ZERO batches, and the final read still needs a whole
+    # state if the previous run died mid-swap
+    recover()
+
     def write_batch(batch_df, batch_id: int) -> None:
         recover()
         if os.path.isfile(marker):

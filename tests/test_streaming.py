@@ -388,3 +388,43 @@ def test_stream_quantile_sketch_matches_batch_and_is_restart_safe(spark, tmp_pat
     assert sorted(map(tuple, again.collect())) == g
     with open(os.path.join(out, "_applied")) as fh:
         assert json.load(fh)["batch_id"] == applied  # nothing re-applied
+
+
+def test_stream_quantile_sketch_recovers_interrupted_swap(spark, tmp_path):
+    """Simulate the two crash windows of the state swap: (a) crash
+    between `out → .bak` and `tmp → out` (state exists only as .bak) —
+    a restart must roll it back; (b) crash after commit but before .bak
+    cleanup (both exist) — a restart must keep the NEW state and drop
+    the stale .bak."""
+    import os
+    import shutil
+
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_quantile_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    got = stream_quantile_sketch(
+        spark, f"{sf}/events.parquet", out, ck,
+        lo=0.0, hi=1000.0, n_buckets=1000, n_files=2,
+    )
+    g = sorted(map(tuple, got.collect()))
+
+    # (a) mid-swap crash: only .bak exists
+    os.rename(out, out + ".bak")
+    again = stream_quantile_sketch(
+        spark, f"{sf}/events.parquet", out, ck, fresh=False,
+        lo=0.0, hi=1000.0, n_buckets=1000,
+    )
+    assert sorted(map(tuple, again.collect())) == g
+    assert not os.path.isdir(out + ".bak")
+
+    # (b) post-commit crash: stale .bak next to the committed state
+    shutil.copytree(out, out + ".bak")
+    again2 = stream_quantile_sketch(
+        spark, f"{sf}/events.parquet", out, ck, fresh=False,
+        lo=0.0, hi=1000.0, n_buckets=1000,
+    )
+    assert sorted(map(tuple, again2.collect())) == g
+    assert not os.path.isdir(out + ".bak")
