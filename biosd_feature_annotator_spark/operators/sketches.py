@@ -1,8 +1,9 @@
-"""Mergeable quantile sketch over a fixed integer grid.
+"""Mergeable sketch states: grid quantiles, HLL distinct counts, and
+SpaceSaving heavy hitters.
 
-Percentiles are not algebraic: unlike SUM/COUNT (plans/materialize.py's
-agg_state_merge), you cannot keep one partial number per partition and
-merge later. The standard large-scale answer is a MERGEABLE SKETCH
+Percentiles, cardinalities and frequent items are not algebraic: unlike
+SUM/COUNT (plans/materialize.py's agg_state_merge), you cannot keep one
+partial number per partition and merge later. The standard large-scale answer is a MERGEABLE SKETCH
 (t-digest / KLL / HdrHistogram family — public literature): keep a small
 histogram state per key, merge states by adding counts, extract
 quantiles from the merged state with bounded error. This module is that
@@ -115,3 +116,107 @@ def state_quantiles(
         for name, (num, den) in quantiles.items()
     ]
     return c.groupBy(*key_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------- HLL
+
+def hll_state(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """(keys…, sk binary) mergeable distinct-count state via Spark's
+    Apache DataSketches HLL (hll_sketch_agg) — the cardinality member
+    of the mergeable-state family (counts: agg_state_merge, quantiles:
+    grid_quantile_state, heavy hitters: spacesaving_state). Register
+    merge is a per-index max, so union order and partitioning cannot
+    change the estimate."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(value_col).alias("sk")
+    )
+
+
+def merge_hll_states(*states: DataFrame) -> DataFrame:
+    u = reduce(DataFrame.unionByName, states)
+    keys = [c for c in u.columns if c != "sk"]
+    return u.groupBy(*keys).agg(F.hll_union_agg("sk").alias("sk"))
+
+
+def hll_estimates(state: DataFrame, key_cols: list[str]) -> DataFrame:
+    return state.select(
+        *key_cols, F.hll_sketch_estimate("sk").alias("n_distinct_est")
+    )
+
+
+# ------------------------------------------------------ heavy hitters
+
+def spacesaving_state(
+    df: DataFrame, value_col: str, k: int = 64,
+) -> DataFrame:
+    """Per-partition SpaceSaving heavy-hitter summaries (Metwally et
+    al.; merge semantics per Agarwal et al., "Mergeable Summaries") —
+    the frequent-items member of the mergeable-state family. Each
+    partition keeps at most k counters via min-eviction (evictee's
+    count becomes the newcomer's overestimate bound, tracked in `err`);
+    output rows are (item, cnt, err) per partition, merged by plain
+    sums.
+
+    This is the documented mapInPandas exception (a per-partition
+    algorithm Catalyst cannot express): state lives across the
+    partition's Arrow batches, output is k rows per partition — sketch-
+    sized, not data-sized. Guarantees after summing partials (standard
+    SpaceSaving bounds, stated precisely): each surviving counter
+    satisfies local_true ≤ cnt_p ≤ local_true + err_p, so a merged row
+    satisfies cnt ≤ true + err; an item ABSENT from some partitions'
+    summaries loses their local mass (< n_p/k each), so cnt can
+    undercount by at most N/k per missing partition; and every item
+    with true frequency > N/k exceeds n_p/k in at least one partition
+    (pigeonhole) and therefore survives its summary — a true heavy
+    hitter is never missing from the merge. The SUMMARY CONTENT depends on the
+    partition layout (which ties evict first) — inherent to the sketch
+    family and why this op is guarantee-tested (inclusion + bounds),
+    not value-oracled like the deterministic operators."""
+    import pandas as pd
+
+    src = df.select(F.col(value_col).cast("string").alias("v"))
+
+    def summarize(batches):
+        counts: dict[str, int] = {}
+        errs: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v is None:
+                    continue
+                if v in counts:
+                    counts[v] += 1
+                elif len(counts) < k:
+                    counts[v], errs[v] = 1, 0
+                else:
+                    evict = min(counts, key=lambda key: (counts[key], key))
+                    floor_ = counts.pop(evict)
+                    errs.pop(evict)
+                    counts[v], errs[v] = floor_ + 1, floor_
+        if counts:
+            yield pd.DataFrame({
+                "item": list(counts),
+                "cnt": [counts[i] for i in counts],
+                "err": [errs[i] for i in counts],
+            })
+
+    return src.mapInPandas(summarize, "item string, cnt long, err long")
+
+
+def merge_spacesaving_states(*states: DataFrame) -> DataFrame:
+    """Sum partial counters per item. cnt stays an upper bound on true
+    frequency; (cnt − err) a lower bound."""
+    u = reduce(DataFrame.unionByName, states)
+    return u.groupBy("item").agg(
+        F.sum("cnt").alias("cnt"), F.sum("err").alias("err")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, value_col: str, k: int = 64, top: int = 10,
+) -> DataFrame:
+    """End-to-end: per-partition summaries → merge → top-`top` by the
+    upper-bound count, with (item asc) as the deterministic tie-break
+    of the REPORT (the summary itself is partition-dependent; the
+    guarantee tests pin what must always hold)."""
+    merged = merge_spacesaving_states(spacesaving_state(df, value_col, k))
+    return merged.orderBy(F.desc("cnt"), F.asc("item")).limit(top)

@@ -69,3 +69,53 @@ def test_state_is_small_and_clamps_outliers(spark):
     mn, mx = stw.agg(F.min("bucket"), F.max("bucket")).first()
     assert mn == 0 and mx == NB - 1
     assert stw.agg(F.sum("cnt")).first()[0] == o.count()
+
+
+# ---------------------------------------------------------------- HLL
+def test_hll_state_merge_equals_direct(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    direct = {tuple(r[:-1]): r[-1] for r in S.hll_estimates(
+        S.hll_state(ev, ["event_type"], "user_id"), ["event_type"]).collect()}
+    halves = [S.hll_state(ev.where(f"event_id % 2 = {i}"),
+                          ["event_type"], "user_id") for i in (0, 1)]
+    merged = {tuple(r[:-1]): r[-1] for r in S.hll_estimates(
+        S.merge_hll_states(*halves), ["event_type"]).collect()}
+    assert merged == direct  # register-max merge: order/split independent
+    exact = {(r.event_type,): r.n for r in ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n")).collect()}
+    for k, est in merged.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+# ------------------------------------------------------ heavy hitters
+def test_spacesaving_exact_when_distinct_fits(spark):
+    df = spark.range(0, 10_000).selectExpr("CAST(id % 20 AS STRING) AS v")
+    merged = {r.item: (r.cnt, r.err) for r in S.merge_spacesaving_states(
+        S.spacesaving_state(df, "v", k=64)).collect()}
+    assert len(merged) == 20
+    assert all(c == 500 and e == 0 for c, e in merged.values())
+
+
+def test_spacesaving_heavy_hitter_guarantees(spark):
+    # one value at ~30% over 20k rows + a long tail, k far below the
+    # tail cardinality, spread over 8 partitions
+    df = spark.range(0, 20_000).selectExpr(
+        "CASE WHEN id % 10 < 3 THEN 'HOT' ELSE CAST(id % 2000 AS STRING) END AS v"
+    ).repartition(8)
+    true = {r.v: r.n for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(true.values())
+    k = 16
+    merged = {r.item: (r.cnt, r.err) for r in S.merge_spacesaving_states(
+        S.spacesaving_state(df, "v", k=k)).collect()}
+    # inclusion: true frequency > N/k ⇒ present in the merge
+    for item, n in true.items():
+        if n > n_total / k:
+            assert item in merged, item
+    # upper bound: cnt ≤ true + err for every merged row
+    for item, (cnt, err) in merged.items():
+        assert cnt <= true[item] + err, (item, cnt, err, true[item])
+    # the hot item's report value brackets its true count usefully
+    cnt, err = merged["HOT"]
+    assert cnt >= true["HOT"] - n_total // k  # bounded undercount
+    top = S.heavy_hitters(df, "v", k=k, top=1).collect()
+    assert top[0].item == "HOT"
