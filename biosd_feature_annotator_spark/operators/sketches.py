@@ -62,14 +62,25 @@ def grid_quantile_state(
     )
 
 
+def _merge_states(states, agg_map: dict) -> DataFrame:
+    """Shared merge shape of the whole family: union the partial-state
+    frames, groupBy every NON-state column, re-aggregate the state
+    columns. Pins the one convention in one place: the state column
+    names (agg_map's keys — "cnt", "sk", "err") are RESERVED; a key
+    column reusing one of them would be silently folded into the
+    aggregate, so the builders alias their states away from user keys
+    and callers must not name keys after them."""
+    u = reduce(DataFrame.unionByName, states)
+    keys = [c for c in u.columns if c not in agg_map]
+    return u.groupBy(*keys).agg(*[a.alias(c) for c, a in agg_map.items()])
+
+
 def merge_quantile_states(*states: DataFrame) -> DataFrame:
     """Merge = union + sum: the whole point of the sketch. Exact — the
     merged state is row-identical to the state of the concatenated
     inputs (asserted in tests), so incremental maintenance loses
     nothing."""
-    u = reduce(DataFrame.unionByName, states)
-    keys = [c for c in u.columns if c != "cnt"]
-    return u.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+    return _merge_states(states, {"cnt": F.sum("cnt")})
 
 
 def state_quantiles(
@@ -133,9 +144,7 @@ def hll_state(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
 
 
 def merge_hll_states(*states: DataFrame) -> DataFrame:
-    u = reduce(DataFrame.unionByName, states)
-    keys = [c for c in u.columns if c != "sk"]
-    return u.groupBy(*keys).agg(F.hll_union_agg("sk").alias("sk"))
+    return _merge_states(states, {"sk": F.hll_union_agg("sk")})
 
 
 def hll_estimates(state: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -148,14 +157,24 @@ def hll_estimates(state: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def spacesaving_state(
     df: DataFrame, value_col: str, k: int = 64,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-partition SpaceSaving heavy-hitter summaries (Metwally et
     al.; merge semantics per Agarwal et al., "Mergeable Summaries") —
-    the frequent-items member of the mergeable-state family. Each
-    partition keeps at most k counters via min-eviction (evictee's
-    count becomes the newcomer's overestimate bound, tracked in `err`);
-    output rows are (item, cnt, err) per partition, merged by plain
-    sums.
+    the frequent-items member of the mergeable-state family, per-key
+    like its siblings (one k-counter summary per key group per
+    partition). Each summary keeps at most k counters via min-eviction
+    (evictee's count becomes the newcomer's overestimate bound, tracked
+    in `err`); output rows are (keys…, item, cnt, err) per partition,
+    merged by plain sums.
+
+    The Python loop runs per DISTINCT (key, item) per Arrow batch, not
+    per row: each batch is pre-aggregated with pandas value_counts and
+    applied as WEIGHTED SpaceSaving updates (the published weighted
+    variant — same bounds: on eviction the newcomer inherits the
+    evictee's count as its err floor and adds its own weight), so a
+    billion-row partition with a million distinct items costs ~1e6
+    dict operations per batch, not 1e9.
 
     This is the documented mapInPandas exception (a per-partition
     algorithm Catalyst cannot express): state lives across the
@@ -174,49 +193,76 @@ def spacesaving_state(
     not value-oracled like the deterministic operators."""
     import pandas as pd
 
-    src = df.select(F.col(value_col).cast("string").alias("v"))
+    keys = list(key_cols or [])
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    out_schema = (key_fields + ", " if key_fields else "") + \
+        "item string, cnt long, err long"
+    src = df.select(*keys, F.col(value_col).cast("string").alias("v"))
 
     def summarize(batches):
-        counts: dict[str, int] = {}
-        errs: dict[str, int] = {}
+        counts: dict[tuple, dict[str, int]] = {}
+        errs: dict[tuple, dict[str, int]] = {}
         for pdf in batches:
-            for v in pdf["v"]:
-                if v is None:
-                    continue
-                if v in counts:
-                    counts[v] += 1
-                elif len(counts) < k:
-                    counts[v], errs[v] = 1, 0
+            pdf = pdf.dropna(subset=["v"])
+            grouped = pdf.groupby(keys + ["v"], sort=False, dropna=False).size() \
+                if keys else pdf["v"].value_counts(sort=False)
+            for idx, c in grouped.items():
+                if keys:
+                    kt, v = tuple(idx[:-1]), idx[-1]
                 else:
-                    evict = min(counts, key=lambda key: (counts[key], key))
-                    floor_ = counts.pop(evict)
-                    errs.pop(evict)
-                    counts[v], errs[v] = floor_ + 1, floor_
-        if counts:
+                    kt, v = (), idx
+                c = int(c)
+                cs = counts.setdefault(kt, {})
+                es = errs.setdefault(kt, {})
+                if v in cs:
+                    cs[v] += c
+                elif len(cs) < k:
+                    cs[v], es[v] = c, 0
+                else:
+                    evict = min(cs, key=lambda key: (cs[key], key))
+                    floor_ = cs.pop(evict)
+                    es.pop(evict)
+                    cs[v], es[v] = floor_ + c, floor_
+        for kt, cs in counts.items():
+            es = errs[kt]
             yield pd.DataFrame({
-                "item": list(counts),
-                "cnt": [counts[i] for i in counts],
-                "err": [errs[i] for i in counts],
+                **{kc: [kv] * len(cs) for kc, kv in zip(keys, kt)},
+                "item": list(cs),
+                "cnt": [cs[i] for i in cs],
+                "err": [es[i] for i in cs],
             })
 
-    return src.mapInPandas(summarize, "item string, cnt long, err long")
+    return src.mapInPandas(summarize, out_schema)
 
 
 def merge_spacesaving_states(*states: DataFrame) -> DataFrame:
-    """Sum partial counters per item. cnt stays an upper bound on true
-    frequency; (cnt − err) a lower bound."""
-    u = reduce(DataFrame.unionByName, states)
-    return u.groupBy("item").agg(
-        F.sum("cnt").alias("cnt"), F.sum("err").alias("err")
-    )
+    """Sum partial counters per (keys…, item). cnt ≤ true + err for
+    every merged row; items can be undercounted only by mass lost in
+    partitions whose summary dropped them (< n_p/k each)."""
+    return _merge_states(states, {"cnt": F.sum("cnt"), "err": F.sum("err")})
 
 
 def heavy_hitters(
     df: DataFrame, value_col: str, k: int = 64, top: int = 10,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """End-to-end: per-partition summaries → merge → top-`top` by the
-    upper-bound count, with (item asc) as the deterministic tie-break
-    of the REPORT (the summary itself is partition-dependent; the
-    guarantee tests pin what must always hold)."""
-    merged = merge_spacesaving_states(spacesaving_state(df, value_col, k))
+    upper-bound count (per key group when key_cols given), with
+    (item asc) as the deterministic tie-break of the REPORT (the
+    summary itself is partition-dependent; the guarantee tests pin
+    what must always hold)."""
+    merged = merge_spacesaving_states(
+        spacesaving_state(df, value_col, k, key_cols)
+    )
+    if key_cols:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc("cnt"), F.asc("item")
+        )
+        return (
+            merged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top).drop("rn")
+        )
     return merged.orderBy(F.desc("cnt"), F.asc("item")).limit(top)

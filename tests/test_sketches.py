@@ -119,3 +119,14 @@ def test_spacesaving_heavy_hitter_guarantees(spark):
     assert cnt >= true["HOT"] - n_total // k  # bounded undercount
     top = S.heavy_hitters(df, "v", k=k, top=1).collect()
     assert top[0].item == "HOT"
+
+
+def test_spacesaving_per_key(spark):
+    df = spark.range(0, 12_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS grp",
+        "CASE WHEN id % 10 < 4 THEN concat('HOT_', CASE WHEN id % 2 = 0 "
+        "THEN 'A' ELSE 'B' END) ELSE CAST(id % 997 AS STRING) END AS v",
+    ).repartition(6)
+    top = S.heavy_hitters(df, "v", k=16, top=1, key_cols=["grp"]).collect()
+    got = {r.grp: r.item for r in top}
+    assert got == {"A": "HOT_A", "B": "HOT_B"}
