@@ -1237,6 +1237,46 @@ def q_langid_trained_docs(spark, sf):
     return langid_predict(d, profiles, defaults)
 
 
+def q_fs_customer_pairs(spark, sf):
+    """TRAINED Fellegi-Sunter record linkage
+    (canonicalize.train_fs_weights + fs_score): blocked customer pairs
+    (15-char name-prefix block, never all-pairs) with three agreement
+    fields (levenshtein ≤ 2 names, same segment, acctbal within 100);
+    per-field log-likelihood-ratio weights trained in ONE aggregate
+    pass with same-nation as the deterministic pseudo-label, then
+    scored as exact long sums of the micro-quantized weights.
+    Resubstitution verifies the MATH (the pseudo-label's quality is
+    irrelevant to correctness); model quality is shown on the labeled
+    fixture in tests/test_canonicalize.py. The oracle replays the
+    whole train-and-score pipeline in SQL, expression shape matched
+    term for term."""
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        fs_score,
+        train_fs_weights,
+    )
+
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 400).select(
+        F.lower(F.substring("c_name", 1, 15)).alias("blk"),
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey",
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns]).withColumnRenamed("blk_a", "blk")
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in c.columns]).withColumnRenamed("blk_b", "blk")
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("c_custkey_a") < F.col("c_custkey_b"))
+        .select(
+            F.col("c_custkey_a").alias("a"),
+            F.col("c_custkey_b").alias("b"),
+            (F.levenshtein("c_name_a", "c_name_b") <= 2).alias("agree_name"),
+            (F.col("c_mktsegment_a") == F.col("c_mktsegment_b")).alias("agree_seg"),
+            (F.abs(F.col("c_acctbal_a") - F.col("c_acctbal_b")) < 100.0).alias("agree_bal"),
+            (F.col("c_nationkey_a") == F.col("c_nationkey_b")).alias("lbl"),
+        )
+    )
+    w = train_fs_weights(pairs, ["agree_name", "agree_seg", "agree_bal"], "lbl")
+    return fs_score(pairs, w).select("a", "b", "score_micro", "is_match")
+
+
 def q_dq_orders_report(spark, sf):
     """Data-quality gate (plans/quality.check_constraints) over orders:
     NULL/value/range/regex rules fold into one aggregation pass;
@@ -1258,6 +1298,64 @@ def q_dq_orders_report(spark, sf):
 
 
 R6_QUEUE_ORACLES = {
+    "fs_customer_pairs": """
+        WITH c AS (
+            SELECT c_custkey, c_name, c_mktsegment, c_acctbal, c_nationkey,
+                   lower(substr(c_name, 1, 15)) AS blk
+            FROM customer WHERE c_custkey < 400
+        ),
+        p AS (
+            SELECT x.c_custkey AS a, y.c_custkey AS b,
+                   (levenshtein(x.c_name, y.c_name) <= 2) AS agree_name,
+                   (x.c_mktsegment = y.c_mktsegment) AS agree_seg,
+                   (abs(x.c_acctbal - y.c_acctbal) < 100.0) AS agree_bal,
+                   (x.c_nationkey = y.c_nationkey) AS lbl
+            FROM c x JOIN c y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+        ),
+        n AS (
+            SELECT sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS nm,
+                   sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS nu,
+                   sum(CASE WHEN lbl AND agree_name THEN 1 ELSE 0 END) AS am_name,
+                   sum(CASE WHEN NOT lbl AND agree_name THEN 1 ELSE 0 END) AS au_name,
+                   sum(CASE WHEN lbl AND agree_seg THEN 1 ELSE 0 END) AS am_seg,
+                   sum(CASE WHEN NOT lbl AND agree_seg THEN 1 ELSE 0 END) AS au_seg,
+                   sum(CASE WHEN lbl AND agree_bal THEN 1 ELSE 0 END) AS am_bal,
+                   sum(CASE WHEN NOT lbl AND agree_bal THEN 1 ELSE 0 END) AS au_bal
+            FROM p
+        ),
+        w AS (
+            SELECT
+              CAST(round(ln(((am_name + 1.0) / (nm + 2.0))
+                            / ((au_name + 1.0) / (nu + 2.0))) * 1000000.0)
+                   AS BIGINT) AS wa_name,
+              CAST(round(ln((1.0 - (am_name + 1.0) / (nm + 2.0))
+                            / (1.0 - (au_name + 1.0) / (nu + 2.0))) * 1000000.0)
+                   AS BIGINT) AS wd_name,
+              CAST(round(ln(((am_seg + 1.0) / (nm + 2.0))
+                            / ((au_seg + 1.0) / (nu + 2.0))) * 1000000.0)
+                   AS BIGINT) AS wa_seg,
+              CAST(round(ln((1.0 - (am_seg + 1.0) / (nm + 2.0))
+                            / (1.0 - (au_seg + 1.0) / (nu + 2.0))) * 1000000.0)
+                   AS BIGINT) AS wd_seg,
+              CAST(round(ln(((am_bal + 1.0) / (nm + 2.0))
+                            / ((au_bal + 1.0) / (nu + 2.0))) * 1000000.0)
+                   AS BIGINT) AS wa_bal,
+              CAST(round(ln((1.0 - (am_bal + 1.0) / (nm + 2.0))
+                            / (1.0 - (au_bal + 1.0) / (nu + 2.0))) * 1000000.0)
+                   AS BIGINT) AS wd_bal
+            FROM n
+        )
+        SELECT a, b,
+               CAST((CASE WHEN agree_name THEN wa_name ELSE wd_name END)
+                    + (CASE WHEN agree_seg THEN wa_seg ELSE wd_seg END)
+                    + (CASE WHEN agree_bal THEN wa_bal ELSE wd_bal END)
+                    AS BIGINT) AS score_micro,
+               ((CASE WHEN agree_name THEN wa_name ELSE wd_name END)
+                + (CASE WHEN agree_seg THEN wa_seg ELSE wd_seg END)
+                + (CASE WHEN agree_bal THEN wa_bal ELSE wd_bal END)) > 0
+                   AS is_match
+        FROM p CROSS JOIN w
+    """,
     "langid_trained_docs": r"""
         WITH d AS (
             SELECT doc_id, lang,

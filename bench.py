@@ -217,6 +217,7 @@ def main() -> None:
         ("fuzzy_customer_pairs", entrymod.q_fuzzy_customer_pairs),
         ("pit_user_values", entrymod.q_pit_user_values),
         ("dq_orders_report", entrymod.q_dq_orders_report),
+        ("fs_customer_pairs", entrymod.q_fs_customer_pairs),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

@@ -84,3 +84,45 @@ def test_pipeline_graph_fast_path_matches_general(spark, lexicon):
                      tuple(r.aliases), r.n_mentions)  # noqa: E731
     assert sorted(map(key, fast_nodes.collect())) == sorted(map(key, loop_nodes.collect()))
     linked.unpersist()
+
+
+def test_fs_weights_learn_field_reliability_and_separate(spark):
+    """Fellegi-Sunter weights trained on a deterministic labeled-pair
+    fixture: the reliable field (name agreement) must earn a much
+    larger agree-weight than the noisy field (year agreement, which
+    matches and non-matches share half the time), and held-out scoring
+    must separate matches from non-matches at threshold 0."""
+    import hashlib
+
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        fs_score,
+        train_fs_weights,
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = []
+    for i in range(400):
+        match = i % 2 == 0
+        # matches: names agree 95%, cities agree 90%, years agree 50%
+        # non-matches: names agree 5%, cities agree 20%, years agree 50%
+        name_ag = (h(f"n{i}") % 100) < (95 if match else 5)
+        city_ag = (h(f"c{i}") % 100) < (90 if match else 20)
+        year_ag = (h(f"y{i}") % 100) < 50
+        rows.append((i, match, name_ag, city_ag, year_ag))
+    pairs = spark.createDataFrame(
+        rows, "pair_id long, lbl boolean, agree_name boolean, "
+              "agree_city boolean, agree_year boolean")
+    train = pairs.where("pair_id % 10 < 7")
+    test = pairs.where("pair_id % 10 >= 7")
+    w = train_fs_weights(train, ["agree_name", "agree_city", "agree_year"], "lbl")
+    # reliable field dominates; the coin-flip field carries ~no weight
+    assert w["agree_name"][0] > w["agree_city"][0] > abs(w["agree_year"][0])
+    assert w["agree_name"][1] < 0 < w["agree_name"][0]
+    scored = fs_score(test, w)
+    ok = scored.where("is_match = lbl").count() / scored.count()
+    assert ok >= 0.9, ok
+    # determinism: weights are a pure function of the counts
+    assert w == train_fs_weights(train.repartition(13),
+                                 ["agree_name", "agree_city", "agree_year"], "lbl")
