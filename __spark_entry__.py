@@ -1297,7 +1297,59 @@ def q_dq_orders_report(spark, sf):
     ])
 
 
+def q_cc_incremental(spark, sf):
+    """Incremental connected-components maintenance
+    (canonicalize.incremental_components): base components are built from
+    lineitems 3+ of each order (order–part bipartite edges), then
+    lineitems 1–2 fold in as a DELTA — merging existing components
+    through shared parts and admitting delta-only orders/parts as new
+    nodes — without rescanning the base edge history. The oracle is the
+    exactness contract itself: a DuckDB recursive transitive closure over
+    the FULL (base ∪ delta) edge set must reproduce the maintained
+    labels row-for-row (incremental ≡ full recompute, because min over
+    merged component mins is the global min)."""
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 2000)
+
+    def edge(d):
+        return d.select(
+            F.col("l_orderkey").cast("long").alias("src"),
+            (F.col("l_partkey") + F.lit(10_000_000)).cast("long").alias("dst"),
+        ).dropDuplicates()
+
+    base = edge(li.where(F.col("l_linenumber") >= 3))
+    delta = edge(li.where(F.col("l_linenumber") < 3))
+    assign = connected_components(base)
+    return incremental_components(assign, delta).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("comp").cast("long").alias("comp"),
+    )
+
+
 R6_QUEUE_ORACLES = {
+    "cc_incremental": """
+        WITH RECURSIVE ed AS (
+            SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,
+                   CAST(l_partkey + 10000000 AS BIGINT) AS dst
+            FROM lineitem WHERE l_orderkey < 2000
+        ),
+        e AS (
+            SELECT src AS x, dst AS y FROM ed
+            UNION
+            SELECT dst AS x, src AS y FROM ed
+        ),
+        reach AS (
+            SELECT x, y FROM e
+            UNION
+            SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x
+        )
+        SELECT x AS node, least(x, min(y)) AS comp
+        FROM reach GROUP BY x
+    """,
     "fs_customer_pairs": """
         WITH c AS (
             SELECT c_custkey, c_name, c_mktsegment, c_acctbal, c_nationkey,

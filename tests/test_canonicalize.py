@@ -126,3 +126,47 @@ def test_fs_weights_learn_field_reliability_and_separate(spark):
     # determinism: weights are a pure function of the counts
     assert w == train_fs_weights(train.repartition(13),
                                  ["agree_name", "agree_city", "agree_year"], "lbl")
+
+
+def test_incremental_components_matches_full_recompute(spark):
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        incremental_components,
+    )
+
+    # old graph: {a,b,c} labeled a; {x,y} labeled x. The delta exercises
+    # every maintenance case at once: c-x merges the two old components,
+    # y-z extends one, p-q is a brand-new delta-only component, and
+    # 0m-b attaches a NEW node that becomes the global min label.
+    old = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    delta = spark.createDataFrame(
+        [("c", "x"), ("y", "z"), ("p", "q"), ("0m", "b")],
+        "src string, dst string",
+    )
+    assign = connected_components(old, max_iter=10)
+    inc = {(r.node, r.comp)
+           for r in incremental_components(assign, delta, max_iter=10).collect()}
+    full = {(r.node, r.comp)
+            for r in connected_components(
+                old.unionByName(delta), max_iter=10).collect()}
+    assert inc == full
+    assert {c for _, c in inc} == {"0m", "p"}
+
+
+def test_incremental_components_untouched_rows_stable(spark):
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        incremental_components,
+    )
+
+    old = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    delta = spark.createDataFrame([("p", "q")], "src string, dst string")
+    assign = connected_components(old, max_iter=10)
+    out = {(r.node, r.comp)
+           for r in incremental_components(assign, delta, max_iter=10).collect()}
+    # untouched components keep their labels verbatim; the delta-only
+    # component is admitted alongside them
+    assert out == {("a", "a"), ("b", "a"), ("x", "x"), ("y", "x"),
+                   ("p", "p"), ("q", "p")}

@@ -46,6 +46,7 @@ def duck():
     ("retention_cohorts_events", entrymod.q_retention_cohorts_events),
     ("langid_trained_docs", entrymod.q_langid_trained_docs),
     ("fs_customer_pairs", entrymod.q_fs_customer_pairs),
+    ("cc_incremental", entrymod.q_cc_incremental),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -64,7 +65,8 @@ def test_r6_queue_not_registered_this_round():
                 "pit_user_values", "dq_orders_report",
                 "docs_prefix_jaccard", "quantile_sketch_orders",
                 "weighted_sample_docs", "retention_cohorts_events",
-                "langid_trained_docs", "fs_customer_pairs"} & set(q)
+                "langid_trained_docs", "fs_customer_pairs",
+                "cc_incremental"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
