@@ -1330,7 +1330,55 @@ def q_cc_incremental(spark, sf):
     )
 
 
+def q_doc_chunks(spark, sf):
+    """Sliding-window document chunking (training.chunk_documents,
+    chunk=32 stride=24): every document becomes overlapping 32-token
+    context windows starting every 24 tokens — the RAG/pretraining
+    sequence-prep splitter pack_greedy delegates intra-document splits
+    to. Pure projection + explode, zero shuffles. The oracle re-derives
+    every window with DuckDB list algebra (list_filter/list_slice +
+    the same integer ceil formula)."""
+    from biosd_feature_annotator_spark.operators.training import chunk_documents
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    return chunk_documents(d, "doc_id", "text", 32, 24)
+
+
 R6_QUEUE_ORACLES = {
+    "doc_chunks": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split(
+                           trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+                           ' '),
+                       t -> t <> '') AS toks
+            FROM documents WHERE doc_id < 400
+        ),
+        n AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+            FROM d WHERE len(toks) > 0
+        ),
+        c AS (
+            SELECT doc_id, toks, n,
+                   1 + (greatest(n - 32, 0) + 23) // 24 AS n_chunks
+            FROM n
+        ),
+        x AS (
+            SELECT doc_id, toks, n, n_chunks,
+                   unnest(range(0, n_chunks)) AS chunk_id
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(chunk_id * 24 AS BIGINT) AS chunk_start,
+               CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(
+                   list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32),
+                   ' ') AS chunk_text
+        FROM x
+    """,
     "cc_incremental": """
         WITH RECURSIVE ed AS (
             SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,

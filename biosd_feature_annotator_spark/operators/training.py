@@ -76,6 +76,64 @@ def pack_greedy(
     return df.withColumn("bin", F.floor(cum_before / budget).cast("long"))
 
 
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str,
+    chunk_tokens: int, stride: int | None = None,
+) -> DataFrame:
+    """Intra-document sliding-window chunking — the splitter pack_greedy's
+    docstring delegates to: each document becomes ⌈·⌉ fixed-size token
+    windows of `chunk_tokens`, window i starting at token i·`stride`
+    (stride < chunk_tokens ⇒ overlapping RAG-style context windows;
+    stride == chunk_tokens, the default, ⇒ disjoint pretraining blocks).
+    Every token is covered: n_chunks = 1 + ⌈max(n−chunk, 0)/stride⌉,
+    computed with the INTEGER formula (extra + stride − 1) div stride so
+    two engines agree without float ceil. Token-less documents produce
+    zero chunks.
+
+    Output: (id, chunk_id, n_chunks, chunk_start, n_chunk_tokens,
+    chunk_text). Scale shape: a pure per-row projection + one explode —
+    NO shuffle, no state; output rows ≈ input tokens / stride, each
+    carrying ≤ chunk_tokens tokens, so the op streams at scan speed and
+    the trailing short window (the only one with n_chunk_tokens < chunk)
+    is explicit rather than silently dropped."""
+    if stride is None:
+        stride = chunk_tokens
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.filter(
+        F.split(norm_text_col(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    base = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks").cast("long"))
+        .where(F.col("_n") > 0)
+    )
+    extra = F.greatest(F.col("_n") - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.expr(f"(_extra + {stride - 1}) div {stride}")
+    ).cast("long")
+    start = (F.col("chunk_id") * stride).cast("long")
+    return (
+        base.withColumn("_extra", extra)
+        .withColumn("n_chunks", n_chunks)
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id"),
+            "n_chunks",
+            start.alias("chunk_start"),
+            F.least(F.lit(chunk_tokens).cast("long"), F.col("_n") - start)
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), start + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def vocab_top(
     df: DataFrame, text_col: str, k: int = 100, min_len: int = 1
 ) -> DataFrame:

@@ -818,3 +818,50 @@ def test_char_ngrams_hand_values(spark):
     assert got[0] == ["ab ", "b c", " cd"]  # normalized: 'ab cd'
     assert got[1] == []
     assert got[2] is None or got[2] == []
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from biosd_feature_annotator_spark.operators.training import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),   # 10 toks, 3 windows
+         (2, "a b c"),                             # short: one window
+         (3, "   "),                               # token-less: dropped
+         (4, "x")],
+        "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", 4, 3)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert {k[0] for k in rows} == {1, 2, 4}
+    # doc 1: starts 0,3,6; every token index covered; stride-3 overlap
+    assert [rows[(1, i)].chunk_start for i in range(3)] == [0, 3, 6]
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"
+    covered = set()
+    for i in range(3):
+        r = rows[(1, i)]
+        assert r.n_chunks == 3 and r.n_chunk_tokens == 4
+        covered |= set(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+    assert covered == set(range(10))
+    assert rows[(2, 0)].chunk_text == "a b c" and rows[(2, 0)].n_chunk_tokens == 3
+    assert rows[(4, 0)].n_chunks == 1
+
+
+def test_chunk_documents_disjoint_default_reconstructs(spark):
+    from biosd_feature_annotator_spark.operators.training import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(11))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", 4).orderBy("chunk_id").collect()
+    # default stride == chunk: disjoint blocks whose concatenation is the
+    # normalized document, short tail explicit
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 3]
+    assert " ".join(r.chunk_text for r in out) == text
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    from biosd_feature_annotator_spark.operators.training import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 4, 5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 4, 0)
