@@ -1344,7 +1344,54 @@ def q_doc_chunks(spark, sf):
     return chunk_documents(d, "doc_id", "text", 32, 24)
 
 
+def q_cms_token_counts(spark, sf):
+    """CountMin point-frequency estimates (sketches.cms_state +
+    cms_estimates, depth=4 width=512) over document tokens: the sketch
+    is a deterministic pure function of the token multiset (md5 grid
+    kernel), so unlike the partition-dependent SpaceSaving summary it
+    is fully value-oracled — DuckDB replays the grid build AND the
+    min-over-rows probe with the same md5 kernel — grid build, cell
+    sums, and collision over-counts all reproduced bit-for-bit (the
+    guarantee est ≥ true is separately pytest-asserted against exact
+    counts at width 64, where collisions are certain)."""
+    from biosd_feature_annotator_spark.operators import sketches as S
+    from biosd_feature_annotator_spark.operators.dedup import norm_text_col
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    toks = d.select(
+        F.explode(F.split(norm_text_col(F.col("text")), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    st = S.cms_state(toks, "tok", depth=4, width=512)
+    return S.cms_estimates(st, toks.distinct(), "tok", depth=4, width=512)
+
+
 R6_QUEUE_ORACLES = {
+    "cms_token_counts": r"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                string_split(
+                    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                t -> t <> '')) AS tok
+            FROM documents WHERE doc_id < 400
+        ),
+        h AS (
+            SELECT tok, r,
+                   CAST('0x' || substr(md5(tok || '#cms' || CAST(r AS VARCHAR)),
+                                       1, 15) AS BIGINT) % 512 AS c
+            FROM toks, unnest(range(0, 4)) AS u(r)
+        ),
+        state AS (SELECT r, c, count(*) AS cnt FROM h GROUP BY 1, 2),
+        items AS (SELECT DISTINCT tok FROM toks),
+        pos AS (
+            SELECT tok, r,
+                   CAST('0x' || substr(md5(tok || '#cms' || CAST(r AS VARCHAR)),
+                                       1, 15) AS BIGINT) % 512 AS c
+            FROM items, unnest(range(0, 4)) AS u(r)
+        )
+        SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        FROM pos LEFT JOIN state USING (r, c)
+        GROUP BY tok
+    """,
     "doc_chunks": r"""
         WITH d AS (
             SELECT doc_id,

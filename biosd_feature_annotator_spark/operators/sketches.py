@@ -266,3 +266,91 @@ def heavy_hitters(
             .where(F.col("rn") <= top).drop("rn")
         )
     return merged.orderBy(F.desc("cnt"), F.asc("item")).limit(top)
+
+
+# ------------------------------------------------------------ CountMin
+
+def _cms_col(value: F.Column, r: F.Column, width: int) -> F.Column:
+    """Counter column for hash row r: top-60-bits-of-md5 of
+    value||'#cms'||r, pmod width — the engine-portable kernel
+    (dedup.hash64's md5 branch with the row index folded into the
+    seed), so a SQL oracle computes the identical grid position."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(value, F.lit("#cms"), r.cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_state(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024,
+    key_cols: list[str] | None = None, weight_col: str | None = None,
+) -> DataFrame:
+    """(keys…, r, c, cnt) CountMin state (Cormode & Muthukrishnan): a
+    depth×width counter grid per key group; each input row adds its
+    weight (default 1) to one counter per hash row. The point-frequency
+    member of the mergeable-state family — unlike SpaceSaving it never
+    UNDER-counts (every occurrence lands in the grid), at the price of
+    collision overestimates bounded by e·N/width with probability
+    1 − e^−depth (the classic bound).
+
+    Scale shape: one explode (×depth) + one map-side-combinable count
+    shuffle; the state is ≤ keys × depth × width rows REGARDLESS of
+    input size, and fully deterministic (pure function of the value
+    multiset — unlike the partition-dependent SpaceSaving summary, so
+    this one IS value-oracled). Merge = union + groupBy-sum, exact:
+    grid(A ∪ B) = grid(A) + grid(B) cell-for-cell."""
+    keys = list(key_cols or [])
+    w = (F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long"))
+    base = df.select(
+        *keys, F.col(value_col).cast("string").alias("_v"), w.alias("_w")
+    ).where(F.col("_v").isNotNull())
+    rows = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    return (
+        rows.select(
+            *keys, "r", _cms_col(F.col("_v"), F.col("r"), width).alias("c"),
+            "_w",
+        )
+        .groupBy(*keys, "r", "c")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def merge_cms_states(*states: DataFrame) -> DataFrame:
+    """Cell-wise sum — row-identical to the state of the concatenated
+    inputs (asserted in tests): the CountMin grid is a commutative
+    monoid, the incremental-maintenance property shared by the whole
+    family."""
+    return _merge_states(states, {"cnt": F.sum("cnt")})
+
+
+def cms_estimates(
+    state: DataFrame, items: DataFrame, value_col: str,
+    depth: int = 4, width: int = 1024, key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-frequency estimates for `items` (one row per item, plus the
+    key columns when the state is per-key): est = min over hash rows of
+    the item's counter, absent cells counting 0. (depth, width) MUST be
+    the values the state was built with — same caller contract as
+    state_quantiles' grid parameters. Guarantee (tested): true ≤ est,
+    and est = true exactly when none of the item's depth cells collide.
+    The probe is items×depth rows joined against the sketch-sized state
+    — broadcastable both ways; never touches the original data."""
+    keys = list(key_cols or [])
+    probe = (
+        items.select(
+            *keys, F.col(value_col).cast("string").alias("_v")
+        )
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+        .withColumn("c", _cms_col(F.col("_v"), F.col("r"), width))
+    )
+    joined = probe.join(state, keys + ["r", "c"], "left")
+    return (
+        joined.groupBy(*keys, "_v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .withColumnRenamed("_v", value_col)
+    )

@@ -48,6 +48,7 @@ def duck():
     ("fs_customer_pairs", entrymod.q_fs_customer_pairs),
     ("cc_incremental", entrymod.q_cc_incremental),
     ("doc_chunks", entrymod.q_doc_chunks),
+    ("cms_token_counts", entrymod.q_cms_token_counts),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -67,7 +68,7 @@ def test_r6_queue_not_registered_this_round():
                 "docs_prefix_jaccard", "quantile_sketch_orders",
                 "weighted_sample_docs", "retention_cohorts_events",
                 "langid_trained_docs", "fs_customer_pairs",
-                "cc_incremental", "doc_chunks"} & set(q)
+                "cc_incremental", "doc_chunks", "cms_token_counts"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -130,3 +130,64 @@ def test_spacesaving_per_key(spark):
     top = S.heavy_hitters(df, "v", k=16, top=1, key_cols=["grp"]).collect()
     got = {r.grp: r.item for r in top}
     assert got == {"A": "HOT_A", "B": "HOT_B"}
+
+
+def _tokens(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return d.select(
+        F.explode(F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+                          " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+
+
+def test_cms_merge_equals_direct_and_is_deterministic(spark):
+    t = _tokens(spark)
+    whole = S.cms_state(t, "tok", depth=4, width=256)
+    parts = [
+        S.cms_state(t.where(f"pmod(length(tok), 3) = {i}"), "tok",
+                    depth=4, width=256)
+        for i in range(3)
+    ]
+    merged = S.merge_cms_states(*parts)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(whole)
+    # pure function of the value multiset: partitioning cannot change it
+    assert as_set(S.cms_state(t.repartition(13), "tok", depth=4, width=256)) \
+        == as_set(whole)
+
+
+def test_cms_never_undercounts_and_wide_grid_is_exact(spark):
+    t = _tokens(spark)
+    exact = t.groupBy("tok").agg(F.count("*").alias("true_n"))
+    items = exact.select("tok")
+    # narrow grid: collisions may OVER-count, never under
+    narrow = S.cms_estimates(
+        S.cms_state(t, "tok", depth=4, width=64), items, "tok",
+        depth=4, width=64)
+    joined = narrow.join(exact, "tok").collect()
+    assert len(joined) == items.count()
+    assert all(r.est >= r.true_n for r in joined)
+    # wide grid vs the distinct-token count: no collisions -> exact
+    n_distinct = items.count()
+    wide_w = 1 << (n_distinct * 16 - 1).bit_length()  # >> n_distinct^2 cells
+    wide = S.cms_estimates(
+        S.cms_state(t, "tok", depth=4, width=wide_w), items, "tok",
+        depth=4, width=wide_w)
+    assert all(r.est == r.true_n for r in wide.join(exact, "tok").collect())
+
+
+def test_cms_weighted_and_per_key(spark):
+    rows = [("a", "x", 5), ("a", "x", 2), ("a", "y", 1), ("b", "x", 7)]
+    df = spark.createDataFrame(rows, "grp string, v string, w long")
+    st = S.cms_state(df, "v", depth=3, width=128, key_cols=["grp"],
+                     weight_col="w")
+    items = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")], "grp string, v string")
+    est = {(r.grp, r.v): r.est
+           for r in S.cms_estimates(st, items, "v", depth=3, width=128,
+                                    key_cols=["grp"]).collect()}
+    assert est[("a", "x")] == 7 and est[("a", "y")] == 1
+    assert est[("b", "x")] == 7
+    # an item the sketch never saw estimates 0 (all cells empty or
+    # collision-mass only)
+    assert est[("b", "y")] >= 0
