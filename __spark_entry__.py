@@ -1365,7 +1365,45 @@ def q_cms_token_counts(spark, sf):
     return S.cms_estimates(st, toks.distinct(), "tok", depth=4, width=512)
 
 
+def q_doc_pmi_edges(spark, sf):
+    """Term co-occurrence edge induction with PMI weights
+    (ranking.cooccurrence_pmi): the KG-construction step that turns a
+    document corpus into the weighted term graph the graph family
+    consumes. Document-level presence, canonical term_a < term_b
+    orientation, micro-quantized ln((co·N)/(df_a·df_b)) with a fixed
+    expression shape — the oracle replays tokenize/distinct/self-join/
+    PMI arithmetic verbatim."""
+    from biosd_feature_annotator_spark.operators.ranking import cooccurrence_pmi
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    return cooccurrence_pmi(d, "doc_id", "text", min_term_len=2)
+
+
 R6_QUEUE_ORACLES = {
+    "doc_pmi_edges": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id AS doc, t.term
+            FROM documents,
+                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+            WHERE doc_id < 400 AND length(t.term) >= 2
+        ),
+        n AS (SELECT count(DISTINCT doc) AS n_docs FROM toks),
+        dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+        co AS (
+            SELECT a.term AS term_a, b.term AS term_b, count(*) AS co
+            FROM toks a JOIN toks b ON a.doc = b.doc AND a.term < b.term
+            GROUP BY 1, 2
+        )
+        SELECT term_a, term_b, co, da.df AS df_a, db.df AS df_b,
+               CAST(round(
+                   ln((CAST(co AS DOUBLE) * n_docs)
+                      / (CAST(da.df AS DOUBLE) * db.df)) * 1000000.0)
+                   AS BIGINT) AS pmi_micro
+        FROM co
+        JOIN dfreq da ON da.term = co.term_a
+        JOIN dfreq db ON db.term = co.term_b
+        CROSS JOIN n
+    """,
     "cms_token_counts": r"""
         WITH toks AS (
             SELECT unnest(list_filter(

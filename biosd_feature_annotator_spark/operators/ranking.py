@@ -155,3 +155,75 @@ def bm25_scores(
     return agg.select(
         F.col("doc").alias(id_col), F.round(total, 4).alias("bm25")
     )
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 2,
+    max_df: int | None = None,
+    min_pair_count: int = 1,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Document-level term co-occurrence graph with PMI edge weights —
+    the edge-INDUCTION primitive of KG construction from text: two terms
+    that appear in the same documents far more often than their
+    document frequencies predict get a high-PMI edge, and the resulting
+    (term_a, term_b, pmi) relation is exactly what the graph family
+    (connected_components / label_propagation / pagerank / triangles)
+    consumes.
+
+    PMI = ln(p(a,b) / (p(a)·p(b))) over document-level PRESENCE
+    (distinct (doc, term), not term frequency), i.e.
+    ln((co · N) / (df_a · df_b)) with N = docs with ≥1 token. The value
+    is micro-quantized (round(·)·quant as long — the fluency/FS-weights
+    kernel) with a FIXED expression shape, so the DuckDB oracle
+    reproduces every edge weight.
+
+    Scale shape: one distinct shuffle for the presence relation
+    (persisted — it feeds the df aggregate, the N aggregate and both
+    self-join sides), then a self-join on `doc` — per-doc cost is
+    quadratic in the doc's DISTINCT term count, the inherent cost of
+    pairwise co-occurrence, bounded in practice by `max_df` (drops
+    stopword-like terms BEFORE pairing, the same hot-key discipline as
+    MinHash's max_bucket) and by document length; the pair count and df
+    aggregates are map-side combinable, and the final df lookups join a
+    vocabulary-sized relation. `doc` is the join key, so term skew
+    cannot concentrate a partition."""
+    from ..cache import scoped_persist
+
+    toks_all = scoped_persist(
+        _terms(docs, id_col, text_col, min_term_len).distinct(),
+        "ranking.pmi.toks",
+    )
+    n = toks_all.agg(F.count_distinct("doc").alias("n_docs"))
+    dfreq = toks_all.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+        kept = toks_all.join(dfreq.select("term"), "term", "left_semi")
+    else:
+        kept = toks_all
+    a = kept.select("doc", F.col("term").alias("term_a"))
+    b = kept.select("doc", F.col("term").alias("term_b"))
+    co = (
+        a.join(b, "doc")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= min_pair_count)
+    )
+    da = dfreq.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = dfreq.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    ratio = (F.col("co").cast("double") * F.col("n_docs")) / (
+        F.col("df_a").cast("double") * F.col("df_b")
+    )
+    return (
+        co.join(da, "term_a")
+        .join(db, "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a", "term_b", "co", "df_a", "df_b",
+            F.round(F.log(ratio) * quant).cast("long").alias("pmi_micro"),
+        )
+    )

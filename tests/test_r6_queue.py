@@ -49,6 +49,7 @@ def duck():
     ("cc_incremental", entrymod.q_cc_incremental),
     ("doc_chunks", entrymod.q_doc_chunks),
     ("cms_token_counts", entrymod.q_cms_token_counts),
+    ("doc_pmi_edges", entrymod.q_doc_pmi_edges),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -68,7 +69,8 @@ def test_r6_queue_not_registered_this_round():
                 "docs_prefix_jaccard", "quantile_sketch_orders",
                 "weighted_sample_docs", "retention_cohorts_events",
                 "langid_trained_docs", "fs_customer_pairs",
-                "cc_incremental", "doc_chunks", "cms_token_counts"} & set(q)
+                "cc_incremental", "doc_chunks", "cms_token_counts",
+                "doc_pmi_edges"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

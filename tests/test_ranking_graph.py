@@ -246,3 +246,52 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     out = {r.node: r.label for r in label_propagation(edges, iters=1).collect()}
     assert out[1] == 0
+
+
+def test_pmi_hand_values(spark):
+    from biosd_feature_annotator_spark.operators.ranking import cooccurrence_pmi
+
+    # 4 docs; "aa" and "bb" always together (2 docs), "cc" alone in two
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd"), (4, "cc")],
+        "doc_id long, text string")
+    out = {(r.term_a, r.term_b): r
+           for r in cooccurrence_pmi(docs).collect()}
+    r = out[("aa", "bb")]
+    # co=2, df_a=df_b=2, N=4 -> PMI = ln(2*4/(2*2)) = ln 2
+    assert (r.co, r.df_a, r.df_b) == (2, 2, 2)
+    assert r.pmi_micro == round(math.log(2.0) * 1_000_000)
+    r2 = out[("cc", "dd")]
+    # co=1, df_cc=2, df_dd=1 -> ln(1*4/(2*1)) = ln 2
+    assert r2.pmi_micro == round(math.log(2.0) * 1_000_000)
+    # never-co-occurring pairs are absent, not -inf rows
+    assert ("aa", "cc") not in out
+
+
+def test_pmi_max_df_drops_stopwords_before_pairing(spark):
+    from biosd_feature_annotator_spark.operators.ranking import cooccurrence_pmi
+
+    # the [^a-z]+ tokenizer strips digits, so suffix with letters
+    docs = spark.createDataFrame(
+        [(i, f"the tok{'a' if i % 2 else 'b'} pair{'a' if i % 2 else 'b'}")
+         for i in range(6)],
+        "doc_id long, text string")
+    out = cooccurrence_pmi(docs, max_df=4).collect()
+    terms = {t for r in out for t in (r.term_a, r.term_b)}
+    assert "the" not in terms  # df=6 > 4: dropped BEFORE pairing
+    assert {"toka", "paira", "tokb", "pairb"} == terms  # df=3 each
+    # toka/tokb never share a doc -> no edge between them
+    assert not any({r.term_a, r.term_b} == {"toka", "tokb"} for r in out)
+    # surviving co-occurring pair keeps its exact PMI: ln(3*6/(3*3))
+    r = {(x.term_a, x.term_b): x for x in out}[("paira", "toka")]
+    assert r.pmi_micro == round(math.log(2.0) * 1_000_000)
+
+
+def test_pmi_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.ranking import cooccurrence_pmi
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .where("doc_id < 120")
+    one = {tuple(r) for r in cooccurrence_pmi(d).collect()}
+    two = {tuple(r) for r in cooccurrence_pmi(d.repartition(13)).collect()}
+    assert one == two and len(one) > 0
