@@ -1379,7 +1379,53 @@ def q_doc_pmi_edges(spark, sf):
     return cooccurrence_pmi(d, "doc_id", "text", min_term_len=2)
 
 
+def q_doc_containment(spark, sf):
+    """EXACT directed containment join (dedup.containment_pairs, 2-gram
+    shingles, τ=1/2, md5 kernel): |A∩B|/|A| ≥ τ with a ≠ b — the
+    asymmetric quote/subset-duplication primitive symmetric Jaccard
+    misses (a short doc pasted into a long one has low Jaccard but
+    containment ≈ 1). Prefix filtering prunes only the probe side
+    (pigeonhole is vs the index side's FULL set), so the oracle can be
+    the straight brute-force inverted index — exactness makes them
+    coincide."""
+    from biosd_feature_annotator_spark.operators import dedup as _dd
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return _dd.containment_pairs(
+        d, "doc_id", "text", n=2, threshold=0.5, hasher="md5"
+    )
+
+
 R6_QUEUE_ORACLES = {
+    "doc_containment": r"""
+        WITH d AS (
+            SELECT doc_id AS doc,
+                   list_filter(
+                       string_split(
+                           trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+                           ' '),
+                       x -> x <> '') AS t
+            FROM documents WHERE doc_id < 300
+        ),
+        sh AS (
+            SELECT DISTINCT doc,
+                   CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)
+                        AS BIGINT) AS sh
+            FROM d, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+        ),
+        sz AS (SELECT doc, count(*) AS s FROM sh GROUP BY doc),
+        it AS (
+            SELECT x.doc AS a, y.doc AS b, count(*) AS inter
+            FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc <> y.doc
+            GROUP BY 1, 2
+        )
+        SELECT a, b, CAST(inter AS BIGINT) AS inter,
+               CAST(sa.s AS BIGINT) AS sa, CAST(sb.s AS BIGINT) AS sb
+        FROM it
+        JOIN sz sa ON sa.doc = it.a
+        JOIN sz sb ON sb.doc = it.b
+        WHERE inter * 2 >= sa.s
+    """,
     "doc_pmi_edges": """
         WITH toks AS (
             SELECT DISTINCT doc_id AS doc, t.term

@@ -432,6 +432,89 @@ def prefix_jaccard_pairs(
     return verified
 
 
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, threshold: float = 0.9, hasher: str = "xx",
+) -> DataFrame:
+    """EXACT directed set-containment self-join: (a, b, inter, sa, sb)
+    for every ordered pair with |A∩B| / |A| ≥ τ, a ≠ b — the ASYMMETRIC
+    complement of prefix_jaccard_pairs. Containment is the
+    quote/subset-duplication primitive (Broder's resemblance vs
+    containment distinction): a short document pasted into a long one
+    has low Jaccard (the union is big) but containment ≈ 1, so
+    symmetric dedup misses exactly the cases containment catches.
+
+    Same prefix-filter discipline, asymmetric form: only the PROBE side
+    A prunes to its |A| − ⌈τ·|A|⌉ + 1 rarest shingles (df-asc global
+    order, hash tie-break) — pigeonhole: if P∩B = ∅ for that prefix P
+    then A∩B ⊆ A∖P with |A∖P| = ⌈τ|A|⌉ − 1 < τ|A|, so no true pair is
+    lost. The INDEX side must stay full (B can contain A with any of
+    A's shingles), which is the inherent asymmetry of containment
+    joins: the equi-join is probe-prefix × full postings, with bucket
+    sizes bounded by the rarity of prefix shingles (a prefix shingle's
+    df IS its bucket size). The one valid length filter is
+    |B| ≥ ⌈τ·|A|⌉ (inter ≤ |B|), applied as the integer cross-multiply
+    sb·den ≥ num·sa; verify is array_intersect over per-doc sorted
+    shingle arrays and the integer test inter·den ≥ num·sa. All
+    arithmetic is exact rational (Fraction), closing the same
+    τ·sz-integral boundary class prefix_jaccard_pairs documents."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    from ..cache import scoped_persist
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    sh = scoped_persist(
+        word_shingles(df, id_col, text_col, n, hasher=hasher),
+        "dedup.containment.sh",
+    )
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    by_doc = Window.partitionBy("doc")
+    ranked = sh.join(dfreq, "sh").select(
+        "doc", "sh",
+        F.row_number().over(by_doc.orderBy("df_", "sh")).alias("pos"),
+        F.count("*").over(by_doc).alias("sz"),
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"(({num} * sz + {den} - 1)) div {den}")
+        + F.lit(1)
+    )
+    pre = ranked.where(F.col("pos") <= prefix_len).select(
+        F.col("doc").alias("a"), "sh", F.col("sz").alias("sa")
+    )
+    sizes = sh.groupBy("doc").agg(
+        F.sort_array(F.collect_list("sh")).alias("toks"),
+        F.count("*").alias("sz"),
+    )
+    full = sh.select(F.col("doc").alias("b"), "sh")
+    cand = (
+        pre.join(full, "sh")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", "sa")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.join(
+            sizes.select(F.col("doc").alias("b"), F.col("toks").alias("tb"),
+                         F.col("sz").alias("sb")), "b")
+        # asymmetric length filter: |B| >= ceil(tau*|A|)
+        .where(F.col("sb") * F.lit(den) >= F.lit(num) * F.col("sa"))
+        .join(sizes.select(F.col("doc").alias("a"), F.col("toks").alias("ta")),
+              "a")
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("inter"),
+            F.col("sa").cast("long").alias("sa"),
+            F.col("sb").cast("long").alias("sb"),
+        )
+        .where(F.col("inter") * F.lit(den) >= F.lit(num) * F.col("sa"))
+    )
+
+
 def shared_ngram_spans(
     df: DataFrame, id_col: str, text_col: str,
     n: int = 8, max_df: int = 50, hasher: str = "xx",

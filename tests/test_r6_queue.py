@@ -50,6 +50,7 @@ def duck():
     ("doc_chunks", entrymod.q_doc_chunks),
     ("cms_token_counts", entrymod.q_cms_token_counts),
     ("doc_pmi_edges", entrymod.q_doc_pmi_edges),
+    ("doc_containment", entrymod.q_doc_containment),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -70,7 +71,7 @@ def test_r6_queue_not_registered_this_round():
                 "weighted_sample_docs", "retention_cohorts_events",
                 "langid_trained_docs", "fs_customer_pairs",
                 "cc_incremental", "doc_chunks", "cms_token_counts",
-                "doc_pmi_edges"} & set(q)
+                "doc_pmi_edges", "doc_containment"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -865,3 +865,55 @@ def test_chunk_documents_rejects_bad_stride(spark):
         chunk_documents(df, "doc_id", "text", 4, 5)
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", 4, 0)
+
+
+def test_containment_directed_asymmetry(spark):
+    # A's 2-shingles are a subset of B's; B also has many of its own.
+    a_text = "x y z w"
+    b_text = "p q x y z w r s t u"
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, "unrelated words only here")],
+        "doc_id long, text string")
+    out = {(r.a, r.b): r
+           for r in dedup.containment_pairs(
+               df, "doc_id", "text", n=2, threshold=0.9).collect()}
+    # A (3 shingles, all shared) is fully contained in B...
+    r = out[(1, 2)]
+    assert (r.inter, r.sa) == (3, 3)
+    # ...but B (9 shingles, 3 shared) is NOT 0.9-contained in A,
+    # and the unrelated doc pairs with nothing
+    assert (2, 1) not in out
+    assert not any(3 in k for k in out)
+
+
+def test_containment_equals_bruteforce(docs):
+    d = docs.where("doc_id < 150")
+    got = {(r.a, r.b, r.inter, r.sa, r.sb)
+           for r in dedup.containment_pairs(
+               d, "doc_id", "text", n=2, threshold=0.5).collect()}
+    sh = dedup.word_shingles(d, "doc_id", "text", 2)
+    sz = sh.groupBy("doc").agg(F.count("*").alias("s"))
+    brute = (
+        sh.alias("x").join(sh.alias("y"), "sh")
+        .where("x.doc <> y.doc")
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count("*").alias("inter"))
+        .join(sz.select(F.col("doc").alias("a"), F.col("s").alias("sa")), "a")
+        .join(sz.select(F.col("doc").alias("b"), F.col("s").alias("sb")), "b")
+        .where("inter * 2 >= sa")
+    )
+    want = {(r.a, r.b, r.inter, r.sa, r.sb) for r in brute.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_containment_integer_boundary(spark):
+    # tau = 1/2 with |A| even: ceil(0.5*4) = 2 exactly — a float
+    # 0.4999... prefix computation would mis-size the prefix
+    df = spark.createDataFrame(
+        [(1, "a b c d e"),          # 4 shingles
+         (2, "a b c x y z")],       # shares exactly 2 of them ("a b","b c")
+        "doc_id long, text string")
+    out = {(r.a, r.b): (r.inter, r.sa)
+           for r in dedup.containment_pairs(
+               df, "doc_id", "text", n=2, threshold=0.5).collect()}
+    assert out[(1, 2)] == (2, 4)  # 2/4 == tau exactly: must be included
