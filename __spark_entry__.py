@@ -1396,7 +1396,56 @@ def q_doc_containment(spark, sf):
     )
 
 
+def q_tfidf_cosine_pairs(spark, sf):
+    """Sparse TF-IDF cosine all-pairs (ranking.tfidf_cosine_pairs,
+    τ=3/10): term-at-a-time inverted-index join, never all-pairs, with
+    the staged integer-quantization float discipline (exact long sums
+    for squared norms and dot products — no float accumulation order).
+    The oracle replays tokenize/tf/df/quantize/normalize/join/threshold
+    with the identical expression shapes, so every dot_q matches
+    bit-for-bit."""
+    from biosd_feature_annotator_spark.operators.ranking import (
+        tfidf_cosine_pairs,
+    )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return tfidf_cosine_pairs(d, "doc_id", "text", threshold=0.3)
+
+
 R6_QUEUE_ORACLES = {
+    "tfidf_cosine_pairs": """
+        WITH toks AS (
+            SELECT doc, term FROM (
+                SELECT doc_id AS doc,
+                       unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+                FROM documents WHERE doc_id < 300
+            ) WHERE length(term) >= 2
+        ),
+        tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (
+            SELECT count(DISTINCT doc_id) AS n_docs
+            FROM documents WHERE doc_id < 300
+        ),
+        w AS (
+            SELECT doc, term,
+                   CAST(round(tf * (ln((n.n_docs + 1.0) / (dfx.df + 1.0))
+                                    + 1.0) * 10000.0) AS BIGINT) AS wq0
+            FROM tf JOIN dfx USING (term) CROSS JOIN n
+        ),
+        norms AS (SELECT doc, sum(wq0 * wq0) AS ss FROM w GROUP BY 1),
+        unit AS (
+            SELECT w.doc, w.term,
+                   CAST(round(wq0 / sqrt(ss) * 1000000.0) AS BIGINT) AS uq
+            FROM w JOIN norms USING (doc) WHERE ss > 0
+        )
+        SELECT x.doc AS a, y.doc AS b,
+               CAST(count(*) AS BIGINT) AS n_shared,
+               CAST(sum(x.uq * y.uq) AS BIGINT) AS dot_q
+        FROM unit x JOIN unit y ON x.term = y.term AND x.doc < y.doc
+        GROUP BY 1, 2
+        HAVING sum(x.uq * y.uq) * 10 >= 3 * CAST(1000000 AS BIGINT) * 1000000
+    """,
     "doc_containment": r"""
         WITH d AS (
             SELECT doc_id AS doc,

@@ -222,6 +222,8 @@ def main() -> None:
         ("doc_chunks", entrymod.q_doc_chunks),
         ("cms_token_counts", entrymod.q_cms_token_counts),
         ("doc_pmi_edges", entrymod.q_doc_pmi_edges),
+        ("doc_containment", entrymod.q_doc_containment),
+        ("tfidf_cosine_pairs", entrymod.q_tfidf_cosine_pairs),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

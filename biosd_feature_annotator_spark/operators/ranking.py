@@ -227,3 +227,100 @@ def cooccurrence_pmi(
             F.round(F.log(ratio) * quant).cast("long").alias("pmi_micro"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    min_term_len: int = 2,
+    max_df: int | None = None,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """All-pairs document cosine similarity over TF-IDF term vectors —
+    the SPARSE-vector complement of the embedding ops in
+    operators/similarity: (a, b, n_shared, dot_q) for every pair with
+    cosine ≥ τ, via the term-at-a-time inverted-index discipline
+    (Elsayed et al.'s pairwise-similarity MapReduce pattern, public):
+    partial products are generated per shared term by an equi-join on
+    the term, never all-pairs.
+
+    Bit-reproducible float discipline (the fluency/centroids kernel,
+    staged): (1) raw weight w = tf·(ln((N+1)/(df+1))+1) micro-quantized
+    at quant/100 → long wq0, so (2) the per-doc squared norm is an
+    EXACT LONG SUM (no float accumulation order), (3) the unit weight
+    is round(wq0/√sumsq · quant) → long (√ of an exact integer is
+    correctly rounded, division and round are single deterministic
+    ops), and (4) the dot product is again an exact long sum of
+    per-term products. The quantized unit vector deviates from true
+    unit norm by ≤ ~1/quant per component — the DEFINED semantics,
+    identical on every engine and partitioning. Threshold as exact
+    rational: dot_q·den ≥ num·quant².
+
+    Scale shape: tokenize once (persisted — feeds tf, df, norms and
+    both index sides), map-side-combinable aggregates, one term-keyed
+    equi-join whose bucket sizes are term document frequencies.
+    `max_df` (optional) drops stopword-like terms from the INDEX —
+    with it the op trades exactness for join safety exactly like
+    ngram_jaccard_pairs' cap (dropped terms carry the smallest IDF
+    weights, so the cosine underestimate is the smallest available);
+    without it the result is exact under the quantized semantics.
+    `quant` bounds: unit components ≤ quant ⇒ per-term products
+    ≤ quant², and ~1e3 shared terms stay well inside int64."""
+    from fractions import Fraction
+
+    from ..cache import scoped_persist
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    q0 = quant // 100  # raw-weight grid: keeps wq0^2 sums inside int64
+
+    tf = scoped_persist(
+        _terms(docs, id_col, text_col, min_term_len)
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf")),
+        "ranking.cos.tf",
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc", "term", "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + F.lit(1.0))
+                         / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+                * F.lit(float(q0))
+            ).cast("long").alias("wq0"),
+        )
+    )
+    w = scoped_persist(w, "ranking.cos.w")
+    norms = w.groupBy("doc").agg(F.sum(F.col("wq0") * F.col("wq0")).alias("ss"))
+    unit = (
+        w.join(norms, "doc")
+        .where(F.col("ss") > 0)
+        .select(
+            "doc", "term", "df",
+            F.round(F.col("wq0") / F.sqrt(F.col("ss")) * F.lit(float(quant)))
+            .cast("long").alias("uq"),
+        )
+    )
+    if max_df is not None:
+        unit = unit.where(F.col("df") <= max_df)
+    ua = unit.select(F.col("doc").alias("a"), "term", F.col("uq").alias("ua"))
+    ub = unit.select(F.col("doc").alias("b"), "term", F.col("uq").alias("ub"))
+    return (
+        ua.join(ub, "term")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum(F.col("ua") * F.col("ub")).alias("dot_q"),
+        )
+        # rhs computed driver-side as a Python int: num·quant² exceeds
+        # int32, and an int32·int32 column product would overflow
+        .where(F.col("dot_q") * F.lit(den) >= F.lit(num * quant * quant))
+    )

@@ -295,3 +295,76 @@ def test_pmi_deterministic_across_partitionings(spark):
     one = {tuple(r) for r in cooccurrence_pmi(d).collect()}
     two = {tuple(r) for r in cooccurrence_pmi(d.repartition(13)).collect()}
     assert one == two and len(one) > 0
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from biosd_feature_annotator_spark.operators.ranking import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta")],
+        "doc_id long, text string")
+    out = {(r.a, r.b): r for r in
+           tfidf_cosine_pairs(docs, threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # identical vectors: cosine == 1 up to the quantized-unit grid
+    assert abs(r.dot_q - 1_000_000_000_000) <= 3 * 1_000_000
+    assert r.n_shared == 3
+
+
+def test_tfidf_cosine_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    from biosd_feature_annotator_spark.operators.ranking import tfidf_cosine_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .where("doc_id < 100")
+    tau = 0.3
+    got = {(r.a, r.b) for r in
+           tfidf_cosine_pairs(d, threshold=tau).collect()}
+    # brute force in numpy with the same smoothed idf
+    rows = [(r.doc_id, r.text) for r in d.collect()]
+    import collections
+    import math as m
+    import re
+    toks = {i: [t for t in re.split(r"[^a-z]+", s.lower()) if len(t) >= 2]
+            for i, s in rows}
+    tf = {i: collections.Counter(ts) for i, ts in toks.items()}
+    dfc = collections.Counter(t for c in tf.values() for t in c)
+    N = len(rows)
+    vocab = sorted(dfc)
+    vecs = {}
+    for i, c in tf.items():
+        v = np.array([c.get(t, 0) * (m.log((N + 1) / (dfc[t] + 1)) + 1)
+                      for t in vocab])
+        nrm = np.linalg.norm(v)
+        if nrm > 0:
+            vecs[i] = v / nrm
+    want = set()
+    ids = sorted(vecs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if float(vecs[ids[x]] @ vecs[ids[y]]) >= tau + 1e-4:
+                want.add((ids[x], ids[y]))
+            elif float(vecs[ids[x]] @ vecs[ids[y]]) >= tau - 1e-4:
+                got.discard((ids[x], ids[y]))  # grid-boundary: don't judge
+    assert got == want and len(want) > 0
+
+
+def test_tfidf_cosine_deterministic_and_max_df_underestimates(spark):
+    from biosd_feature_annotator_spark.operators.ranking import tfidf_cosine_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .where("doc_id < 80")
+    one = {tuple(r) for r in tfidf_cosine_pairs(d, threshold=0.4).collect()}
+    two = {tuple(r)
+           for r in tfidf_cosine_pairs(d.repartition(11), threshold=0.4).collect()}
+    assert one == two and len(one) > 0
+    # dropping index terms can only REMOVE pairs / lower dots
+    capped = {(r.a, r.b): r.dot_q
+              for r in tfidf_cosine_pairs(d, threshold=0.4, max_df=40).collect()}
+    full = {(r.a, r.b): r.dot_q for r in
+            tfidf_cosine_pairs(d, threshold=0.4).collect()}
+    assert set(capped) <= set(full)
+    assert all(capped[k] <= full[k] for k in capped)
