@@ -1412,7 +1412,105 @@ def q_tfidf_cosine_pairs(spark, sf):
     return tfidf_cosine_pairs(d, "doc_id", "text", threshold=0.3)
 
 
+def q_kg_ppr(spark, sf):
+    """Personalized PageRank (graph.personalized_pagerank, 2 fixed
+    iterations, INTEGER-mass semantics): relatedness to the seed
+    customers over the bidirectional customer–supplier graph from
+    lineitem⋈orders (suppliers offset into a disjoint id space, same
+    construction as kg_label_prop). Every update is integer (floor
+    divisions, rational 17/20 damping), so the oracle unrolls both
+    iterations in SQL and matches every mass value exactly — no float
+    margins to audit, unlike the global pagerank's double recurrence."""
+    from biosd_feature_annotator_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 20)
+    o = _t(spark, sf, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") < 5)
+        .select(F.col("c_custkey").cast("long").alias("node"))
+    )
+    return personalized_pagerank(edges, seeds, iters=2)
+
+
 R6_QUEUE_ORACLES = {
+    "kg_ppr": """
+        WITH e0 AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 20
+        ),
+        ed AS (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        ),
+        seeds AS (
+            SELECT CAST(c_custkey AS BIGINT) AS node
+            FROM customer WHERE c_custkey < 5
+        ),
+        ns AS (SELECT count(*) AS n FROM seeds),
+        share AS (
+            SELECT node, CAST(1000000000 AS BIGINT) // n AS share
+            FROM seeds CROSS JOIN ns
+        ),
+        base AS (SELECT node, (3 * share) // 20 AS base FROM share),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+        allnodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM ed
+                UNION SELECT dst FROM ed
+                UNION SELECT node FROM seeds
+            )
+        ),
+        p0 AS (
+            SELECT a.node, coalesce(s.share, 0) AS pr
+            FROM allnodes a LEFT JOIN share s USING (node)
+        ),
+        c1 AS (
+            SELECT ed.dst AS node, sum(p0.pr // o.outdeg) AS inflow
+            FROM ed JOIN p0 ON ed.src = p0.node
+            JOIN outdeg o ON ed.src = o.src
+            GROUP BY 1
+        ),
+        p1 AS (
+            SELECT a.node,
+                   coalesce(b.base, 0)
+                   + (17 * coalesce(c.inflow, 0)) // 20 AS pr
+            FROM allnodes a
+            LEFT JOIN base b USING (node)
+            LEFT JOIN c1 c USING (node)
+        ),
+        c2 AS (
+            SELECT ed.dst AS node, sum(p1.pr // o.outdeg) AS inflow
+            FROM ed JOIN p1 ON ed.src = p1.node
+            JOIN outdeg o ON ed.src = o.src
+            GROUP BY 1
+        ),
+        p2 AS (
+            SELECT a.node,
+                   coalesce(b.base, 0)
+                   + (17 * coalesce(c.inflow, 0)) // 20 AS pr
+            FROM allnodes a
+            LEFT JOIN base b USING (node)
+            LEFT JOIN c2 c USING (node)
+        )
+        SELECT node, CAST(pr AS BIGINT) AS ppr_q FROM p2
+    """,
     "tfidf_cosine_pairs": """
         WITH toks AS (
             SELECT doc, term FROM (

@@ -208,3 +208,80 @@ def label_propagation(
         if checkpoint_iters:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, iters: int = 3,
+    damping_num: int = 17, damping_den: int = 20, quant: int = 10 ** 9,
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank (random walk with restart
+    to a seed set) → (node, ppr_q): entity relatedness relative to the
+    seeds, the query-time companion of the global pagerank (which ranks
+    by total importance; PPR answers "important to WHOM").
+
+    INTEGER-MASS semantics, a deliberate strengthening of pagerank's
+    float recurrence: all mass lives in 1/quant units as longs; per-edge
+    contribution is pr div outdeg (floor), the damped update is
+    base + (num·inflow) div den with damping the exact rational num/den
+    (0.85 = 17/20), and the restart mass is quant div |S| per seed. Every
+    operation is integer, so the result is independent of partitioning
+    and float accumulation order BY CONSTRUCTION, and a SQL oracle
+    replays it exactly. Floor divisions leak ≤ 1 unit of mass per
+    division (and dangling-node mass decays, as in pagerank — same
+    documented simple variant); at quant = 1e9 the relative distortion
+    is ≤ ~outdeg/quant per node per round.
+
+    Scale shape: identical to pagerank — per iteration one src-keyed
+    join + one dst-keyed partial-aggregated shuffle, no driver actions
+    in the loop (|S| is folded in-plan via a broadcast single-row
+    count). Nodes unreachable from the seeds in ≤ iters hops report 0 —
+    the locality that makes PPR a per-query primitive at 100 TB (mass
+    is nonzero only on the seeds' iters-hop neighborhood, so a
+    frontier-restricted variant can skip the full node relation; this
+    general form keeps the full relation for the oracle's benefit)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .unionByName(seeds.select(F.col("node")))
+        .dropDuplicates()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ns = seeds.select("node").dropDuplicates()
+    n_seeds = ns.agg(F.count("*").alias("n_seeds"))
+    share = ns.crossJoin(F.broadcast(n_seeds)).select(
+        "node",
+        F.expr(f"CAST({quant} AS BIGINT) div n_seeds").alias("share"),
+    )
+    base = share.select(
+        "node", F.expr(
+            f"CAST(({damping_den - damping_num} * share) div {damping_den} AS BIGINT)"
+        ).alias("base"),
+    )
+    pr = nodes.join(share, "node", "left").select(
+        "node", F.coalesce("share", F.lit(0).cast("long")).alias("ppr_q")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("ppr_q div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.join(base, "node", "left")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce("base", F.lit(0).cast("long"))
+                    + F.expr(
+                        f"({damping_num} * coalesce(inflow, 0)) div {damping_den}"
+                    )
+                ).cast("long").alias("ppr_q"),
+            )
+        )
+    return pr

@@ -52,6 +52,7 @@ def duck():
     ("doc_pmi_edges", entrymod.q_doc_pmi_edges),
     ("doc_containment", entrymod.q_doc_containment),
     ("tfidf_cosine_pairs", entrymod.q_tfidf_cosine_pairs),
+    ("kg_ppr", entrymod.q_kg_ppr),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -72,7 +73,8 @@ def test_r6_queue_not_registered_this_round():
                 "weighted_sample_docs", "retention_cohorts_events",
                 "langid_trained_docs", "fs_customer_pairs",
                 "cc_incremental", "doc_chunks", "cms_token_counts",
-                "doc_pmi_edges", "doc_containment", "tfidf_cosine_pairs"} & set(q)
+                "doc_pmi_edges", "doc_containment", "tfidf_cosine_pairs",
+                "kg_ppr"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

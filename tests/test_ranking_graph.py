@@ -368,3 +368,47 @@ def test_tfidf_cosine_deterministic_and_max_df_underestimates(spark):
             tfidf_cosine_pairs(d, threshold=0.4).collect()}
     assert set(capped) <= set(full)
     assert all(capped[k] <= full[k] for k in capped)
+
+
+def test_ppr_hand_values_integer_mass(spark):
+    from biosd_feature_annotator_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b"), ("a", "c")],
+                                  "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got1 = {r.node: r.ppr_q
+            for r in personalized_pagerank(edges, seeds, iters=1).collect()}
+    # share=1e9; base(a)=(3*1e9) div 20; each child gets (17*(1e9 div 2)) div 20
+    assert got1 == {"a": 150_000_000, "b": 425_000_000, "c": 425_000_000}
+    got2 = {r.node: r.ppr_q
+            for r in personalized_pagerank(edges, seeds, iters=2).collect()}
+    # b,c are dangling: their round-1 mass decays; a re-feeds them from base
+    assert got2 == {"a": 150_000_000,
+                    "b": 63_750_000, "c": 63_750_000}
+
+
+def test_ppr_locality_beyond_iters_is_zero(spark):
+    from biosd_feature_annotator_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.ppr_q
+           for r in personalized_pagerank(edges, seeds, iters=2).collect()}
+    assert got["d"] == 0       # 3 hops away, 2 iterations: untouched
+    assert got["c"] > 0        # exactly 2 hops: reached
+    # total mass never exceeds the initial quant (floors only leak)
+    assert sum(got.values()) <= 10 ** 9
+
+
+def test_ppr_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("n1",), ("n2",), ("n3",)], "node string")
+    one = {tuple(r) for r in personalized_pagerank(edges, seeds).collect()}
+    two = {tuple(r) for r in personalized_pagerank(
+        edges.repartition(13), seeds, ).collect()}
+    assert one == two and len(one) > 0
