@@ -1446,7 +1446,38 @@ def q_kg_ppr(spark, sf):
     return personalized_pagerank(edges, seeds, iters=2)
 
 
+def q_doc_shards(spark, sf):
+    """Rendezvous consistent sharding (training.shard_rendezvous, N=8):
+    shard = argmax over s of the portable md5 score h(id, s) — the
+    minimal-movement dataset-sharding primitive (growing N moves only
+    rows won by the new shard; asserted row-for-row in pytest). Pure
+    projection, one array_max over (h, s) structs, zero shuffles. The
+    oracle re-derives every argmax with a window over the unnested
+    (id × shard) score table, tie-broken identically (h DESC, s DESC
+    matches the struct order's max)."""
+    from biosd_feature_annotator_spark.operators.training import shard_rendezvous
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return shard_rendezvous(d, "doc_id", 8)
+
+
 R6_QUEUE_ORACLES = {
+    "doc_shards": """
+        WITH h AS (
+            SELECT doc_id, s,
+                   CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || '#shard'
+                           || CAST(s AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM documents, unnest(range(0, 8)) AS u(s)
+        ),
+        r AS (
+            SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, s DESC) AS rn
+            FROM h
+        )
+        SELECT doc_id, CAST(s AS BIGINT) AS shard FROM r WHERE rn = 1
+    """,
     "kg_ppr": """
         WITH e0 AS (
             SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,

@@ -225,6 +225,7 @@ def main() -> None:
         ("doc_containment", entrymod.q_doc_containment),
         ("tfidf_cosine_pairs", entrymod.q_tfidf_cosine_pairs),
         ("kg_ppr", entrymod.q_kg_ppr),
+        ("doc_shards", entrymod.q_doc_shards),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

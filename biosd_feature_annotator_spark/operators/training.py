@@ -432,3 +432,39 @@ def logistic_log_loss(
     eps = F.lit(1e-12)
     ll = -(y * F.log(p + eps) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p + eps))
     return float(scored.agg(F.avg(ll).alias("l")).collect()[0]["l"])
+
+
+def shard_rendezvous(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Adds a `shard` column by RENDEZVOUS (highest-random-weight)
+    hashing: shard(id) = argmax over s ∈ [0, n_shards) of h(id, s) —
+    the consistent-sharding primitive for incremental dataset
+    publishing. Unlike `pmod(hash(id), N)` (which remaps ~half of all
+    rows when N changes), growing N → N+1 moves ONLY the rows whose
+    argmax is the NEW shard — an expected 1/(N+1) fraction, provably
+    minimal (every row's scores for the old shards are unchanged, so a
+    row moves iff the new shard's score beats its previous best). The
+    property is asserted row-for-row in tests.
+
+    Pure projection, no shuffle: n_shards engine-portable md5 scores
+    per row folded into ONE array_max over (h, s) structs (O(N)
+    expression size — a when-chain would duplicate subtrees
+    exponentially), tie-broken by the struct order (higher s), all
+    whole-stage codegen. n_shards is a per-row constant cost, the
+    standard rendezvous trade (for thousands of shards use the
+    hierarchical variant; data shards are typically ≤ a few hundred)."""
+    idc = F.col(id_col).cast("string")
+    arr = F.array(*[
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(idc, F.lit(f"#shard{s}"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long").alias("h"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(n_shards)
+    ])
+    return df.withColumn(
+        "shard", F.array_max(arr).getField("s").cast("long")
+    )

@@ -211,3 +211,18 @@ def test_filtered_topk_predicate_pushed_to_scan(spark):
 
     m = re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)[^\]]*\]", p)
     assert m and "IsNotNull(label)" in m.group(0)
+
+
+def test_chunk_documents_plan_has_no_exchange(spark):
+    """chunk_documents claims 'pure projection + explode, zero shuffles'
+    — hold it to that: the optimized plan must contain no Exchange, and
+    the parquet scan must be pruned to (doc_id, text)."""
+    import re
+
+    from biosd_feature_annotator_spark.operators.training import chunk_documents
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(chunk_documents(d, "doc_id", "text", 32, 24))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
+    m = re.search(r"ReadSchema: (.*)", p)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)

@@ -53,6 +53,7 @@ def duck():
     ("doc_containment", entrymod.q_doc_containment),
     ("tfidf_cosine_pairs", entrymod.q_tfidf_cosine_pairs),
     ("kg_ppr", entrymod.q_kg_ppr),
+    ("doc_shards", entrymod.q_doc_shards),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -74,7 +75,7 @@ def test_r6_queue_not_registered_this_round():
                 "langid_trained_docs", "fs_customer_pairs",
                 "cc_incremental", "doc_chunks", "cms_token_counts",
                 "doc_pmi_edges", "doc_containment", "tfidf_cosine_pairs",
-                "kg_ppr"} & set(q)
+                "kg_ppr", "doc_shards"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

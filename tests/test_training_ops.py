@@ -917,3 +917,35 @@ def test_containment_integer_boundary(spark):
            for r in dedup.containment_pairs(
                df, "doc_id", "text", n=2, threshold=0.5).collect()}
     assert out[(1, 2)] == (2, 4)  # 2/4 == tau exactly: must be included
+
+
+def test_shard_rendezvous_minimal_movement(spark):
+    from biosd_feature_annotator_spark.operators.training import shard_rendezvous
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    s8 = {r.doc_id: r.shard
+          for r in shard_rendezvous(df, "doc_id", 8).collect()}
+    s9 = {r.doc_id: r.shard
+          for r in shard_rendezvous(df, "doc_id", 9).collect()}
+    moved = [i for i in s8 if s8[i] != s9[i]]
+    # THE rendezvous property: every moved row moved TO the new shard
+    assert moved and all(s9[i] == 8 for i in moved)
+    # expected 1/9 of rows move; generous 4-sigma-ish band
+    assert 0.05 <= len(moved) / len(s8) <= 0.18
+    # rows that didn't move kept their shard verbatim (trivially true by
+    # construction of `moved`, but assert the complement is the majority)
+    assert len(moved) < len(s8) / 2
+
+
+def test_shard_rendezvous_uniform_and_deterministic(spark):
+    from biosd_feature_annotator_spark.operators.training import shard_rendezvous
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = shard_rendezvous(df, "doc_id", 8)
+    by = {r.shard: r.n
+          for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == set(range(8))
+    assert all(350 <= n <= 650 for n in by.values())  # ~500 each
+    again = {(r.doc_id, r.shard)
+             for r in shard_rendezvous(df.repartition(13), "doc_id", 8).collect()}
+    assert again == {(r.doc_id, r.shard) for r in out.collect()}
