@@ -1461,7 +1461,64 @@ def q_doc_shards(spark, sf):
     return shard_rendezvous(d, "doc_id", 8)
 
 
+def q_stream_cc_assign(spark, sf):
+    """STREAMING incremental connected components
+    (streaming/incremental.stream_component_assign): the same
+    order–part edge set as cc_incremental arrives as a REAL
+    3-micro-batch availableNow file stream, and each batch folds its
+    delta into the materialized (node, comp) state via
+    incremental_components under the verify-then-swap exactly-once
+    discipline. Exactness makes the oracle independent of the batch
+    split: the committed final state must equal the recursive
+    transitive closure over ALL edges — the same oracle as the batch
+    witness, now earned through the streaming state loop."""
+    import glob
+    import shutil
+
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_component_assign,
+    )
+
+    base = _stream_base("stream_cc")
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 2000)
+    edges = (
+        li.select(
+            F.col("l_orderkey").cast("long").alias("src"),
+            (F.col("l_partkey") + F.lit(10_000_000)).cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+        .orderBy("src", "dst")
+    )
+    stage = os.path.join(base, "stage")
+    edges.coalesce(1).write.mode("overwrite").parquet(stage)
+    src_file = os.path.join(base, "edges.parquet")
+    shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0], src_file)
+    return stream_component_assign(
+        spark, src_file, os.path.join(base, "out"),
+        os.path.join(base, "ckpt"), n_files=3,
+    )
+
+
 R6_QUEUE_ORACLES = {
+    "stream_cc_assign": """
+        WITH RECURSIVE ed AS (
+            SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,
+                   CAST(l_partkey + 10000000 AS BIGINT) AS dst
+            FROM lineitem WHERE l_orderkey < 2000
+        ),
+        e AS (
+            SELECT src AS x, dst AS y FROM ed
+            UNION
+            SELECT dst AS x, src AS y FROM ed
+        ),
+        reach AS (
+            SELECT x, y FROM e
+            UNION
+            SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x
+        )
+        SELECT x AS node, least(x, min(y)) AS comp
+        FROM reach GROUP BY x
+    """,
     "doc_shards": """
         WITH h AS (
             SELECT doc_id, s,

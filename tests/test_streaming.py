@@ -428,3 +428,52 @@ def test_stream_quantile_sketch_recovers_interrupted_swap(spark, tmp_path):
     )
     assert sorted(map(tuple, again2.collect())) == g
     assert not os.path.isdir(out + ".bak")
+
+
+def test_stream_component_assign_matches_full_recompute(spark, tmp_path):
+    """3 real micro-batches of edge deltas, with the cross-batch merge
+    case built in (batch 3's bridge edge merges components born in
+    batches 1 and 2): the maintained state must be row-identical to a
+    full CC recompute over all edges — the incremental_components
+    exactness contract surviving the streaming state loop."""
+    import json
+    import os
+
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_component_assign,
+    )
+
+    # ordered edge list: _stage_single_file splits by row ranges, so
+    # batch1 = rows 0-3, batch2 = 4-7, batch3 = 8-11
+    edges = [
+        (1, 2), (2, 3), (10, 11), (20, 21),          # batch 1
+        (30, 31), (31, 32), (11, 12), (40, 41),      # batch 2: extend 10s
+        (3, 10), (21, 30), (50, 51), (0, 1),         # batch 3: bridges + new min
+    ]
+    src = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges, "src long, dst long") \
+        .coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil
+    shutil.copy(glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0], src)
+
+    out, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    got = stream_component_assign(spark, src, out, ck, n_files=3)
+    want = connected_components(
+        spark.createDataFrame(edges, "src long, dst long"))
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, want.collect())) and len(g) > 0
+    # the batch-3 bridge merged 1s+10s (with new global min 0) and 20s+30s
+    comp = dict(g)
+    assert comp[3] == comp[12] == 0
+    assert comp[21] == comp[32] == 20
+
+    with open(os.path.join(out, "_applied")) as fh:
+        assert json.load(fh)["batch_id"] >= 2  # three micro-batches ran
+
+    # restart with no new files: nothing replays, state untouched
+    again = stream_component_assign(spark, src, out, ck, fresh=False)
+    assert sorted(map(tuple, again.collect())) == g
