@@ -213,6 +213,7 @@ def label_propagation(
 def personalized_pagerank(
     edges: DataFrame, seeds: DataFrame, iters: int = 3,
     damping_num: int = 17, damping_den: int = 20, quant: int = 10 ** 9,
+    frontier_only: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PERSONALIZED PageRank (random walk with restart
     to a seed set) → (node, ppr_q): entity relatedness relative to the
@@ -237,8 +238,10 @@ def personalized_pagerank(
     count). Nodes unreachable from the seeds in ≤ iters hops report 0 —
     the locality that makes PPR a per-query primitive at 100 TB (mass
     is nonzero only on the seeds' iters-hop neighborhood, so a
-    frontier-restricted variant can skip the full node relation; this
-    general form keeps the full relation for the oracle's benefit)."""
+    frontier_only=True variant skips the full node relation entirely —
+    every join is frontier-sized and the output is the nonzero support,
+    row-identical to the general form on it; the general form keeps the
+    full relation for the oracle's benefit)."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -257,9 +260,17 @@ def personalized_pagerank(
             f"CAST(({damping_den - damping_num} * share) div {damping_den} AS BIGINT)"
         ).alias("base"),
     )
-    pr = nodes.join(share, "node", "left").select(
-        "node", F.coalesce("share", F.lit(0).cast("long")).alias("ppr_q")
-    )
+    if frontier_only:
+        # the per-query scale path the docstring promises: never touch
+        # the full node relation — pr carries only the seeds' reached
+        # neighborhood, so every join is frontier-sized. Output is the
+        # NONZERO support of the general variant (row-identical on it,
+        # asserted in tests); nodes the walk never reached are implied 0.
+        pr = share.select("node", F.col("share").alias("ppr_q"))
+    else:
+        pr = nodes.join(share, "node", "left").select(
+            "node", F.coalesce("share", F.lit(0).cast("long")).alias("ppr_q")
+        )
     for _ in range(iters):
         contrib = (
             edges.join(pr, edges.src == pr.node)
@@ -271,8 +282,13 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        scope = (
+            base.select("node").unionByName(contrib.select("node"))
+            .dropDuplicates()
+            if frontier_only else nodes
+        )
         pr = (
-            nodes.join(base, "node", "left")
+            scope.join(base, "node", "left")
             .join(contrib, "node", "left")
             .select(
                 "node",

@@ -412,3 +412,25 @@ def test_ppr_deterministic_across_partitionings(spark):
     two = {tuple(r) for r in personalized_pagerank(
         edges.repartition(13), seeds, ).collect()}
     assert one == two and len(one) > 0
+
+
+def test_ppr_frontier_only_equals_nonzero_support(spark):
+    from biosd_feature_annotator_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 60}") for i in range(150)]
+        + [("n1", "island")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("n1",), ("n5",)], "node string")
+    full = {r.node: r.ppr_q
+            for r in personalized_pagerank(edges, seeds, iters=3).collect()}
+    frontier = {r.node: r.ppr_q
+                for r in personalized_pagerank(
+                    edges, seeds, iters=3, frontier_only=True).collect()}
+    # identical on the nonzero support; frontier never reports unreached
+    assert {k: v for k, v in full.items() if v > 0} \
+        == {k: v for k, v in frontier.items() if v > 0}
+    assert set(frontier) <= set(full)
+    # the frontier relation is strictly smaller than the node relation
+    # (unreached nodes exist in this graph)
+    assert len(frontier) < len(full)
