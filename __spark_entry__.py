@@ -1499,7 +1499,56 @@ def q_stream_cc_assign(spark, sf):
     )
 
 
+def q_docs_chi2_assoc(spark, sf):
+    """Pearson χ² association + Cramér's V between documents.lang and
+    documents.source (plans/quality.chi2_association): the profiling
+    complement of the dq constraint gates — one contingency-count
+    shuffle, marginals re-aggregated from the levels²-sized cell table,
+    per-cell contributions micro-quantized to longs so the statistic is
+    an exact integer sum (order-free). The oracle replays the staged
+    arithmetic with identical expression shapes."""
+    from biosd_feature_annotator_spark.plans.quality import chi2_association
+
+    d = _t(spark, sf, "documents")
+    return chi2_association(d, "lang", "source")
+
+
 R6_QUEUE_ORACLES = {
+    "docs_chi2_assoc": """
+        WITH cells AS (
+            SELECT lang AS a, source AS b, count(*) AS o
+            FROM documents GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+        cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+        tot AS (
+            SELECT sum(o) AS n, count(DISTINCT a) AS r_levels,
+                   count(DISTINCT b) AS c_levels
+            FROM cells
+        ),
+        contrib AS (
+            SELECT n, r_levels, c_levels,
+                   CAST(round(
+                       ((o - ra * cb / n) * (o - ra * cb / n)
+                        / (ra * cb / n)) * 1000000.0) AS BIGINT) AS cell_micro
+            FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT n, r_levels, c_levels, sum(cell_micro) AS chi2_micro
+            FROM contrib GROUP BY 1, 2, 3
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(r_levels AS BIGINT) AS r_levels,
+               CAST(c_levels AS BIGINT) AS c_levels,
+               CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+               CAST(chi2_micro AS BIGINT) AS chi2_micro,
+               CASE WHEN least(r_levels - 1, c_levels - 1) > 0
+                    THEN CAST(round(sqrt((chi2_micro / 1000000.0)
+                              / (n * least(r_levels - 1, c_levels - 1)))
+                              * 1000000.0) AS BIGINT)
+               END AS cramers_v_micro
+        FROM agg
+    """,
     "stream_cc_assign": """
         WITH RECURSIVE ed AS (
             SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,

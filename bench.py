@@ -226,6 +226,7 @@ def main() -> None:
         ("tfidf_cosine_pairs", entrymod.q_tfidf_cosine_pairs),
         ("kg_ppr", entrymod.q_kg_ppr),
         ("doc_shards", entrymod.q_doc_shards),
+        ("docs_chi2_assoc", entrymod.q_docs_chi2_assoc),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

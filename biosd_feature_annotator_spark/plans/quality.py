@@ -118,3 +118,66 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         "rule", "violations", "total",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def chi2_association(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson χ² test of association between two categorical columns,
+    plus Cramér's V — the PROFILING complement of the constraint gates
+    above: a curation pipeline uses it to detect unexpected coupling
+    (e.g. language × source skew that a stratified sampler must respect,
+    or a leaking join key). Returns ONE row: (n, r_levels, c_levels,
+    dof, chi2_micro, cramers_v_micro).
+
+    Shape: one (a, b) contingency count (map-side combinable, the only
+    data-sized shuffle), marginals re-aggregated FROM the cell counts
+    (cells are levels², never data-sized), expected counts joined back
+    cell-wise. The χ² statistic is a sum of per-cell doubles, so the
+    established order-free kernel applies: each cell's contribution
+    (o − rc/n)²/(rc/n) is micro-quantized to a LONG and the statistic
+    is an exact integer sum — bit-identical on any partitioning and
+    replayable by the SQL oracle (each per-cell double is one fixed
+    expression shape; only the quantized longs are ever summed).
+
+    NULL categories count as their own level (groupBy semantics kept
+    deliberately; filter upstream if NULL should be excluded)."""
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("a").alias("r_levels"),
+        F.count_distinct("b").alias("c_levels"),
+    )
+    contrib = (
+        cells.join(ra, "a").join(cb, "b").crossJoin(F.broadcast(tot))
+        .select(
+            "n", "r_levels", "c_levels",
+            F.round(
+                (
+                    (F.col("o") - F.col("ra") * F.col("cb") / F.col("n"))
+                    * (F.col("o") - F.col("ra") * F.col("cb") / F.col("n"))
+                    / (F.col("ra") * F.col("cb") / F.col("n"))
+                ) * F.lit(1_000_000.0)
+            ).cast("long").alias("cell_micro"),
+        )
+    )
+    out = contrib.groupBy("n", "r_levels", "c_levels").agg(
+        F.sum("cell_micro").alias("chi2_micro")
+    )
+    # Cramér's V = sqrt((chi2/n) / min(r-1, c-1)); computed from the
+    # exact integer chi2_micro, so the double is one deterministic shape
+    v = F.sqrt(
+        (F.col("chi2_micro") / F.lit(1_000_000.0))
+        / (F.col("n") * F.least(F.col("r_levels") - 1, F.col("c_levels") - 1))
+    )
+    return out.select(
+        "n", "r_levels", "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+        "chi2_micro",
+        F.when(
+            F.least(F.col("r_levels") - 1, F.col("c_levels") - 1) > 0,
+            F.round(v * F.lit(1_000_000.0)).cast("long"),
+        ).alias("cramers_v_micro"),  # NULL when a column has one level
+    )

@@ -371,3 +371,40 @@ def test_retention_cohorts_invariants_on_events(spark):
     assert all(r.period >= r.cohort for r in cells)
     diag = sum(r.n_users for r in cells if r.period == r.cohort)
     assert diag == ev.select("user_id").distinct().count()
+
+
+def test_chi2_association_hand_2x2(spark):
+    from biosd_feature_annotator_spark.plans.quality import chi2_association
+
+    rows = ([("x", "p")] * 30 + [("x", "q")] * 10
+            + [("y", "p")] * 10 + [("y", "q")] * 30)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_association(df, "a", "b").collect()[0]
+    # expected 20 per cell -> chi2 = 4 * (10^2/20) = 20; V = sqrt(20/80)=0.5
+    assert (r.n, r.r_levels, r.c_levels, r.dof) == (80, 2, 2, 1)
+    assert r.chi2_micro == 20_000_000
+    assert r.cramers_v_micro == 500_000
+
+
+def test_chi2_association_independent_is_near_zero(spark):
+    from biosd_feature_annotator_spark.plans.quality import chi2_association
+
+    # perfectly balanced grid: observed == expected exactly
+    rows = [(f"a{i % 3}", f"b{j % 4}") for i in range(3) for j in range(4)
+            for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_association(df, "a", "b").collect()[0]
+    assert r.chi2_micro == 0 and r.dof == 6
+
+
+def test_chi2_association_deterministic_and_degenerate(spark):
+    from biosd_feature_annotator_spark.plans.quality import chi2_association
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    one = chi2_association(d, "lang", "source").collect()[0]
+    two = chi2_association(d.repartition(13), "lang", "source").collect()[0]
+    assert tuple(one) == tuple(two)
+    # single-level column: dof 0, V is NULL, chi2 is 0
+    r = chi2_association(d.withColumn("k", F.lit("only")), "k", "lang") \
+        .collect()[0]
+    assert r.dof == 0 and r.cramers_v_micro is None and r.chi2_micro == 0

@@ -55,6 +55,7 @@ def duck():
     ("kg_ppr", entrymod.q_kg_ppr),
     ("doc_shards", entrymod.q_doc_shards),
     ("stream_cc_assign", entrymod.q_stream_cc_assign),
+    ("docs_chi2_assoc", entrymod.q_docs_chi2_assoc),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -76,7 +77,8 @@ def test_r6_queue_not_registered_this_round():
                 "langid_trained_docs", "fs_customer_pairs",
                 "cc_incremental", "doc_chunks", "cms_token_counts",
                 "doc_pmi_edges", "doc_containment", "tfidf_cosine_pairs",
-                "kg_ppr", "doc_shards", "stream_cc_assign"} & set(q)
+                "kg_ppr", "doc_shards", "stream_cc_assign",
+                "docs_chi2_assoc"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
