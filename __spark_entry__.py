@@ -1513,7 +1513,50 @@ def q_docs_chi2_assoc(spark, sf):
     return chi2_association(d, "lang", "source")
 
 
+def q_kg_apply_diff(spark, sf):
+    """Diff CONSUMER contract, driver-verified end-to-end: the same two
+    materialized runs as kg_run_diff, but the query replays the shipped
+    delta onto run a with plans.materialize.apply_diff and returns the
+    reconstructed state — which must equal run b derived INDEPENDENTLY
+    by the oracle (round-trip law: apply_diff(A, diff(A,B)) ≡ B; a
+    downstream store replaying deltas never drifts from a full
+    re-materialization)."""
+    import shutil
+
+    from biosd_feature_annotator_spark.plans.materialize import (
+        apply_diff,
+        diff_runs,
+        read_triples,
+    )
+
+    base = _stream_base("kg_apply_diff")
+    o = _t(spark, sf, "orders")
+    triples = o.select(
+        F.col("o_orderkey").cast("string").alias("subj"),
+        F.lit("hasPriority").alias("pred"),
+        F.col("o_orderpriority").alias("obj"),
+        "o_orderdate",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    for run_id, cond in (
+        ("a", F.col("o_orderdate") < F.lit("1995-01-01")),
+        ("b", F.col("o_orderdate") >= F.lit("1993-01-01")),
+    ):
+        triples.where(cond).drop("o_orderdate").write.mode("overwrite").parquet(
+            os.path.join(base, "triples", f"run_id={run_id}")
+        )
+    a = read_triples(spark, base, "a").select("subj", "pred", "obj")
+    return apply_diff(a, diff_runs(spark, base, "a", "b"))
+
+
 R6_QUEUE_ORACLES = {
+    "kg_apply_diff": """
+        SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
+               'hasPriority' AS pred,
+               o_orderpriority AS obj
+        FROM orders
+        WHERE o_orderdate >= DATE '1993-01-01'
+    """,
     "docs_chi2_assoc": """
         WITH cells AS (
             SELECT lang AS a, source AS b, count(*) AS o

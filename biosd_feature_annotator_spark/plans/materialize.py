@@ -195,6 +195,27 @@ def diff_runs(
     return added.unionByName(removed)
 
 
+def apply_diff(base: DataFrame, diff: DataFrame) -> DataFrame:
+    """Apply a diff_runs result to a base triple set: (base ∖ removed) ∪
+    added — the CONSUMER half of the diff contract, turning a shipped
+    delta back into the target state. Round-trip law (tested):
+    apply_diff(A, diff_runs(A, B)) is set-identical to B, so a
+    downstream store that replays deltas never drifts from a full
+    re-materialization — the same recompute-equivalence discipline as
+    incremental_components, here for the triple store itself.
+
+    Shape: one left-anti join (keyed on the triple identity, probe side
+    = base) + one union — removed/added are delta-sized, so at 100 TB
+    this is a delta job, never a rescan of history. Duplicate-free on
+    the identity by construction (base is de-duplicated on the key, and
+    `added` is by definition absent from it)."""
+    key = ["subj", "pred", "obj"]
+    b = base.select(*key).dropDuplicates(key)
+    removed = diff.where(F.col("change") == "removed").select(*key)
+    added = diff.where(F.col("change") == "added").select(*key)
+    return b.join(removed, key, "left_anti").unionByName(added)
+
+
 def _rewrite_manifests(spark: SparkSession, out_dir: str, keep) -> None:
     """Rewrite the manifest store keeping only rows matching `keep` —
     write-to-temp + atomic directory swap, never overwrite-in-place while

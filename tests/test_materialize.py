@@ -215,3 +215,39 @@ def test_run_annotate_jvm_backend_parity(spark, lexicon, transcripts, tmp_path):
     b = read_triples(spark, out, "rjvm").select(*key)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_apply_diff_round_trips_to_target(spark, lexicon, transcripts, tmp_path):
+    """The diff consumer contract: apply_diff(A, diff_runs(A, B)) must be
+    set-identical to B — replaying deltas never drifts from a full
+    re-materialization. Driven in BOTH directions (B ⊃ A exercises pure
+    adds; A ⊂ B pure removes) plus a synthetic mixed diff."""
+    from biosd_feature_annotator_spark.plans.materialize import (
+        apply_diff,
+        diff_runs,
+    )
+
+    out = str(tmp_path / "applyout")
+    convs = [r[0] for r in transcripts.select("conv_id").distinct().collect()]
+    half = sorted(convs)[: len(convs) // 2]
+    run_annotate(spark, transcripts.where(F.col("conv_id").isin(half)),
+                 lexicon, out, "rA", n_parts=N_PARTS, build_graph=False)
+    run_annotate(spark, transcripts, lexicon, out, "rB",
+                 n_parts=N_PARTS, build_graph=False)
+    key = ["subj", "pred", "obj"]
+    a = read_triples(spark, out, "rA").select(*key).dropDuplicates(key)
+    b = read_triples(spark, out, "rB").select(*key).dropDuplicates(key)
+
+    fwd = apply_diff(a, diff_runs(spark, out, "rA", "rB"))
+    assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, b.collect()))
+    rev = apply_diff(b, diff_runs(spark, out, "rB", "rA"))
+    assert sorted(map(tuple, rev.collect())) == sorted(map(tuple, a.collect()))
+
+    # mixed diff: hand-built add+remove in one delta
+    base = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2")], "subj string, pred string, obj string")
+    diff = spark.createDataFrame(
+        [("removed", "s2", "p", "o2"), ("added", "s3", "p", "o3")],
+        "change string, subj string, pred string, obj string")
+    got = sorted(map(tuple, apply_diff(base, diff).collect()))
+    assert got == [("s1", "p", "o1"), ("s3", "p", "o3")]

@@ -56,6 +56,7 @@ def duck():
     ("doc_shards", entrymod.q_doc_shards),
     ("stream_cc_assign", entrymod.q_stream_cc_assign),
     ("docs_chi2_assoc", entrymod.q_docs_chi2_assoc),
+    ("kg_apply_diff", entrymod.q_kg_apply_diff),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -78,7 +79,7 @@ def test_r6_queue_not_registered_this_round():
                 "cc_incremental", "doc_chunks", "cms_token_counts",
                 "doc_pmi_edges", "doc_containment", "tfidf_cosine_pairs",
                 "kg_ppr", "doc_shards", "stream_cc_assign",
-                "docs_chi2_assoc"} & set(q)
+                "docs_chi2_assoc", "kg_apply_diff"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
