@@ -73,10 +73,49 @@ def _split_last_arg(inner: str) -> tuple[str, str] | None:
     return None
 
 
+_CAST_ROUND_RE = re.compile(r"\bCAST\s*\(\s*round\s*\(", re.IGNORECASE)
+_CAST_TAIL_RE = re.compile(r"\s*AS\s+BIGINT\s*\)", re.IGNORECASE)
+
+
+def _decast_rounds(sql: str) -> tuple[str, list[str]]:
+    """Strip the micro-quantizer idiom `CAST(round(X) AS BIGINT) AS col`
+    → `(X) AS col`, returning the aliased output columns. These are the
+    integer-grid outputs (digits=0 on the pre-scaled value) the plain
+    round(x, d) pass cannot audit: the outer CAST would truncate the
+    de-rounded value and erase the fraction the margin measures."""
+    audited: list[str] = []
+    pos = 0
+    while True:
+        m = _CAST_ROUND_RE.search(sql, pos)
+        if m is None:
+            return sql, audited
+        round_open = sql.index("(", sql.index("round", m.start()))
+        round_close = _match_paren(sql, round_open)
+        if _split_last_arg(sql[round_open + 1:round_close]) is not None:
+            pos = round_open + 1  # two-arg round: main pass handles it
+            continue
+        tail = _CAST_TAIL_RE.match(sql[round_close + 1:])
+        if tail is None:
+            pos = round_open + 1  # not the BIGINT idiom
+            continue
+        cast_close = round_close + 1 + tail.end() - 1
+        alias_m = _AS_RE.match(sql[cast_close + 1:])
+        if alias_m:
+            audited.append(alias_m.group(1).lower())
+        sql = (
+            sql[:m.start()]
+            + "(" + sql[round_open + 1:round_close] + ")"
+            + sql[cast_close + 1:]
+        )
+
+
 def deround(sql: str) -> tuple[str, list[tuple[str, int]]]:
     """Strip every round(expr, d) wrapper; return (sql, [(alias, d), ...])
-    for the ones directly aliased with `AS name` (the output columns)."""
-    audited: list[tuple[str, int]] = []
+    for the ones directly aliased with `AS name` (the output columns).
+    The CAST(round(X) AS BIGINT) micro-quantizer idiom is handled first
+    (audited at digits=0 on the pre-scaled value)."""
+    sql, micro_cols = _decast_rounds(sql)
+    audited: list[tuple[str, int]] = [(c, 0) for c in micro_cols]
     pat = re.compile(r"\bround\s*\(", re.IGNORECASE)
     pos = 0
     while True:
@@ -87,7 +126,7 @@ def deround(sql: str) -> tuple[str, list[tuple[str, int]]]:
         close_idx = _match_paren(sql, open_idx)
         inner = sql[open_idx + 1:close_idx]
         split = _split_last_arg(inner)
-        if split is None:  # quantizer round(x): keep, scan past it
+        if split is None:  # bare quantizer round(x): keep, scan past it
             pos = open_idx + 1
             continue
         expr, digits = split
@@ -128,7 +167,12 @@ def audit(sf: str) -> list[tuple[str, str, int, float | None, int]]:
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet')"
         )
     rows = []
-    for name, sql in entrymod.oracle_sql().items():
+    oracles = dict(entrymod.oracle_sql())
+    oracles.update({
+        f"queue:{k}": v
+        for k, v in getattr(entrymod, "R6_QUEUE_ORACLES", {}).items()
+    })
+    for name, sql in oracles.items():
         stripped, audited = deround(sql)
         if not audited:
             continue
@@ -149,8 +193,15 @@ def main() -> None:
     flagged = 0
     for sf in sfs:
         print(f"== {sf}")
+        skipped_inner = 0
         for name, alias, digits, m, n in audit(sf):
             tag = ""
+            if m is None and digits == 0:
+                # a CTE-internal micro-quantizer: not an output column of
+                # the final SELECT, so there is nothing to measure here —
+                # its risk surfaces in whichever OUTPUT column consumes it
+                skipped_inner += 1
+                continue
             if m is None:
                 tag = "  [no rows / column missing]"
                 mtxt = utxt = "-"
@@ -162,6 +213,9 @@ def main() -> None:
                     flagged += 1
             print(f"  {name:24s} {alias:18s} d={digits}  rows={n:6d}  "
                   f"margin={mtxt}  ulp_safety={utxt}{tag}")
+        if skipped_inner:
+            print(f"  ({skipped_inner} CTE-internal micro-quantizers not "
+                  f"output columns; risk carried by their consumers)")
     sys.exit(1 if flagged else 0)
 
 
