@@ -1549,6 +1549,67 @@ def q_kg_apply_diff(spark, sf):
     return apply_diff(a, diff_runs(spark, base, "a", "b"))
 
 
+def _bipartite_edges(spark, sf):
+    """Shared graph for the r5 structural-graph trio: customer ↔
+    supplier co-purchase edges from lineitem⋈orders, suppliers offset
+    into a disjoint id space (the kg_ppr construction), capped to
+    suppkey ≤ 8 / custkey < 100 so wedge fan-out stays oracle-sized at
+    sf0.01."""
+    li = _t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 8)
+    o = _t(spark, sf, "orders").where(F.col("o_custkey") < 100)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+
+
+def q_kg_neighbor_sim(spark, sf):
+    """Structural entity similarity (graph.neighborhood_similarity):
+    common-neighbor count, uncapped true degrees (Jaccard as integer
+    rationals downstream) and micro-quantized Adamic-Adar over the
+    bipartite co-purchase graph — customers sharing suppliers and
+    suppliers sharing customers in one pass. The wedge self-join is
+    keyed by the shared neighbor; the aggregate is one
+    map-side-combinable (count, long-sum) shuffle; the oracle replays
+    the identical per-center round(quant/ln(deg)) weights so every
+    aa_micro matches exactly."""
+    from biosd_feature_annotator_spark.operators.graph import (
+        neighborhood_similarity,
+    )
+
+    return neighborhood_similarity(_bipartite_edges(spark, sf))
+
+
+def q_kg_kcore(spark, sf):
+    """k-core decomposition (graph.k_core, k=3, 4 fixed peel rounds):
+    the dense seam of the co-purchase graph after tendrils peel away.
+    Window-count rounds reference the survivor edge list ONCE each
+    (linear plan growth — the agg+semi-join round is 3^iters); the
+    oracle unrolls the same four rounds as window-filter CTEs, and
+    integer-only arithmetic makes the match exact regardless of
+    whether four rounds converged."""
+    from biosd_feature_annotator_spark.operators.graph import k_core
+
+    return k_core(_bipartite_edges(spark, sf), k=3, iters=4)
+
+
+def q_kg_hits(spark, sf):
+    """Integer-mass HITS (graph.hits, 2 fixed iterations) over the
+    DIRECTED customer→supplier graph: suppliers accrue authority,
+    customers hub mass. Every half-step is one equi-join + one
+    combinable long-sum shuffle; the overflow-safe L1 rescale
+    (score div max(1, Σ div quant)) is folded in-plan via a broadcast
+    single-row aggregate, and the oracle unrolls both iterations with
+    the identical floor divisions — exact longs end-to-end."""
+    from biosd_feature_annotator_spark.operators.graph import hits
+
+    return hits(_bipartite_edges(spark, sf), iters=2)
+
+
 R6_QUEUE_ORACLES = {
     "kg_apply_diff": """
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2175,6 +2236,107 @@ R6_QUEUE_ORACLES = {
             SELECT node, label, row_number() OVER (
                 PARTITION BY node ORDER BY n DESC, label ASC) AS rk
             FROM c2) WHERE rk = 1
+    """,
+    "kg_neighbor_sim": """
+        WITH raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 8 AND o_custkey < 100
+        ),
+        nbr AS (
+            SELECT src AS z, dst AS x FROM raw
+            UNION SELECT dst, src FROM raw
+        ),
+        deg AS (SELECT z, count(*) AS deg FROM nbr GROUP BY z),
+        wz AS (
+            SELECT n.z, n.x,
+                   CAST(round(1000000 / ln(d.deg)) AS BIGINT) AS w
+            FROM nbr n JOIN deg d USING (z) WHERE d.deg >= 2
+        ),
+        pairs AS (
+            SELECT l.x AS node_a, r.x AS node_b, count(*) AS cn,
+                   CAST(sum(l.w) AS BIGINT) AS aa_micro
+            FROM wz l JOIN wz r USING (z) WHERE l.x < r.x
+            GROUP BY 1, 2
+        )
+        SELECT p.node_a, p.node_b, p.cn,
+               da.deg AS deg_a, db.deg AS deg_b, p.aa_micro
+        FROM pairs p JOIN deg da ON p.node_a = da.z
+                     JOIN deg db ON p.node_b = db.z
+    """,
+    "kg_kcore": """
+        WITH raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 8 AND o_custkey < 100
+        ),
+        e0 AS (
+            SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+        ),
+        r1 AS (SELECT src, dst FROM (
+                   SELECT src, dst,
+                          count(*) OVER (PARTITION BY src) AS ds,
+                          count(*) OVER (PARTITION BY dst) AS dd
+                   FROM e0) WHERE ds >= 3 AND dd >= 3),
+        r2 AS (SELECT src, dst FROM (
+                   SELECT src, dst,
+                          count(*) OVER (PARTITION BY src) AS ds,
+                          count(*) OVER (PARTITION BY dst) AS dd
+                   FROM r1) WHERE ds >= 3 AND dd >= 3),
+        r3 AS (SELECT src, dst FROM (
+                   SELECT src, dst,
+                          count(*) OVER (PARTITION BY src) AS ds,
+                          count(*) OVER (PARTITION BY dst) AS dd
+                   FROM r2) WHERE ds >= 3 AND dd >= 3),
+        r4 AS (SELECT src, dst FROM (
+                   SELECT src, dst,
+                          count(*) OVER (PARTITION BY src) AS ds,
+                          count(*) OVER (PARTITION BY dst) AS dd
+                   FROM r3) WHERE ds >= 3 AND dd >= 3)
+        SELECT src AS node, count(*) AS deg
+        FROM r4 GROUP BY src HAVING count(*) >= 3
+    """,
+    "kg_hits": """
+        WITH e AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 8 AND o_custkey < 100
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS hub_q FROM nodes),
+        a1r AS (SELECT e.dst AS node, sum(h.hub_q) AS s
+                FROM e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+        a1n AS (SELECT greatest(
+                    CAST(coalesce(sum(s), 0) // 1000000000 AS BIGINT), 1
+                ) AS n_q FROM a1r),
+        a1 AS (SELECT n.node, CAST(coalesce(r.s, 0) // x.n_q AS BIGINT) AS auth_q
+               FROM nodes n LEFT JOIN a1r r USING (node) CROSS JOIN a1n x),
+        h1r AS (SELECT e.src AS node, sum(a.auth_q) AS s
+                FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+        h1n AS (SELECT greatest(
+                    CAST(coalesce(sum(s), 0) // 1000000000 AS BIGINT), 1
+                ) AS n_q FROM h1r),
+        h1 AS (SELECT n.node, CAST(coalesce(r.s, 0) // x.n_q AS BIGINT) AS hub_q
+               FROM nodes n LEFT JOIN h1r r USING (node) CROSS JOIN h1n x),
+        a2r AS (SELECT e.dst AS node, sum(h.hub_q) AS s
+                FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+        a2n AS (SELECT greatest(
+                    CAST(coalesce(sum(s), 0) // 1000000000 AS BIGINT), 1
+                ) AS n_q FROM a2r),
+        a2 AS (SELECT n.node, CAST(coalesce(r.s, 0) // x.n_q AS BIGINT) AS auth_q
+               FROM nodes n LEFT JOIN a2r r USING (node) CROSS JOIN a2n x),
+        h2r AS (SELECT e.src AS node, sum(a.auth_q) AS s
+                FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+        h2n AS (SELECT greatest(
+                    CAST(coalesce(sum(s), 0) // 1000000000 AS BIGINT), 1
+                ) AS n_q FROM h2r),
+        h2 AS (SELECT n.node, CAST(coalesce(r.s, 0) // x.n_q AS BIGINT) AS hub_q
+               FROM nodes n LEFT JOIN h2r r USING (node) CROSS JOIN h2n x)
+        SELECT n.node, h2.hub_q, a2.auth_q
+        FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)
     """,
 }
 

@@ -210,6 +210,212 @@ def label_propagation(
     return labels
 
 
+def neighborhood_similarity(
+    edges: DataFrame, a: str = "src", b: str = "dst",
+    min_common: int = 1, max_deg: int | None = None, quant: int = 10 ** 6,
+) -> DataFrame:
+    """Structural entity similarity over an undirected edge list →
+    (node_a, node_b, cn, deg_a, deg_b, aa_micro) for every pair sharing
+    ≥ min_common neighbors. The KG entity-resolution / link-prediction
+    primitive: two entity nodes whose neighborhoods largely coincide are
+    duplicate candidates (feed canonicalize.connected_components), and a
+    high Adamic-Adar score predicts a missing edge.
+
+    Three scores from ONE pass, each exact or order-free:
+    - cn = |N(a)∩N(b)| (exact integer);
+    - deg_a/deg_b expose Jaccard as integer rational arithmetic —
+      threshold τ=num/den via cn·den ≥ num·(deg_a+deg_b−cn), never a
+      float division (the containment_pairs discipline);
+    - aa_micro = Σ_{z∈N(a)∩N(b)} round(quant/ln(deg z)) — Adamic-Adar
+      with the per-z weight micro-quantized to a long ONCE, so the sum
+      is an exact integer in any accumulation order (the PMI/fluency
+      kernel). ln(deg z) > 0 always: a wedge center has deg ≥ 2.
+
+    Distributed shape — the triangle_counts wedge, never all-pairs:
+    candidate pairs are generated by a self-equi-join on the shared
+    neighbor z (hash-partitioned by z), then one map-side-combinable
+    (count, sum) shuffle keyed by the canonical pair (node_a < node_b),
+    then two node-sized degree joins. max_deg drops hub CENTERS before
+    wedging — a degree-d hub contributes C(d,2) pairs, and its AA weight
+    quant/ln(d) is the least informative (Adamic-Adar's own rationale),
+    so the cap is the standard scale guard (max_bucket/max_df
+    discipline; documented underestimate: cn/aa can only shrink, and
+    deg columns are UNCAPPED true degrees)."""
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = sym.unionByName(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    nbr = (
+        sym.where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    )
+    deg = nbr.groupBy("z").agg(F.count("*").alias("deg"))
+    # deg-1 centers cannot form a wedge — drop them BEFORE the weight
+    # projection (ln(1) = 0 would divide by zero under ANSI mode) and
+    # before the self-join (prunes the join input)
+    wz = nbr.join(deg, "z").where(F.col("deg") >= F.lit(2))
+    if max_deg is not None:
+        wz = wz.where(F.col("deg") <= F.lit(max_deg))
+    wz = wz.select(
+        "z", "x",
+        F.expr(f"CAST(round({quant} / ln(deg)) AS BIGINT)").alias("w"),
+    )
+    pairs = (
+        wz.alias("l")
+        .join(wz.alias("r").select("z", F.col("x").alias("y")), "z")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("node_a"), F.col("y").alias("node_b"))
+        .agg(F.count("*").alias("cn"), F.sum("w").alias("aa_micro"))
+        .where(F.col("cn") >= F.lit(min_common))
+    )
+    return (
+        pairs.join(
+            deg.select(F.col("z").alias("node_a"), F.col("deg").alias("deg_a")),
+            "node_a",
+        )
+        .join(
+            deg.select(F.col("z").alias("node_b"), F.col("deg").alias("deg_b")),
+            "node_b",
+        )
+        .select("node_a", "node_b", "cn", "deg_a", "deg_b", "aa_micro")
+    )
+
+
+def k_core(
+    edges: DataFrame, k: int, iters: int = 8,
+    a: str = "src", b: str = "dst", checkpoint_iters: bool = False,
+) -> DataFrame:
+    """k-core decomposition by fixed-round peeling over an undirected
+    edge list → (node, deg): the nodes surviving `iters` rounds of
+    "drop every node with degree < k in the CURRENT subgraph", with
+    their degree inside that subgraph. The KG density filter: the
+    k-core is where real entity communities live; degree-1 tendrils
+    and weakly-attached noise peel away (a plain degree≥k filter keeps
+    chains of mutually-dependent weak nodes the peeling removes).
+
+    Fixed iteration count — the pagerank/LPA determinism discipline: no
+    convergence probe ⇒ no driver actions in the loop, and the result
+    is SQL-unrollable (one CTE per round) for an oracle twin. Peeling
+    is monotone (survivor sets only shrink) and converges in ≤ |V|
+    rounds, in practice a handful; callers size iters to their graph's
+    peel depth, and a converged run is idempotent under more rounds
+    (asserted in tests).
+
+    Per round the survivor edge list is referenced ONCE — both endpoint
+    degrees come from two window counts (partition by src, then by dst)
+    and the filter keeps rows whose BOTH endpoints clear k; symmetry
+    makes this exactly "drop every edge touching a sub-k node". The
+    obvious agg + two-semi-join round references the edge list three
+    times, and with no common-subexpression sharing across a logical
+    plan the tree grows 3^iters — catalyst analysis, not the data,
+    becomes the bottleneck (measured: iters=8 on a 5-edge fixture never
+    finishes planning). The window round costs two node-keyed shuffles
+    of the edge list (vs agg+semi's three) and keeps plan growth
+    LINEAR in iters. checkpoint_iters cuts lineage for deep peels."""
+    from pyspark.sql import Window
+
+    e0 = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    e0 = (
+        e0.unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    live = e0
+    kk = F.lit(k).cast("long")
+    for _ in range(iters):
+        live = (
+            live.withColumn(
+                "deg_s", F.count(F.lit(1)).over(Window.partitionBy("src"))
+            )
+            .withColumn(
+                "deg_d", F.count(F.lit(1)).over(Window.partitionBy("dst"))
+            )
+            .where((F.col("deg_s") >= kk) & (F.col("deg_d") >= kk))
+            .select("src", "dst")
+        )
+        if checkpoint_iters:
+            live = live.localCheckpoint(eager=True)
+    return (
+        live.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") >= kk)
+    )
+
+
+def hits(
+    edges: DataFrame, iters: int = 3, quant: int = 10 ** 9,
+) -> DataFrame:
+    """Fixed-iteration HITS over DIRECTED edges(src, dst) →
+    (node, hub_q, auth_q) in 1/quant units: authority = endorsed by good
+    hubs (Σ hub over in-edges), hub = endorses good authorities (Σ auth
+    over out-edges). The directed complement of pagerank for KG entity
+    ranking — a subject that links many high-authority objects is a hub
+    (aggregator conversations), a much-linked object is an authority
+    (canonical entities).
+
+    INTEGER-MASS semantics throughout (the personalized_pagerank
+    strengthening): scores are longs, each half-step is one equi-join +
+    one map-side-combinable long-sum shuffle, so every value is
+    independent of partitioning and accumulation order BY CONSTRUCTION.
+    Normalization — HITS diverges without it — uses the exact-integer
+    L1 analogue: n_q = max(1, Σscore div quant); score ← score div n_q.
+    This avoids the score·quant product of the textbook rescale, which
+    overflows int64 once Σscore approaches 2^63/quant — at web-scale
+    edge counts that product is the real hazard, while div-first keeps
+    every intermediate ≤ Σscore. Both the global sum and the division
+    are folded in-plan via a broadcast single-row crossJoin (no driver
+    actions in the loop), and the oracle unrolls the identical floor
+    divisions per iteration. Nodes with no in-edges hold auth 0;
+    no out-edges, hub 0 (left join + coalesce)."""
+    if iters < 1:
+        raise ValueError("hits requires iters >= 1")
+    e = edges.select("src", "dst").dropDuplicates()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    hub = nodes.withColumn("hub_q", F.lit(quant).cast("long"))
+    auth = None
+    for _ in range(iters):
+        auth_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_q").alias("s"))
+        )
+        auth = _l1_quant(nodes, auth_raw, "auth_q", quant)
+        hub_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_q").alias("s"))
+        )
+        hub = _l1_quant(nodes, hub_raw, "hub_q", quant)
+    return nodes.join(hub, "node").join(auth, "node").select(
+        "node", "hub_q", "auth_q"
+    )
+
+
+def _l1_quant(nodes: DataFrame, raw: DataFrame, out: str, quant: int) -> DataFrame:
+    """(node, s) → (node, out): floor-divide by n_q = max(1, Σs div
+    quant), the overflow-safe exact-integer L1 rescale (see hits)."""
+    total = raw.agg(
+        F.greatest(
+            F.expr(f"CAST(sum(s) div {quant} AS BIGINT)"), F.lit(1).cast("long")
+        ).alias("n_q")
+    )
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            F.expr("CAST(coalesce(s, 0) div n_q AS BIGINT)").alias(out),
+        )
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame, seeds: DataFrame, iters: int = 3,
     damping_num: int = 17, damping_den: int = 20, quant: int = 10 ** 9,

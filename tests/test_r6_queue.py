@@ -57,6 +57,9 @@ def duck():
     ("stream_cc_assign", entrymod.q_stream_cc_assign),
     ("docs_chi2_assoc", entrymod.q_docs_chi2_assoc),
     ("kg_apply_diff", entrymod.q_kg_apply_diff),
+    ("kg_neighbor_sim", entrymod.q_kg_neighbor_sim),
+    ("kg_kcore", entrymod.q_kg_kcore),
+    ("kg_hits", entrymod.q_kg_hits),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -79,7 +82,8 @@ def test_r6_queue_not_registered_this_round():
                 "cc_incremental", "doc_chunks", "cms_token_counts",
                 "doc_pmi_edges", "doc_containment", "tfidf_cosine_pairs",
                 "kg_ppr", "doc_shards", "stream_cc_assign",
-                "docs_chi2_assoc", "kg_apply_diff"} & set(q)
+                "docs_chi2_assoc", "kg_apply_diff", "kg_neighbor_sim",
+                "kg_kcore", "kg_hits"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -434,3 +434,113 @@ def test_ppr_frontier_only_equals_nonzero_support(spark):
     # the frontier relation is strictly smaller than the node relation
     # (unreached nodes exist in this graph)
     assert len(frontier) < len(full)
+
+
+# ---------------------------------------------------------- r5: new graph ops
+
+
+def _ud_edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src string, dst string")
+
+
+def test_neighbor_sim_hand_values(spark):
+    from biosd_feature_annotator_spark.operators.graph import neighborhood_similarity
+
+    # N(1)={2,3} N(2)={1,3,4} N(3)={1,2,4} N(4)={2,3}
+    e = _ud_edges(spark, [("1", "2"), ("1", "3"), ("2", "3"),
+                          ("2", "4"), ("3", "4")])
+    got = {(r.node_a, r.node_b): r
+           for r in neighborhood_similarity(e).collect()}
+    # quant/ln(3) = 910239 (rounded), quant/ln(2) = 1442695
+    r14 = got[("1", "4")]
+    assert (r14.cn, r14.deg_a, r14.deg_b) == (2, 2, 2)
+    assert r14.aa_micro == 2 * 910239          # via z=2 and z=3, both deg 3
+    r23 = got[("2", "3")]
+    assert (r23.cn, r23.deg_a, r23.deg_b) == (2, 3, 3)
+    assert r23.aa_micro == 2 * 1442695         # via z=1 and z=4, both deg 2
+    assert got[("1", "2")].cn == 1 and got[("1", "2")].aa_micro == 910239
+    assert len(got) == 6
+    # Jaccard as integer rational: (1,4) is 2/(2+2-2) = 1.0 — structural twins
+    assert r14.cn * 1 >= 1 * (r14.deg_a + r14.deg_b - r14.cn)
+
+
+def test_neighbor_sim_min_common_and_hub_cap(spark):
+    from biosd_feature_annotator_spark.operators.graph import neighborhood_similarity
+
+    e = _ud_edges(spark, [("1", "2"), ("1", "3"), ("2", "3"),
+                          ("2", "4"), ("3", "4")])
+    strict = {(r.node_a, r.node_b)
+              for r in neighborhood_similarity(e, min_common=2).collect()}
+    assert strict == {("1", "4"), ("2", "3")}
+    # max_deg=2 drops the deg-3 wedge centers (2 and 3): only pair (2,3)
+    # survives, its aa from the two deg-2 centers, deg columns UNCAPPED
+    capped = {(r.node_a, r.node_b): r
+              for r in neighborhood_similarity(e, max_deg=2).collect()}
+    assert set(capped) == {("2", "3")}
+    r = capped[("2", "3")]
+    assert r.cn == 2 and r.aa_micro == 2 * 1442695
+    assert (r.deg_a, r.deg_b) == (3, 3)
+
+
+def test_neighbor_sim_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.graph import neighborhood_similarity
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 5 + 2) % 30}") for i in range(90)],
+        "src string, dst string")
+    one = {tuple(r) for r in neighborhood_similarity(e).collect()}
+    two = {tuple(r) for r in neighborhood_similarity(e.repartition(17)).collect()}
+    assert one == two and len(one) > 0
+
+
+def test_k_core_peels_chain_keeps_triangle(spark):
+    from biosd_feature_annotator_spark.operators.graph import k_core
+
+    # triangle 1-2-3 plus tendril 3-4-5: a plain deg>=2 filter keeps 4
+    # (deg 2: neighbors 3 and 5); peeling removes 5 then 4
+    e = _ud_edges(spark, [("1", "2"), ("2", "3"), ("1", "3"),
+                          ("3", "4"), ("4", "5")])
+    got = {r.node: r.deg for r in k_core(e, k=2, iters=3).collect()}
+    assert got == {"1": 2, "2": 2, "3": 2}
+    # converged ⇒ idempotent under more rounds
+    more = {r.node: r.deg for r in k_core(e, k=2, iters=8).collect()}
+    assert more == got
+
+
+def test_k_core_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.graph import k_core
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 25}") for i in range(80)],
+        "src string, dst string")
+    one = {tuple(r) for r in k_core(e, k=2, iters=6).collect()}
+    two = {tuple(r) for r in k_core(e.repartition(11), k=2, iters=6).collect()}
+    assert one == two and len(one) == 24  # hand-simulated 2-core size
+
+
+def test_hits_hand_values_one_iteration(spark):
+    from biosd_feature_annotator_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("1", "3"), ("2", "3"), ("2", "4"), ("3", "4")],
+        "src string, dst string")
+    got = {r.node: (r.hub_q, r.auth_q) for r in hits(e, iters=1).collect()}
+    # h0 = 1e9 each. auth_raw: 3←{1,2}=2e9, 4←{2,3}=2e9; Σ=4e9, n_q=4
+    # → auth: 3=5e8, 4=5e8, others 0.
+    # hub_raw: 1→auth(3)=5e8, 2→auth(3)+auth(4)=1e9, 3→auth(4)=5e8;
+    # Σ=2e9, n_q=2 → hub: 1=25e7, 2=5e8, 3=25e7, 4=0.
+    assert got["3"] == (250_000_000, 500_000_000)
+    assert got["4"] == (0, 500_000_000)
+    assert got["2"] == (500_000_000, 0)
+    assert got["1"] == (250_000_000, 0)
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 11 + 5) % 35}") for i in range(100)],
+        "src string, dst string")
+    one = {tuple(r) for r in hits(e, iters=2).collect()}
+    two = {tuple(r) for r in hits(e.repartition(9), iters=2).collect()}
+    assert one == two and len(one) > 0
