@@ -1610,6 +1610,48 @@ def q_kg_hits(spark, sf):
     return hits(_bipartite_edges(spark, sf), iters=2)
 
 
+def q_events_interval_conflicts(spark, sf):
+    """SCD2/validity-interval overlap audit (scd.interval_conflicts):
+    each event opens a lease [ts, ts + (event_id%7+1) minutes); the
+    operator counts, per user, how many other leases each one overlaps
+    — order-free two-sweep identity, two key-partitioned window
+    shuffles, NO self-join. The oracle derives the same counts by the
+    brute-force pairwise overlap join (a genuinely different
+    derivation, the containment_pairs verification discipline)."""
+    from biosd_feature_annotator_spark.operators.scd import interval_conflicts
+
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 40)
+    iv = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        _epoch_ntz("ts").alias("effective_from"),
+        (
+            _epoch_ntz("ts")
+            + (F.col("event_id") % 7 + 1).cast("long") * F.lit(60)
+        ).alias("effective_to"),
+    )
+    return interval_conflicts(iv, ["user_id"])
+
+
+def q_orders_robust_outliers(spark, sf):
+    """Per-priority robust price outliers (quality.robust_outliers,
+    k=3): median/MAD with EXACT integer order statistics — med2/mad2
+    are twice-medians so even groups stay integral, the flag is the
+    cross-multiplied |x−med| > k·1.4826·MAD with no float anywhere
+    past the initial cents micro-quantization. The oracle replays the
+    identical rank selection (values at fixed ranks depend only on the
+    group's value multiset, so row_number tie order cannot differ)."""
+    from biosd_feature_annotator_spark.plans.quality import robust_outliers
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") < 4000)
+    base = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    return robust_outliers(base, ["prio"], "price_c")
+
+
 R6_QUEUE_ORACLES = {
     "kg_apply_diff": """
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2337,6 +2379,70 @@ R6_QUEUE_ORACLES = {
                FROM nodes n LEFT JOIN h2r r USING (node) CROSS JOIN h2n x)
         SELECT n.node, h2.hub_q, a2.auth_q
         FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)
+    """,
+    "events_interval_conflicts": """
+        WITH iv AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS effective_from,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                       + (event_id % 7 + 1) * 60 AS effective_to
+            FROM events WHERE user_id < 40
+        ),
+        cnt AS (
+            SELECT a.user_id, a.event_id, a.effective_from, a.effective_to,
+                   count(*) AS c
+            FROM iv a JOIN iv b ON b.user_id = a.user_id
+                 AND b.effective_from < a.effective_to
+                 AND b.effective_to > a.effective_from
+            GROUP BY ALL
+        )
+        SELECT user_id, event_id, effective_from, effective_to,
+               CAST(c - 1 AS BIGINT) AS n_overlaps,
+               (c - 1) > 0 AS is_conflict
+        FROM cnt
+    """,
+    "orders_robust_outliers": """
+        WITH base AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderpriority AS prio,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders WHERE o_orderkey < 4000
+        ),
+        r1 AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY prio ORDER BY price_c) AS rn,
+                   count(*) OVER (PARTITION BY prio) AS n
+            FROM base
+        ),
+        med AS (
+            SELECT prio, CAST(sum(price_c * (
+                       CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+                     + CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END
+                   )) AS BIGINT) AS med2
+            FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+            GROUP BY prio
+        ),
+        dev AS (
+            SELECT b.*, m.med2, abs(2 * b.price_c - m.med2) AS d
+            FROM base b JOIN med m USING (prio)
+        ),
+        r2 AS (
+            SELECT *, row_number() OVER (PARTITION BY prio ORDER BY d) AS rn,
+                   count(*) OVER (PARTITION BY prio) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT prio, CAST(sum(d * (
+                       CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+                     + CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END
+                   )) AS BIGINT) AS mad2
+            FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+            GROUP BY prio
+        )
+        SELECT v.o_orderkey, v.prio, v.price_c, v.med2, a.mad2,
+               v.d * 20000 > 3 * 14826 * a.mad2 AS is_outlier
+        FROM dev v JOIN mad a USING (prio)
     """,
 }
 

@@ -227,6 +227,11 @@ def main() -> None:
         ("kg_ppr", entrymod.q_kg_ppr),
         ("doc_shards", entrymod.q_doc_shards),
         ("docs_chi2_assoc", entrymod.q_docs_chi2_assoc),
+        ("kg_neighbor_sim", entrymod.q_kg_neighbor_sim),
+        ("kg_kcore", entrymod.q_kg_kcore),
+        ("kg_hits", entrymod.q_kg_hits),
+        ("interval_conflicts", entrymod.q_events_interval_conflicts),
+        ("robust_outliers", entrymod.q_orders_robust_outliers),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

@@ -167,3 +167,109 @@ def scd2_point_in_time(
         *facts.columns,
         *[c for c in dim.columns if c not in key_cols + [ts_col]],
     )
+
+
+def interval_conflicts(
+    df: DataFrame,
+    key_cols: list[str],
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Per-row overlap counts over validity intervals → every input
+    column plus ``n_overlaps`` (how many OTHER same-key intervals this
+    row overlaps) and ``is_conflict``. The SCD2 invariant gate:
+    scd2_history/scd2_apply guarantee tiling intervals, so any conflict
+    in a dimension someone hand-edited (or merged from two sources) is
+    corruption this detects BEFORE point-in-time joins silently fan out.
+
+    Overlap is the symmetric open-interval test
+    ``a.from < b.to AND b.from < a.to`` (NULL to = still open = +inf),
+    counted ORDER-FREE via the classic two-sweep identity
+
+        n_overlaps(i) = |{j : from_j < to_i}| - |{j : to_j <= from_i}| - 1
+
+    (valid when from < to and from is never NULL: every to_j <= from_i
+    interval also satisfies from_j < to_i, so the difference counts
+    exactly the overlappers, and the -1 removes the row itself). Both
+    counts depend only on per-key value MULTISETS — never on the sort
+    order among ties — so the result is deterministic at any
+    parallelism with no tie-break column required, unlike a
+    running-max-of-previous-ends formulation whose "previous" set is
+    ambiguous under equal sort keys.
+
+    Each count is one cumulative window over the union of interval rows
+    with their event points (a 2N-row relation), partitioned by key:
+    probes sort before same-valued from-points / after same-valued
+    to-points so the < / <= strictness is encoded in the tie rank, and
+    NULL (open) ends sort last — a NULL-to probe counts every from, a
+    NULL to-point is never <= any from. Two key-partitioned window
+    shuffles total; no self-join, no per-key quadratic stage (the
+    brute-force pairwise count IS the r6 oracle twin's derivation)."""
+    from pyspark.sql import Window
+
+    cols = df.columns
+    probe = df.withColumn("_flag", F.lit(0))
+    # pass 1: count from-points strictly below this row's `to`
+    # (probe value = to, may be NULL=+inf → sorts last, counts all)
+    pts_f = df.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+        F.col(from_col).alias("_v"), F.lit(1).alias("_flag"),
+    )
+    pr_f = probe.select(
+        *cols,
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+        F.col(to_col).alias("_v"), F.col("_flag"),
+    )
+    w1 = (
+        Window.partitionBy(*[f"_k_{c}" for c in key_cols])
+        .orderBy(F.col("_v").asc_nulls_last(), F.col("_flag").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c1 = (
+        pr_f.unionByName(
+            pts_f.select(
+                *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in cols],
+                *[F.col(f"_k_{c}") for c in key_cols], "_v", "_flag",
+            )
+        )
+        .withColumn("_n_from_lt", F.coalesce(F.sum("_flag").over(w1), F.lit(0)))
+        .where(F.col("_flag") == 0)
+        .drop("_v", "_flag")
+    )
+    # pass 2: count to-points at or below this row's `from`
+    # (to-points sort BEFORE same-valued probes → <=; NULL to never counts)
+    w2 = (
+        Window.partitionBy(*[f"_k_{c}" for c in key_cols])
+        .orderBy(F.col("_v").asc_nulls_last(), F.col("_flag").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pts_t = df.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+        F.col(to_col).alias("_v"), F.lit(0).alias("_flag"),
+    ).where(F.col("_v").isNotNull())
+    pr_t = c1.select(
+        *cols, "_n_from_lt",
+        *[F.col(f"_k_{c}") for c in key_cols],
+        F.col(from_col).alias("_v"), F.lit(1).alias("_flag"),
+    )
+    out = (
+        pr_t.unionByName(
+            pts_t.select(
+                *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in cols],
+                F.lit(None).cast("long").alias("_n_from_lt"),
+                *[F.col(f"_k_{c}") for c in key_cols], "_v", "_flag",
+            )
+        )
+        .withColumn(
+            "_n_to_le",
+            F.coalesce(
+                F.sum(F.lit(1) - F.col("_flag")).over(w2), F.lit(0)
+            ),
+        )
+        .where(F.col("_flag") == 1)
+    )
+    return out.select(
+        *cols,
+        (F.col("_n_from_lt") - F.col("_n_to_le") - F.lit(1))
+        .cast("long").alias("n_overlaps"),
+    ).withColumn("is_conflict", F.col("n_overlaps") > 0)

@@ -181,3 +181,92 @@ def chi2_association(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.round(v * F.lit(1_000_000.0)).cast("long"),
         ).alias("cramers_v_micro"),  # NULL when a column has one level
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Per-group robust outlier flags on an INTEGER value column →
+    every input column plus (med2, mad2, is_outlier). The numeric
+    profiling gate beside the categorical χ²: flags |x − median| >
+    k · 1.4826 · MAD per group — the median/MAD rule a mean/stddev
+    z-score cannot safely apply to skewed pipeline metrics (the
+    outliers it hunts corrupt the very moments it would standardize;
+    the median and MAD have a 50% breakdown point).
+
+    EXACT integer arithmetic end-to-end — no float ever:
+    - med2  = x(⌈n/2⌉) + x(⌊n/2⌋+1), the two middle order statistics
+      (twice the median, kept doubled to stay integral for even n);
+    - dev   = |2·x − med2|  (= 2·|x − median|);
+    - mad2  = the med2 of the dev multiset (= 4·MAD);
+    - flag  ⟺ dev · k_den · 20000 > k_num · 14826 · mad2, the
+      cross-multiplied form of |x−med| > (k_num/k_den)(14826/10000)·MAD.
+    Order statistics at fixed ranks depend only on the value MULTISET
+    (ties are interchangeable under a value-ordered row_number), so the
+    result is deterministic at any parallelism and replayable exactly
+    by a SQL oracle — the same discipline as interval_conflicts'
+    multiset counts.
+
+    Shape: two window passes (rank + count per group, value-ordered),
+    each followed by a group-sized median aggregate joined back — all
+    four shuffles keyed by the group columns, nothing data-squared. A
+    constant-ish group count makes the med joins broadcasts. Groups
+    with mad2 = 0 (over half the values identical) flag EVERY value
+    that differs from the median — the rule's literal degenerate limit
+    (|x − med| > k·1.4826·0); callers wanting a floor scale can treat
+    mad2 = 0 rows separately, which is why mad2 is an output column."""
+    from pyspark.sql import Window
+
+    def med2_of(frame: DataFrame, col: str) -> DataFrame:
+        # med2 = x(⌈n/2⌉) + x(⌊n/2⌋+1): for ODD n both ranks name the
+        # same row, so it is weighted ×2 — a bare rank-filter + sum
+        # would halve odd-group medians
+        w = Window.partitionBy(*group_cols).orderBy(F.col(col))
+        wn = Window.partitionBy(*group_cols)
+        ranked = frame.select(
+            *group_cols, col,
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        lo = F.expr("CAST((_n + 1) div 2 AS INT)")
+        hi = F.expr("CAST(_n div 2 + 1 AS INT)")
+        weight = (
+            (F.col("_rn") == lo).cast("long")
+            + (F.col("_rn") == hi).cast("long")
+        )
+        return (
+            ranked.where((F.col("_rn") == lo) | (F.col("_rn") == hi))
+            .groupBy(*group_cols)
+            .agg(
+                F.sum(F.col(col) * weight).cast("long").alias(f"_med2_{col}")
+            )
+        )
+
+    cols = df.columns
+    med = med2_of(df.select(*group_cols, value_col), value_col)
+    with_med = df.join(med, group_cols).withColumn(
+        "_dev",
+        F.abs(
+            F.lit(2).cast("long") * F.col(value_col)
+            - F.col(f"_med2_{value_col}")
+        ),
+    )
+    mad = med2_of(
+        with_med.select(*group_cols, "_dev"), "_dev"
+    ).withColumnRenamed("_med2__dev", "_mad2")
+    return (
+        with_med.join(mad, group_cols)
+        .select(
+            *cols,
+            F.col(f"_med2_{value_col}").alias("med2"),
+            F.col("_mad2").alias("mad2"),
+            (
+                F.col("_dev") * F.lit(k_den).cast("long") * F.lit(20_000)
+                > F.lit(k_num).cast("long") * F.lit(14_826) * F.col("_mad2")
+            ).alias("is_outlier"),
+        )
+    )

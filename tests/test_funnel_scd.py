@@ -408,3 +408,128 @@ def test_chi2_association_deterministic_and_degenerate(spark):
     r = chi2_association(d.withColumn("k", F.lit("only")), "k", "lang") \
         .collect()[0]
     assert r.dof == 0 and r.cramers_v_micro is None and r.chi2_micro == 0
+
+
+# ------------------------------------------------- r5: interval_conflicts
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, effective_from int, effective_to int")
+
+
+def test_interval_conflicts_hand_counts(spark):
+    from biosd_feature_annotator_spark.operators.scd import interval_conflicts
+
+    d = _iv(spark, [("A", 1, 5), ("A", 3, 8), ("A", 8, 10), ("A", 2, 3)])
+    got = {(r.effective_from, r.effective_to): (r.n_overlaps, r.is_conflict)
+           for r in interval_conflicts(d, ["k"]).collect()}
+    # [1,5) overlaps [3,8) and [2,3); touching ends ([3,8)+[8,10),
+    # [2,3)+[3,8)) do NOT overlap under the open-interval test
+    assert got == {(1, 5): (2, True), (3, 8): (1, True),
+                   (8, 10): (0, False), (2, 3): (1, True)}
+
+
+def test_interval_conflicts_open_intervals_and_keys(spark):
+    from biosd_feature_annotator_spark.operators.scd import interval_conflicts
+
+    d = _iv(spark, [
+        ("A", 3, 8), ("A", 8, 10), ("A", 9, None),   # open end overlaps [8,10)
+        ("B", 1, 2), ("B", 5, None),                 # other key: clean
+    ])
+    got = {(r.k, r.effective_from): r.n_overlaps
+           for r in interval_conflicts(d, ["k"]).collect()}
+    assert got == {("A", 3): 0, ("A", 8): 1, ("A", 9): 1,
+                   ("B", 1): 0, ("B", 5): 0}
+
+
+def test_interval_conflicts_scd2_history_is_clean(spark):
+    from biosd_feature_annotator_spark.operators.scd import interval_conflicts
+
+    obs = spark.createDataFrame(
+        [("u1", "a", 1), ("u1", "b", 3), ("u1", "b", 5), ("u1", "c", 7),
+         ("u2", "x", 2), ("u2", "y", 9)],
+        "user string, val string, ts int")
+    dim = scd2_history(obs, ["user"], "val", "ts")
+    flagged = interval_conflicts(dim, ["user"]).where("is_conflict").count()
+    assert flagged == 0   # tiling intervals never conflict
+
+
+def test_interval_conflicts_duplicate_rows_and_determinism(spark):
+    from biosd_feature_annotator_spark.operators.scd import interval_conflicts
+
+    # duplicate identical intervals DO overlap each other; determinism
+    # holds with no tie-break column because counts are multiset-only
+    d = _iv(spark, [("A", 1, 5), ("A", 1, 5), ("A", 1, 5)])
+    got = [r.n_overlaps for r in interval_conflicts(d, ["k"]).collect()]
+    assert got == [2, 2, 2]
+    big = spark.createDataFrame(
+        [(f"k{i % 7}", i % 13, i % 13 + 1 + (i % 5)) for i in range(200)],
+        "k string, effective_from int, effective_to int")
+    one = sorted(tuple(r) for r in interval_conflicts(big, ["k"]).collect())
+    two = sorted(tuple(r) for r in interval_conflicts(
+        big.repartition(17), ["k"]).collect())
+    assert one == two and len(one) == 200
+
+
+# --------------------------------------------------- r5: robust_outliers
+
+
+def test_robust_outliers_odd_group_hand_values(spark):
+    from biosd_feature_annotator_spark.plans.quality import robust_outliers
+
+    d = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate([10, 12, 11, 14, 100])],
+        "grp string, id int, v long")
+    got = {r.id: r for r in robust_outliers(d, ["grp"], "v").collect()}
+    # sorted [10,11,12,14,100]: med2 = 2*12 (odd n: middle doubled),
+    # devs [4,2,0,4,176] → mad2 = 2*4 = 8 (MAD 2); k=3 flags only 100
+    assert got[0].med2 == 24 and got[0].mad2 == 8
+    assert {i: r.is_outlier for i, r in got.items()} \
+        == {0: False, 1: False, 2: False, 3: False, 4: True}
+
+
+def test_robust_outliers_even_group_boundary(spark):
+    from biosd_feature_annotator_spark.plans.quality import robust_outliers
+
+    d = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate([10, 20, 30, 40])],
+        "grp string, id int, v long")
+    got = {r.id: r for r in robust_outliers(d, ["grp"], "v", k_num=1).collect()}
+    # med2 = 20+30 = 50, devs [30,10,10,30] → mad2 = 10+30 = 40 (MAD 10)
+    # k=1: |x-25| > 14.826 ⇔ dev·20000 > 14826·40: dev 30 (=15) flags,
+    # dev 10 (=5) does not — the 1.4826 factor decides, not a round k·MAD
+    assert got[0].med2 == 50 and got[0].mad2 == 40
+    assert {i: r.is_outlier for i, r in got.items()} \
+        == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_robust_outliers_mean_would_mask(spark):
+    from biosd_feature_annotator_spark.plans.quality import robust_outliers
+
+    # one huge outlier drags the MEAN to ~1010 and stddev to ~3000 —
+    # a 3σ z-score flags nothing; the median/MAD rule flags exactly it
+    vals = [100, 101, 99, 102, 98, 100, 101, 99, 10000]
+    d = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "grp string, id int, v long")
+    flagged = {r.id for r in robust_outliers(d, ["grp"], "v").collect()
+               if r.is_outlier}
+    assert flagged == {8}
+    import statistics
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert not any(abs(v - mu) > 3 * sd for v in vals)  # z-score is blind
+
+
+def test_robust_outliers_groups_and_determinism(spark):
+    from biosd_feature_annotator_spark.plans.quality import robust_outliers
+
+    d = spark.createDataFrame(
+        [(f"g{i % 3}", i, (i * 37) % 101 + (10_000 if i == 17 else 0))
+         for i in range(60)],
+        "grp string, id int, v long")
+    one = sorted(tuple(r) for r in robust_outliers(d, ["grp"], "v").collect())
+    two = sorted(tuple(r) for r in robust_outliers(
+        d.repartition(13), ["grp"], "v").collect())
+    assert one == two and len(one) == 60
+    flagged = [r for r in one if r[-1]]
+    assert len(flagged) == 1 and flagged[0][1] == 17

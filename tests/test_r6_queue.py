@@ -60,6 +60,8 @@ def duck():
     ("kg_neighbor_sim", entrymod.q_kg_neighbor_sim),
     ("kg_kcore", entrymod.q_kg_kcore),
     ("kg_hits", entrymod.q_kg_hits),
+    ("events_interval_conflicts", entrymod.q_events_interval_conflicts),
+    ("orders_robust_outliers", entrymod.q_orders_robust_outliers),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -83,7 +85,8 @@ def test_r6_queue_not_registered_this_round():
                 "doc_pmi_edges", "doc_containment", "tfidf_cosine_pairs",
                 "kg_ppr", "doc_shards", "stream_cc_assign",
                 "docs_chi2_assoc", "kg_apply_diff", "kg_neighbor_sim",
-                "kg_kcore", "kg_hits"} & set(q)
+                "kg_kcore", "kg_hits", "events_interval_conflicts",
+                "orders_robust_outliers"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
