@@ -1652,6 +1652,29 @@ def q_orders_robust_outliers(spark, sf):
     return robust_outliers(base, ["prio"], "price_c")
 
 
+def q_snb_customer_pairs(spark, sf):
+    """Exact distributed sorted-neighborhood blocking
+    (canonicalize.sorted_neighborhood_pairs, w=4): candidate pairs
+    within 3 positions of each other in the global sort of
+    reverse(c_name) — the reversed-key pass of a multi-pass blocker
+    (TPC-H names share the 'Customer#' prefix, so the FORWARD key is
+    one giant block; reversing puts the discriminating digits first).
+    Deterministic prefix buckets + lead() windows inside, bucket-offset
+    global positions + seg equi-joins across edges; the oracle is the
+    NAIVE global row_number band self-join, so equality proves the
+    distributed decomposition exact."""
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 800)
+    base = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.reverse(F.col("c_name")).alias("key"),
+    )
+    return sorted_neighborhood_pairs(base, "id", "key", w=4, prefix_len=2)
+
+
 R6_QUEUE_ORACLES = {
     "kg_apply_diff": """
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2443,6 +2466,18 @@ R6_QUEUE_ORACLES = {
         SELECT v.o_orderkey, v.prio, v.price_c, v.med2, a.mad2,
                v.d * 20000 > 3 * 14826 * a.mad2 AS is_outlier
         FROM dev v JOIN mad a USING (prio)
+    """,
+    "snb_customer_pairs": """
+        WITH base AS (
+            SELECT CAST(c_custkey AS BIGINT) AS id, reverse(c_name) AS key
+            FROM customer WHERE c_custkey < 800
+        ),
+        r AS (
+            SELECT id, key, row_number() OVER (ORDER BY key, id) AS g
+            FROM base
+        )
+        SELECT a.id AS id_l, b.id AS id_r, CAST(b.g - a.g AS BIGINT) AS dist
+        FROM r a JOIN r b ON b.g > a.g AND b.g - a.g < 4
     """,
 }
 

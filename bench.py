@@ -232,6 +232,7 @@ def main() -> None:
         ("kg_hits", entrymod.q_kg_hits),
         ("interval_conflicts", entrymod.q_events_interval_conflicts),
         ("robust_outliers", entrymod.q_orders_robust_outliers),
+        ("snb_customer_pairs", entrymod.q_snb_customer_pairs),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

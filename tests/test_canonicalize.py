@@ -170,3 +170,76 @@ def test_incremental_components_untouched_rows_stable(spark):
     # component is admitted alongside them
     assert out == {("a", "a"), ("b", "a"), ("x", "x"), ("y", "x"),
                    ("p", "p"), ("q", "p")}
+
+
+# ------------------------------------------- r5: sorted-neighborhood blocking
+
+
+def _snb_bruteforce(rows, w):
+    """Naive single-machine reference: global (key, id) sort + window."""
+    s = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = set()
+    for i in range(len(s)):
+        for j in range(i + 1, min(i + w, len(s))):
+            out.add((s[i][0], s[j][0], j - i))
+    return out
+
+
+def test_snb_matches_bruteforce_mixed_buckets(spark):
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"{chr(97 + (i * 11) % 5)}{chr(97 + (i * 7) % 26)}x{i:03d}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {(r.id_l, r.id_r, r.dist)
+           for r in sorted_neighborhood_pairs(df, "id", "key", w=4).collect()}
+    assert got == _snb_bruteforce(rows, 4)
+
+
+def test_snb_pairs_span_multiple_tiny_buckets(spark):
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        sorted_neighborhood_pairs,
+    )
+
+    # every bucket holds ONE row: all pairs are cross-bucket, and the
+    # dist-2 pairs span an intermediate bucket — the case a
+    # consecutive-bucket-only boundary join would miss
+    rows = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {(r.id_l, r.id_r, r.dist)
+           for r in sorted_neighborhood_pairs(df, "id", "key", w=3).collect()}
+    assert got == {(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 3, 2), (2, 4, 2)}
+
+
+def test_snb_catches_cross_block_near_miss(spark):
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        sorted_neighborhood_pairs,
+    )
+
+    # smith/smyth straddle a first-2-chars equi-block ("sm" vs "sm" —
+    # use a harder split: smithers/snithers differ in char 2); the sort
+    # places them adjacently, so SNB pairs them while an equi-block on
+    # the prefix cannot
+    rows = [(1, "smithers"), (2, "snithers"), (3, "zzz")]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {(r.id_l, r.id_r) for r in
+           sorted_neighborhood_pairs(df, "id", "key", w=2).collect()}
+    assert (1, 2) in got
+
+
+def test_snb_deterministic_and_null_keys_dropped(spark):
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"{chr(97 + i % 7)}k{(i * 13) % 40:02d}") for i in range(100)]
+    df = spark.createDataFrame(rows + [(999, None)], "id long, key string")
+    one = sorted(tuple(r) for r in
+                 sorted_neighborhood_pairs(df, "id", "key", w=5).collect())
+    two = sorted(tuple(r) for r in sorted_neighborhood_pairs(
+        df.repartition(19), "id", "key", w=5).collect())
+    assert one == two
+    assert not any(999 in (a, b) for a, b, _ in one)
+    assert set(one) == _snb_bruteforce(rows, 5)
