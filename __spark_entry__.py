@@ -1675,6 +1675,20 @@ def q_snb_customer_pairs(spark, sf):
     return sorted_neighborhood_pairs(base, "id", "key", w=4, prefix_len=2)
 
 
+def q_kg_negative_edges(spark, sf):
+    """Deterministic filtered negative sampling for link-prediction
+    training (training.negative_edges, k=3): corrupted destinations
+    drawn from the true object pool by the md5-coin discipline — the
+    oracle replays pool bucketing, contiguous indexing, per-draw digits
+    and the filtered anti-join digit-for-digit, so the sample is a pure
+    function of the edge set on both engines."""
+    from biosd_feature_annotator_spark.operators.training import negative_edges
+
+    return negative_edges(
+        _bipartite_edges(spark, sf), k=3, buckets=16
+    ).withColumn("j", F.col("j").cast("long"))
+
+
 R6_QUEUE_ORACLES = {
     "kg_apply_diff": """
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2478,6 +2492,57 @@ R6_QUEUE_ORACLES = {
         )
         SELECT a.id AS id_l, b.id AS id_r, CAST(b.g - a.g AS BIGINT) AS dist
         FROM r a JOIN r b ON b.g > a.g AND b.g - a.g < 4
+    """,
+    "kg_negative_edges": """
+        WITH e AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 8 AND o_custkey < 100
+        ),
+        pool AS (SELECT DISTINCT dst AS dst_neg FROM e),
+        pb AS (
+            SELECT dst_neg,
+                   CAST('0x' || substr(md5(
+                       CAST(dst_neg AS VARCHAR) || '#negpool'
+                   ), 1, 15) AS BIGINT) % 16 AS b
+            FROM pool
+        ),
+        ranked AS (
+            SELECT dst_neg, b,
+                   row_number() OVER (PARTITION BY b ORDER BY dst_neg) AS rn
+            FROM pb
+        ),
+        sizes AS (SELECT b, count(*) AS n FROM ranked GROUP BY b),
+        offs AS (
+            SELECT b, coalesce(sum(n) OVER (
+                ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS off
+            FROM sizes
+        ),
+        idx AS (
+            SELECT r.dst_neg, o.off + r.rn - 1 AS i
+            FROM ranked r JOIN offs o USING (b)
+        ),
+        tot AS (SELECT count(*) AS p FROM pool),
+        cand AS (
+            SELECT e.src, e.dst, CAST(u.j AS BIGINT) AS j,
+                   CAST('0x' || substr(md5(
+                       CAST(e.src AS VARCHAR) || '#'
+                       || CAST(e.dst AS VARCHAR) || '#'
+                       || CAST(u.j AS VARCHAR) || '#neg'
+                   ), 1, 15) AS BIGINT) % (SELECT p FROM tot) AS i
+            FROM e, unnest(range(1, 4)) AS u(j)
+        ),
+        neg AS (
+            SELECT c.src, c.dst, c.j, i.dst_neg
+            FROM cand c JOIN idx i USING (i)
+        )
+        SELECT n.src, n.dst, n.j, n.dst_neg
+        FROM neg n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.src = n.src AND e.dst = n.dst_neg
+        )
     """,
 }
 

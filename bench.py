@@ -233,6 +233,7 @@ def main() -> None:
         ("interval_conflicts", entrymod.q_events_interval_conflicts),
         ("robust_outliers", entrymod.q_orders_robust_outliers),
         ("snb_customer_pairs", entrymod.q_snb_customer_pairs),
+        ("kg_negative_edges", entrymod.q_kg_negative_edges),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

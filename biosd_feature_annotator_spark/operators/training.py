@@ -468,3 +468,85 @@ def shard_rendezvous(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     return df.withColumn(
         "shard", F.array_max(arr).getField("s").cast("long")
     )
+
+
+def negative_edges(
+    edges: DataFrame,
+    k: int = 3,
+    buckets: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic filtered negative sampling over edges(src, dst) →
+    (src, dst, j, dst_neg): for every positive edge, up to k corrupted-
+    destination negatives drawn uniformly from the TRUE destination
+    pool — the contrastive-training primitive for KG link prediction
+    (margin/NCE losses need negatives whose marginal distribution
+    matches the positives', i.e. sampled from the observed object
+    pool, not from the raw id space where most ids don't exist).
+
+    No RNG state anywhere — the pipeline's md5-coin discipline
+    (hash_split/weighted_sample): negative j of edge (s, d) is the pool
+    element at index md5(s#d#j#salt) mod |pool|, so output is a pure
+    function of the edge set, identical on any partitioning and
+    replayable by the SQL oracle digit-for-digit.
+
+    Pool indexing reuses the sorted_neighborhood_pairs decomposition —
+    a contiguous 0..P−1 index with NO global window: md5-bucket the
+    pool, row_number within buckets (bucket-partitioned window),
+    offsets from a cumulative sum over the bucket-size relation
+    (buckets-sized small relation). |pool| is folded in-plan via a
+    broadcast single-row count (action-free, the personalized-pagerank
+    |S| discipline). Draws then resolve through ONE equi-join on the
+    index — uniform by construction, so no skew — and an anti-join
+    against the true edge set drops accidental positives: the standard
+    'filtered' estimator, yielding ≤ k negatives per edge (expected
+    loss ~k·outdeg/|pool| on sparse graphs; j survives in the output so
+    a loss can weight accordingly). Self-pairs (dst_neg = src) are NOT
+    dropped — whether reflexive corruption is 'negative' is a modeling
+    choice left to the caller."""
+    e = edges.select("src", "dst").dropDuplicates()
+    pool = e.select(F.col("dst").alias("dst_neg")).dropDuplicates()
+    from pyspark.sql import Window
+
+    hb = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("dst_neg").cast("string"),
+                              F.lit(salt + "pool"))), 1, 15
+        ), 16, 10,
+    ).cast("long")
+    pb = pool.withColumn("b", F.pmod(hb, F.lit(buckets)))
+    wb = Window.partitionBy("b").orderBy("dst_neg")
+    ranked = pb.withColumn("rn", F.row_number().over(wb).cast("long"))
+    sizes = ranked.groupBy("b").agg(F.count("*").alias("n"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.withColumn(
+        "off", F.coalesce(F.sum("n").over(wo), F.lit(0)).cast("long")
+    )
+    idx = ranked.join(F.broadcast(offs), "b").select(
+        "dst_neg", (F.col("off") + F.col("rn") - 1).alias("_idx")
+    )
+    total = pool.agg(F.count("*").alias("_p"))
+    hj = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "#", F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+                F.col("j").cast("string"), F.lit(salt),
+            )), 1, 15
+        ), 16, 10,
+    ).cast("long")
+    cand = (
+        e.select(
+            "src", "dst",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("_idx", F.pmod(hj, F.col("_p")))
+        .select("src", "dst", "j", "_idx")
+    )
+    neg = cand.join(idx, "_idx").select("src", "dst", "j", "dst_neg")
+    return neg.join(
+        e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")),
+        (F.col("src") == F.col("_s")) & (F.col("dst_neg") == F.col("_d")),
+        "anti",
+    )

@@ -63,6 +63,7 @@ def duck():
     ("events_interval_conflicts", entrymod.q_events_interval_conflicts),
     ("orders_robust_outliers", entrymod.q_orders_robust_outliers),
     ("snb_customer_pairs", entrymod.q_snb_customer_pairs),
+    ("kg_negative_edges", entrymod.q_kg_negative_edges),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -87,7 +88,8 @@ def test_r6_queue_not_registered_this_round():
                 "kg_ppr", "doc_shards", "stream_cc_assign",
                 "docs_chi2_assoc", "kg_apply_diff", "kg_neighbor_sim",
                 "kg_kcore", "kg_hits", "events_interval_conflicts",
-                "orders_robust_outliers", "snb_customer_pairs"} & set(q)
+                "orders_robust_outliers", "snb_customer_pairs",
+                "kg_negative_edges"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -949,3 +949,76 @@ def test_shard_rendezvous_uniform_and_deterministic(spark):
     again = {(r.doc_id, r.shard)
              for r in shard_rendezvous(df.repartition(13), "doc_id", 8).collect()}
     assert again == {(r.doc_id, r.shard) for r in out.collect()}
+
+
+# --------------------------------------------------- r5: negative sampling
+
+
+def _neg_reference(edges, k, buckets=64, salt="neg"):
+    """Pure-python replica of negative_edges (md5 digits, bucket
+    indexing, filtered anti-join) — brute-force ground truth."""
+    import hashlib
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    e = sorted(set(edges))
+    pool = sorted({d for _, d in e})
+    by_bucket = {}
+    for d in pool:
+        by_bucket.setdefault(h15(f"{d}#{salt}pool") % buckets, []).append(d)
+    indexed = []
+    for b in sorted(by_bucket):
+        indexed.extend(sorted(by_bucket[b]))
+    out = set()
+    eset = set(e)
+    for s, d in e:
+        for j in range(1, k + 1):
+            dn = indexed[h15(f"{s}#{d}#{j}#{salt}") % len(pool)]
+            if (s, dn) not in eset:
+                out.add((s, d, j, dn))
+    return out
+
+
+def test_negative_edges_matches_python_replica(spark):
+    from biosd_feature_annotator_spark.operators.training import negative_edges
+
+    edges = [(i % 9, 100 + (i * 7) % 23) for i in range(40)]
+    df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    got = {(r.src, r.dst, r.j, r.dst_neg)
+           for r in negative_edges(df, k=3).collect()}
+    assert got == _neg_reference(edges, 3)
+    assert len(got) > 0
+
+
+def test_negative_edges_never_emits_a_positive(spark):
+    from biosd_feature_annotator_spark.operators.training import negative_edges
+
+    edges = [(i % 5, 100 + i % 11) for i in range(30)]
+    df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    eset = {(r.src, r.dst) for r in df.collect()}
+    pool = {d for _, d in eset}
+    rows = negative_edges(df, k=4).collect()
+    assert all((r.src, r.dst_neg) not in eset for r in rows)
+    assert all(r.dst_neg in pool for r in rows)   # drawn from the TRUE pool
+    from collections import Counter
+    per_edge = Counter((r.src, r.dst) for r in rows)
+    assert all(c <= 4 for c in per_edge.values())
+
+
+def test_negative_edges_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.training import negative_edges
+
+    edges = [((i * 3) % 17, 200 + (i * 13) % 29) for i in range(70)]
+    df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    one = sorted(tuple(r) for r in negative_edges(df, k=2).collect())
+    two = sorted(tuple(r) for r in negative_edges(
+        df.repartition(23), k=2, buckets=7).collect())
+    # same draws regardless of partitioning AND of the bucket count —
+    # bucketing only reorganizes the pool indexing, never the index→node
+    # map... (buckets change the contiguous ordering, so assert the
+    # partitioning half strictly; bucket invariance is NOT expected)
+    base = sorted(tuple(r) for r in negative_edges(
+        df.repartition(23), k=2).collect())
+    assert one == base and len(one) > 0
+    assert len(two) > 0
