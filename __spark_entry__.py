@@ -1689,6 +1689,31 @@ def q_kg_negative_edges(spark, sf):
     ).withColumn("j", F.col("j").cast("long"))
 
 
+def q_stream_cms_state(spark, sf):
+    """STREAMING incremental CountMin maintenance
+    (streaming/incremental.stream_cms_counts): the events table arrives
+    as a REAL 3-micro-batch availableNow file stream and each batch's
+    grid merges cell-wise into the materialized state under the
+    verify-then-swap exactly-once discipline. Because the grid is a
+    pure function of the value multiset, the committed state is
+    independent of the batch split — the oracle rebuilds the direct
+    grid over ALL events, earned here through the streaming loop."""
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_cms_counts,
+    )
+
+    base = _stream_base("stream_cms")
+    got = stream_cms_counts(
+        spark, os.path.join(sf, "events.parquet"),
+        os.path.join(base, "out"), os.path.join(base, "ckpt"),
+        depth=4, width=64, n_files=3,
+    )
+    return got.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("c").alias("c"), F.col("cnt"),
+    )
+
+
 R6_QUEUE_ORACLES = {
     "kg_apply_diff": """
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2543,6 +2568,18 @@ R6_QUEUE_ORACLES = {
         WHERE NOT EXISTS (
             SELECT 1 FROM e WHERE e.src = n.src AND e.dst = n.dst_neg
         )
+    """,
+    "stream_cms_state": """
+        WITH h AS (
+            SELECT r,
+                   CAST('0x' || substr(md5(
+                       event_type || '#cms' || CAST(r AS VARCHAR)
+                   ), 1, 15) AS BIGINT) % 64 AS c
+            FROM events, unnest(range(0, 4)) AS u(r)
+            WHERE event_type IS NOT NULL
+        )
+        SELECT CAST(r AS BIGINT) AS r, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM h GROUP BY 1, 2
     """,
 }
 

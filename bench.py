@@ -234,6 +234,7 @@ def main() -> None:
         ("robust_outliers", entrymod.q_orders_robust_outliers),
         ("snb_customer_pairs", entrymod.q_snb_customer_pairs),
         ("kg_negative_edges", entrymod.q_kg_negative_edges),
+        ("stream_cms_state", entrymod.q_stream_cms_state),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

@@ -763,3 +763,91 @@ def stream_component_assign(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def stream_cms_counts(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str,
+    depth: int = 4, width: int = 64,
+    n_files: int = 3, fresh: bool = True,
+) -> DataFrame:
+    """Incrementally maintained CountMin frequency grid over a stream —
+    the heavy-hitter complement of stream_quantile_sketch in the
+    incremental-state family (quantiles, connected components, and now
+    point frequencies): each micro-batch sketches its own rows
+    (operators/sketches.cms_state over event_type values) and MERGES
+    cell-wise into the materialized grid, so "how often has X occurred
+    since the stream began" never rescans history and the state stays
+    depth×width-sized forever.
+
+    CMS is the right sketch to maintain this way because the grid is a
+    pure function of the value MULTISET (grid(A∪B) = grid(A)+grid(B)
+    cell-for-cell, no partition- or order-dependence — unlike
+    SpaceSaving's summary), so the committed state after any batch
+    split is row-identical to the direct sketch over all events so far,
+    and a SQL oracle can replay it from the raw history.
+
+    Exactly-once under foreachBatch replay: the verify-then-swap state
+    discipline shared by the family — merged grid plus `_applied`
+    batch-id marker in a scratch dir, committed by the rename-to-.bak
+    swap, with up-front recovery of both crash windows; replayed
+    batches see batch_id ≤ marker and skip."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.sketches import cms_state, merge_cms_states
+
+    bak = out_path.rstrip("/") + ".bak"
+    tmp = out_path.rstrip("/") + ".tmp"
+    if fresh:
+        for p in (out_path, checkpoint, bak, tmp):
+            shutil.rmtree(p, ignore_errors=True)
+        events_path = _stage_single_file(events_path, checkpoint, n_files=n_files)
+    elif os.path.isfile(events_path):
+        events_path = os.path.join(os.path.dirname(checkpoint.rstrip("/")), "in")
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    marker = os.path.join(out_path, "_applied")
+
+    def recover() -> None:
+        if os.path.isdir(bak):
+            if os.path.isdir(out_path):
+                shutil.rmtree(bak)
+            else:
+                os.rename(bak, out_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    recover()
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        recover()
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return
+        delta = cms_state(batch_df, "event_type", depth=depth, width=width)
+        if os.path.isdir(out_path):
+            prev = batch_df.sparkSession.read.parquet(out_path)
+            merged = merge_cms_states(prev, delta)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        if os.path.isdir(out_path):
+            os.rename(out_path, bak)
+        os.rename(tmp, out_path)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

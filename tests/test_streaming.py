@@ -477,3 +477,42 @@ def test_stream_component_assign_matches_full_recompute(spark, tmp_path):
     # restart with no new files: nothing replays, state untouched
     again = stream_component_assign(spark, src, out, ck, fresh=False)
     assert sorted(map(tuple, again.collect())) == g
+
+
+def test_stream_cms_counts_matches_batch_and_is_restart_safe(spark, tmp_path):
+    """The incrementally-merged CountMin grid after a real 3-micro-batch
+    run equals the direct sketch over the full input cell-for-cell (the
+    grid is a pure function of the value multiset, so ANY batch split
+    commits identical state), and a no-new-files restart replays
+    nothing."""
+    import json
+    import os
+
+    from biosd_feature_annotator_spark.operators.sketches import cms_state
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_cms_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    got = stream_cms_counts(
+        spark, f"{sf}/events.parquet", out, ck, depth=4, width=64, n_files=3,
+    )
+    want = cms_state(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        "event_type", depth=4, width=64,
+    )
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, want.collect())) and len(g) > 0
+
+    with open(os.path.join(out, "_applied")) as fh:
+        applied = json.load(fh)["batch_id"]
+    assert applied >= 2
+
+    again = stream_cms_counts(
+        spark, f"{sf}/events.parquet", out, ck,
+        depth=4, width=64, fresh=False,
+    )
+    assert sorted(map(tuple, again.collect())) == g
+    with open(os.path.join(out, "_applied")) as fh:
+        assert json.load(fh)["batch_id"] == applied
