@@ -1714,6 +1714,37 @@ def q_stream_cms_state(spark, sf):
     )
 
 
+def q_cms_join_size(spark, sf):
+    """Sketch-only join-cardinality estimation (sketches.cms_join_size):
+    |orders ⋈ lineitem| on the order key estimated from two CountMin
+    grids ALONE — the query-planning read path of the mergeable-state
+    family (broadcast vs shuffle vs salt decided before touching either
+    table). The oracle rebuilds both grids and replays the per-row
+    inner products, the min, and the empty-row zero rule exactly —
+    longs end-to-end."""
+    from biosd_feature_annotator_spark.operators.sketches import (
+        cms_join_size, cms_state,
+    )
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") < 4000)
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 4000)
+    sa = cms_state(o, "o_orderkey", depth=4, width=512)
+    sb = cms_state(li, "l_orderkey", depth=4, width=512)
+    return cms_join_size(sa, sb, depth=4, width=512)
+
+
+def q_kg_degree_profile(spark, sf):
+    """One-row structural profile (graph.degree_profile) of the
+    co-purchase graph: exact integer degree moments (m2, Σdeg, Σxy,
+    Σx², min/max, |V|, |E|) plus Newman degree assortativity derived
+    from them in one fixed double shape, micro-quantized — the
+    chi2_association kernel. The oracle replays every moment as exact
+    SQL sums and the same single rounding."""
+    from biosd_feature_annotator_spark.operators.graph import degree_profile
+
+    return degree_profile(_bipartite_edges(spark, sf))
+
+
 R6_QUEUE_ORACLES = {
     "kg_apply_diff": """
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2580,6 +2611,74 @@ R6_QUEUE_ORACLES = {
         )
         SELECT CAST(r AS BIGINT) AS r, c, CAST(count(*) AS BIGINT) AS cnt
         FROM h GROUP BY 1, 2
+    """,
+    "cms_join_size": """
+        WITH va AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS v
+            FROM orders WHERE o_orderkey < 4000
+        ),
+        vb AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS v
+            FROM lineitem WHERE l_orderkey < 4000
+        ),
+        ga AS (
+            SELECT r, CAST('0x' || substr(md5(
+                       v || '#cms' || CAST(r AS VARCHAR)
+                   ), 1, 15) AS BIGINT) % 512 AS c, count(*) AS cnt
+            FROM va, unnest(range(0, 4)) AS u(r) GROUP BY 1, 2
+        ),
+        gb AS (
+            SELECT r, CAST('0x' || substr(md5(
+                       v || '#cms' || CAST(r AS VARCHAR)
+                   ), 1, 15) AS BIGINT) % 512 AS c, count(*) AS cnt
+            FROM vb, unnest(range(0, 4)) AS u(r) GROUP BY 1, 2
+        ),
+        ip AS (
+            SELECT ga.r, sum(ga.cnt * gb.cnt) AS ip
+            FROM ga JOIN gb USING (r, c) GROUP BY ga.r
+        )
+        SELECT CASE WHEN (SELECT count(*) FROM ip) < 4 THEN 0
+                    ELSE (SELECT CAST(min(ip) AS BIGINT) FROM ip)
+               END AS est,
+               CAST(4 AS BIGINT) AS depth,
+               CAST(512 AS BIGINT) AS width
+    """,
+    "kg_degree_profile": """
+        WITH raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 8 AND o_custkey < 100
+        ),
+        sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+        deg AS (SELECT src AS n, count(*) AS deg FROM sym GROUP BY src),
+        rws AS (
+            SELECT s.src, dx.deg AS x, dy.deg AS y
+            FROM sym s JOIN deg dx ON s.src = dx.n
+                       JOIN deg dy ON s.dst = dy.n
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS m2,
+                   CAST(sum(x) AS BIGINT) AS sum_deg,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                   CAST(sum(x * x) AS BIGINT) AS sum_x2,
+                   CAST(min(x) AS BIGINT) AS deg_min,
+                   CAST(max(x) AS BIGINT) AS deg_max,
+                   CAST(count(DISTINCT src) AS BIGINT) AS n_nodes
+            FROM rws
+        )
+        SELECT n_nodes, CAST(m2 // 2 AS BIGINT) AS n_edges,
+               deg_min, deg_max, m2, sum_deg, sum_xy, sum_x2,
+               CASE WHEN CAST(m2 AS DOUBLE) * sum_x2
+                         - CAST(sum_deg AS DOUBLE) * sum_deg > 0
+                    THEN CAST(round(
+                        (CAST(m2 AS DOUBLE) * sum_xy
+                         - CAST(sum_deg AS DOUBLE) * sum_deg)
+                        / (CAST(m2 AS DOUBLE) * sum_x2
+                           - CAST(sum_deg AS DOUBLE) * sum_deg)
+                        * 1000000.0) AS BIGINT)
+               END AS assortativity_micro
+        FROM agg
     """,
 }
 

@@ -235,6 +235,8 @@ def main() -> None:
         ("snb_customer_pairs", entrymod.q_snb_customer_pairs),
         ("kg_negative_edges", entrymod.q_kg_negative_edges),
         ("stream_cms_state", entrymod.q_stream_cms_state),
+        ("cms_join_size", entrymod.q_cms_join_size),
+        ("kg_degree_profile", entrymod.q_kg_degree_profile),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

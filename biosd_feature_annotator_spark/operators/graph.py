@@ -507,3 +507,77 @@ def personalized_pagerank(
             )
         )
     return pr
+
+
+def degree_profile(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """One-row structural profile of the undirected graph → (n_nodes,
+    n_edges, deg_min, deg_max, m2, sum_deg, sum_xy, sum_x2,
+    assortativity_micro). The KG-profiling analogue of stats_agg: run
+    after materialization to catch structural drift between runs — a
+    hub explosion (deg_max), fragmentation (n_edges/n_nodes), or a
+    mixing change (assortativity: do high-degree entities link to each
+    other, as in curated ontologies, or to leaves, as in hub-spoke
+    extraction noise? the sign flip is a cheap extraction-regression
+    alarm).
+
+    Degree assortativity = Pearson correlation of endpoint degrees over
+    the DIRECTED row list (both orientations of each undirected edge —
+    the standard Newman formulation, which makes the x/y marginals
+    equal: sum_x = sum_y, sum_x2 = sum_y2, so only three sums are
+    needed). All five moments (m2 = directed row count, sum_deg = Σx,
+    sum_xy, sum_x2, plus min/max) are EXACT integer aggregates of
+    integer degrees — order-free longs, the strongest determinism class
+    — and the correlation is derived from them in ONE fixed double
+    expression shape, micro-quantized (the chi2_association kernel:
+    exact integers in, one deterministic rounding out). NULL when the
+    variance is zero (regular graph — every degree equal).
+
+    Shape: one degree count shuffle, two node-sized degree joins onto
+    the edge list, one single-row aggregate. The exact longs are
+    returned alongside the micro so downstream can re-derive at any
+    precision (double products m2·sum_xy overflow int64 on web-scale
+    graphs; the EXPORTED sums stay exact, only the final correlation
+    passes through doubles)."""
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    rows = (
+        sym.join(deg, "src")
+        .withColumnRenamed("deg", "x")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("y")),
+            "dst",
+        )
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sum_deg"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.min("x").cast("long").alias("deg_min"),
+        F.max("x").cast("long").alias("deg_max"),
+        F.count_distinct(F.col("src")).cast("long").alias("n_nodes"),
+    )
+    num = (
+        F.col("m2").cast("double") * F.col("sum_xy")
+        - F.col("sum_deg").cast("double") * F.col("sum_deg")
+    )
+    den = (
+        F.col("m2").cast("double") * F.col("sum_x2")
+        - F.col("sum_deg").cast("double") * F.col("sum_deg")
+    )
+    return agg.select(
+        "n_nodes",
+        F.expr("CAST(m2 div 2 AS BIGINT)").alias("n_edges"),
+        "deg_min", "deg_max", "m2", "sum_deg", "sum_xy", "sum_x2",
+        F.when(
+            den > 0,
+            F.round(num / den * F.lit(1_000_000.0)).cast("long"),
+        ).alias("assortativity_micro"),
+    )

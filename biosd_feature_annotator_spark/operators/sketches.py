@@ -354,3 +354,46 @@ def cms_estimates(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .withColumnRenamed("_v", value_col)
     )
+
+
+def cms_join_size(
+    state_a: DataFrame, state_b: DataFrame,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two CountMin grids → ONE row
+    (est, depth, width): |A ⋈ B| on the sketched key ≈ min over hash
+    rows of the grids' INNER PRODUCT Σ_c a[r,c]·b[r,c] — the classic
+    AMS/CMS identity (Cormode & Muthukrishnan §4.2): each row's inner
+    product is Σ_v f_A(v)·f_B(v) plus non-negative collision cross
+    terms, so every row OVER-estimates the true join size and the min
+    is the tightest; error ≤ e·N_A·N_B/width per the standard bound.
+
+    This is the query-planning primitive the mergeable-state family
+    feeds at 100 TB: join-size estimates from sketch-sized state ALONE
+    — deciding broadcast vs shuffle vs skew-salt BEFORE touching either
+    table (the grids are maintained incrementally by stream_cms_counts
+    or merged from per-partition states). Cost: one equi-join of two
+    depth×width relations + one depth-sized aggregate — independent of
+    data size. Exact integer arithmetic (products and sums of longs),
+    deterministic, SQL-replayable. Absent cells are zero (the inner
+    join drops them), and a hash row with NO coinciding cells has
+    inner product 0 — it vanishes from the join entirely, so the final
+    aggregate checks the surviving row count and reports 0 when any
+    row is empty (min over present rows alone would overestimate).
+
+    (depth, width) MUST match the values both states were built with —
+    the cms_estimates caller contract; inner products across different
+    grid geometries are meaningless."""
+    pa = state_a.select("r", "c", F.col("cnt").alias("_a"))
+    pb = state_b.select("r", "c", F.col("cnt").alias("_b"))
+    per_row = (
+        pa.join(pb, ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("_a") * F.col("_b")).alias("ip"))
+    )
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) < depth, F.lit(0))
+        .otherwise(F.min("ip")).cast("long").alias("est"),
+        F.lit(depth).cast("long").alias("depth"),
+        F.lit(width).cast("long").alias("width"),
+    )

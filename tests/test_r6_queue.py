@@ -65,6 +65,8 @@ def duck():
     ("snb_customer_pairs", entrymod.q_snb_customer_pairs),
     ("kg_negative_edges", entrymod.q_kg_negative_edges),
     ("stream_cms_state", entrymod.q_stream_cms_state),
+    ("cms_join_size", entrymod.q_cms_join_size),
+    ("kg_degree_profile", entrymod.q_kg_degree_profile),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -90,7 +92,8 @@ def test_r6_queue_not_registered_this_round():
                 "docs_chi2_assoc", "kg_apply_diff", "kg_neighbor_sim",
                 "kg_kcore", "kg_hits", "events_interval_conflicts",
                 "orders_robust_outliers", "snb_customer_pairs",
-                "kg_negative_edges", "stream_cms_state"} & set(q)
+                "kg_negative_edges", "stream_cms_state", "cms_join_size",
+                "kg_degree_profile"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -544,3 +544,33 @@ def test_hits_deterministic_across_partitionings(spark):
     one = {tuple(r) for r in hits(e, iters=2).collect()}
     two = {tuple(r) for r in hits(e.repartition(9), iters=2).collect()}
     assert one == two and len(one) > 0
+
+
+def test_degree_profile_star_is_perfectly_disassortative(spark):
+    from biosd_feature_annotator_spark.operators.graph import degree_profile
+
+    e = _ud_edges(spark, [("1", "2"), ("1", "3"), ("1", "4")])
+    r = degree_profile(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.deg_min, r.deg_max) == (4, 3, 1, 3)
+    assert (r.m2, r.sum_deg, r.sum_xy, r.sum_x2) == (6, 12, 18, 30)
+    assert r.assortativity_micro == -1_000_000   # star: r = −1 exactly
+
+
+def test_degree_profile_regular_graph_variance_zero(spark):
+    from biosd_feature_annotator_spark.operators.graph import degree_profile
+
+    e = _ud_edges(spark, [("1", "2"), ("2", "3"), ("1", "3")])  # triangle
+    r = degree_profile(e).collect()[0]
+    assert r.deg_min == r.deg_max == 2
+    assert r.assortativity_micro is None   # zero variance: undefined
+
+
+def test_degree_profile_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.graph import degree_profile
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(150)],
+        "src string, dst string")
+    one = degree_profile(e).collect()[0]
+    two = degree_profile(e.repartition(13)).collect()[0]
+    assert tuple(one) == tuple(two) and one.m2 > 0

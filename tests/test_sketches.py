@@ -191,3 +191,55 @@ def test_cms_weighted_and_per_key(spark):
     # an item the sketch never saw estimates 0 (all cells empty or
     # collision-mass only)
     assert est[("b", "y")] >= 0
+
+
+# ------------------------------------------------------ r5: cms_join_size
+
+
+def test_cms_join_size_exact_when_collision_free(spark):
+    from biosd_feature_annotator_spark.operators.sketches import (
+        cms_join_size, cms_state,
+    )
+
+    a = spark.createDataFrame(
+        [(k,) for k in ["x"] * 3 + ["y"] * 2 + ["z"]], "k string")
+    b = spark.createDataFrame(
+        [(k,) for k in ["x"] * 4 + ["y"] * 1 + ["w"] * 5], "k string")
+    sa = cms_state(a, "k", depth=4, width=4096)
+    sb = cms_state(b, "k", depth=4, width=4096)
+    got = cms_join_size(sa, sb, depth=4, width=4096).collect()[0]
+    # true join size = 3*4 + 2*1 = 14; 4 distinct keys in 4096 cells
+    # collide with negligible probability under the fixed md5 kernel
+    assert got.est == 14 and got.depth == 4 and got.width == 4096
+
+
+def test_cms_join_size_never_underestimates(spark):
+    from biosd_feature_annotator_spark.operators.sketches import (
+        cms_join_size, cms_state,
+    )
+
+    a = spark.createDataFrame([(f"k{i % 37}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"k{i % 23}",) for i in range(200)], "k string")
+    true = sum((300 // 37 + (1 if i < 300 % 37 else 0))
+               * (200 // 23 + (1 if i < 200 % 23 else 0))
+               for i in range(min(37, 23)))
+    for width in (8, 64, 2048):
+        sa = cms_state(a, "k", depth=4, width=width)
+        sb = cms_state(b, "k", depth=4, width=width)
+        est = cms_join_size(sa, sb, depth=4, width=width).collect()[0].est
+        assert est >= true   # inner products only add collision mass
+
+
+def test_cms_join_size_disjoint_keys_reports_zero(spark):
+    from biosd_feature_annotator_spark.operators.sketches import (
+        cms_join_size, cms_state,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(5)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(5)], "k string")
+    sa = cms_state(a, "k", depth=4, width=4096)
+    sb = cms_state(b, "k", depth=4, width=4096)
+    # at width 4096 the 10 keys share no cell on at least one hash row,
+    # and a row absent from the join means inner product 0 — est must
+    # report 0, not the min of the rows that happened to survive
+    assert cms_join_size(sa, sb, depth=4, width=4096).collect()[0].est == 0
