@@ -1745,6 +1745,18 @@ def q_kg_degree_profile(spark, sf):
     return degree_profile(_bipartite_edges(spark, sf))
 
 
+def q_event_transitions(spark, sf):
+    """First-order Markov transition matrix (funnel.event_transitions)
+    over the full event stream: one user-keyed lead window on the
+    pinned (ts, event_id) order + one pair-keyed combinable count;
+    row-normalized probabilities as exact integer millionths
+    ((n·1e6) div row_total). The oracle replays the window, the count
+    and the integer division verbatim."""
+    from biosd_feature_annotator_spark.operators.funnel import event_transitions
+
+    return event_transitions(_t(spark, sf, "events"))
+
+
 R6_QUEUE_ORACLES = {
     "kg_apply_diff": """
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2679,6 +2691,23 @@ R6_QUEUE_ORACLES = {
                         * 1000000.0) AS BIGINT)
                END AS assortativity_micro
         FROM agg
+    """,
+    "event_transitions": """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        cnt AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               CAST((n * 1000000) // sum(n) OVER (
+                   PARTITION BY from_type) AS BIGINT) AS p_micro
+        FROM cnt
     """,
 }
 

@@ -237,6 +237,7 @@ def main() -> None:
         ("stream_cms_state", entrymod.q_stream_cms_state),
         ("cms_join_size", entrymod.q_cms_join_size),
         ("kg_degree_profile", entrymod.q_kg_degree_profile),
+        ("event_transitions", entrymod.q_event_transitions),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

@@ -179,3 +179,56 @@ def retention_cohorts(
         .groupBy("cohort", "period")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences → (from_type, to_type, n, p_micro): how often each event
+    type is immediately followed by each other type, with the row-
+    normalized transition probability in exact millionths. The
+    behavioral complement of funnel_depths: a funnel checks ONE
+    hypothesized path, the transition matrix surfaces the paths users
+    actually take (and between KG-extraction runs, a shifted transition
+    row is the same drift alarm degree_profile raises for graph
+    structure).
+
+    Shape: one user-keyed window (lead over (ts, order_col) — the
+    stable total order the funnel family already pins; ties without an
+    order column would make `next` ambiguous) producing (type,
+    next_type) pairs, then one map-side-combinable count shuffle keyed
+    by the pair — nothing data-squared, no driver actions. Terminal
+    events per user (lead = NULL) are dropped: rows condition on "a
+    next event exists", so each from-row sums to ~1e6 (up to floor
+    residue). p_micro = (n · 1e6) div row_total — INTEGER division of
+    exact longs, deterministic at any parallelism and replayed
+    verbatim by the SQL oracle; the exact n survives alongside so any
+    other normalization can be re-derived."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(user_col), F.col(type_col).alias("from_type"),
+            *([F.col(ts_col)] + ([F.col(order_col)] if order_col else [])),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(wr))
+        .select(
+            "from_type", "to_type", "n",
+            F.expr("CAST((n * 1000000) div row_total AS BIGINT)")
+            .alias("p_micro"),
+        )
+    )

@@ -533,3 +533,58 @@ def test_robust_outliers_groups_and_determinism(spark):
     assert one == two and len(one) == 60
     flagged = [r for r in one if r[-1]]
     assert len(flagged) == 1 and flagged[0][1] == 17
+
+
+# --------------------------------------------------- r5: event_transitions
+
+
+def test_event_transitions_hand_matrix(spark):
+    from biosd_feature_annotator_spark.operators.funnel import event_transitions
+
+    rows = [
+        ("u1", "view", 1, 1), ("u1", "cart", 2, 2), ("u1", "view", 3, 3),
+        ("u1", "buy", 4, 4),
+        ("u2", "view", 1, 5), ("u2", "view", 2, 6), ("u2", "cart", 3, 7),
+    ]
+    d = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts int, event_id int")
+    got = {(r.from_type, r.to_type): (r.n, r.p_micro)
+           for r in event_transitions(d).collect()}
+    # view→cart ×2, view→view ×1, view→buy ×1 (row total 4);
+    # cart→view ×1 (row total 1); terminal buy/cart rows dropped
+    assert got == {
+        ("view", "cart"): (2, 500_000),
+        ("view", "view"): (1, 250_000),
+        ("view", "buy"): (1, 250_000),
+        ("cart", "view"): (1, 1_000_000),
+    }
+
+
+def test_event_transitions_tie_pinned_by_order_col(spark):
+    from biosd_feature_annotator_spark.operators.funnel import event_transitions
+
+    # two events share ts=1; event_id pins the order: a→b→c, not a→c→b
+    rows = [("u", "a", 1, 1), ("u", "b", 1, 2), ("u", "c", 2, 3)]
+    d = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts int, event_id int")
+    got = {(r.from_type, r.to_type) for r in event_transitions(d).collect()}
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_event_transitions_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.funnel import event_transitions
+
+    rows = [(f"u{i % 9}", ["v", "c", "b", "s"][(i * 5) % 4], i % 17, i)
+            for i in range(300)]
+    d = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts int, event_id int")
+    one = sorted(tuple(r) for r in event_transitions(d).collect())
+    two = sorted(tuple(r) for r in event_transitions(d.repartition(21)).collect())
+    assert one == two and len(one) > 0
+    # each from-row's probabilities sum to 1e6 minus the floor residue
+    from collections import defaultdict
+    sums, counts = defaultdict(int), defaultdict(int)
+    for ft, _, _, p in one:
+        sums[ft] += p
+        counts[ft] += 1
+    assert all(1_000_000 - counts[ft] < s <= 1_000_000 for ft, s in sums.items())

@@ -67,6 +67,7 @@ def duck():
     ("stream_cms_state", entrymod.q_stream_cms_state),
     ("cms_join_size", entrymod.q_cms_join_size),
     ("kg_degree_profile", entrymod.q_kg_degree_profile),
+    ("event_transitions", entrymod.q_event_transitions),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -93,7 +94,7 @@ def test_r6_queue_not_registered_this_round():
                 "kg_kcore", "kg_hits", "events_interval_conflicts",
                 "orders_robust_outliers", "snb_customer_pairs",
                 "kg_negative_edges", "stream_cms_state", "cms_join_size",
-                "kg_degree_profile"} & set(q)
+                "kg_degree_profile", "event_transitions"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
