@@ -1757,6 +1757,20 @@ def q_event_transitions(spark, sf):
     return event_transitions(_t(spark, sf, "events"))
 
 
+def q_kg_random_walks(spark, sf):
+    """Deterministic DeepWalk corpus (graph.random_walks, 3 steps, one
+    walk per node) over the co-purchase graph: every step picks
+    neighbor md5(start#w#t#walk) mod outdeg in the dst-sorted
+    adjacency, so the corpus is a pure function of the edge set. The
+    oracle unrolls all three steps in SQL, replaying the adjacency
+    index, the degree modulus and every hex digit of the coin."""
+    from biosd_feature_annotator_spark.operators.graph import random_walks
+
+    return random_walks(
+        _bipartite_edges(spark, sf), walk_len=3, walks_per_node=1
+    )
+
+
 R6_QUEUE_ORACLES = {
     "kg_apply_diff": """
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
@@ -2708,6 +2722,60 @@ R6_QUEUE_ORACLES = {
                CAST((n * 1000000) // sum(n) OVER (
                    PARTITION BY from_type) AS BIGINT) AS p_micro
         FROM cnt
+    """,
+    "kg_random_walks": """
+        WITH raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 8 AND o_custkey < 100
+        ),
+        sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+        adj AS (
+            SELECT src, dst,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY dst) - 1 AS i
+            FROM sym
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+        nodes AS (
+            SELECT src AS node FROM sym UNION SELECT dst FROM sym
+        ),
+        s1 AS (
+            SELECT n.node AS start, a.dst AS cur
+            FROM nodes n
+            JOIN deg d ON n.node = d.src
+            JOIN adj a ON a.src = n.node AND a.i =
+                 CAST('0x' || substr(md5(
+                     CAST(n.node AS VARCHAR) || '#1#1#walk'
+                 ), 1, 15) AS BIGINT) % d.outdeg
+        ),
+        s2 AS (
+            SELECT p.start, a.dst AS cur
+            FROM s1 p
+            JOIN deg d ON p.cur = d.src
+            JOIN adj a ON a.src = p.cur AND a.i =
+                 CAST('0x' || substr(md5(
+                     CAST(p.start AS VARCHAR) || '#1#2#walk'
+                 ), 1, 15) AS BIGINT) % d.outdeg
+        ),
+        s3 AS (
+            SELECT p.start, a.dst AS cur
+            FROM s2 p
+            JOIN deg d ON p.cur = d.src
+            JOIN adj a ON a.src = p.cur AND a.i =
+                 CAST('0x' || substr(md5(
+                     CAST(p.start AS VARCHAR) || '#1#3#walk'
+                 ), 1, 15) AS BIGINT) % d.outdeg
+        )
+        SELECT node AS start, CAST(1 AS BIGINT) AS w,
+               CAST(0 AS BIGINT) AS step, node FROM nodes
+        UNION ALL
+        SELECT start, 1, 1, cur FROM s1
+        UNION ALL
+        SELECT start, 1, 2, cur FROM s2
+        UNION ALL
+        SELECT start, 1, 3, cur FROM s3
     """,
 }
 

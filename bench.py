@@ -238,6 +238,7 @@ def main() -> None:
         ("cms_join_size", entrymod.q_cms_join_size),
         ("kg_degree_profile", entrymod.q_kg_degree_profile),
         ("event_transitions", entrymod.q_event_transitions),
+        ("kg_random_walks", entrymod.q_kg_random_walks),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

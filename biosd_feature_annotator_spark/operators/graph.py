@@ -581,3 +581,98 @@ def degree_profile(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
             F.round(num / den * F.lit(1_000_000.0)).cast("long"),
         ).alias("assortativity_micro"),
     )
+
+
+def random_walks(
+    edges: DataFrame, walk_len: int = 4, walks_per_node: int = 1,
+    directed: bool = False, salt: str = "walk",
+) -> DataFrame:
+    """DETERMINISTIC uniform random walks over the graph → (start, w,
+    step, node): walks_per_node walks of walk_len steps from every
+    node, the corpus-generation step of DeepWalk/node2vec — the bridge
+    from the materialized KG to skip-gram entity embeddings (each walk
+    is a 'sentence' of entities; doc_bpe/pack_sequences take it from
+    there).
+
+    No RNG state — the md5-coin discipline extended to SEQUENCES: step
+    t of walk (s, w) moves to neighbor number
+    md5(s#w#t#salt) mod outdeg(cur) in the current node's dst-sorted
+    adjacency. The coin depends only on the walk identity and step (not
+    the path), yet each step is uniform over the current node's
+    neighbors (mod-bias ~outdeg/2^60); the whole corpus is a pure
+    function of the edge set — identical at any parallelism, across
+    reruns, and in the SQL oracle, which replays every hex digit. That
+    reproducibility is what makes embedding runs comparable between KG
+    builds (the same graph always yields the same corpus).
+
+    Shape: the adjacency is indexed once — (node, i, dst) with i from a
+    node-partitioned dst-ordered window — alongside a degree relation;
+    each step is walks ⋈ deg (node-keyed) ⋈ adjacency on (node, i):
+    LINEAR plan growth because the walk frame is referenced once per
+    step, and the path accumulates in an ARRAY column (emitting
+    per-step frames and unioning would reference each step twice —
+    the 3^iters k-core lesson); one posexplode at the end flattens to
+    rows. Dangling nodes (directed, outdeg 0) end their walk early —
+    shorter walks are real sentences, not errors. Walk state is
+    walks×nodes-sized, shuffles keyed by the current node."""
+    from pyspark.sql import Window
+
+    sym = edges.select("src", "dst")
+    if not directed:
+        sym = sym.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    sym = sym.where(F.col("src") != F.col("dst")).dropDuplicates()
+    adj = sym.withColumn(
+        "i",
+        (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+         ).cast("long"),
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    walks = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(1), F.lit(walks_per_node))).alias("w"),
+        F.array(F.col("node")).alias("path"),
+        F.col("node").alias("cur"),
+    ).withColumn("w", F.col("w").cast("long"))
+    for t in range(1, walk_len + 1):
+        coin = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "#", F.col("start").cast("string"),
+                    F.col("w").cast("string"), F.lit(str(t)), F.lit(salt),
+                )), 1, 15
+            ), 16, 10,
+        ).cast("long")
+        walks = (
+            walks.join(deg.withColumnRenamed("src", "cur"), "cur", "left")
+            .withColumn("i", F.when(
+                F.col("outdeg").isNotNull(), F.pmod(coin, F.col("outdeg"))
+            ))
+            .join(
+                adj.select(
+                    F.col("src").alias("cur"), "i",
+                    F.col("dst").alias("_nxt"),
+                ),
+                ["cur", "i"], "left",
+            )
+            .select(
+                "start", "w",
+                F.when(
+                    F.col("_nxt").isNotNull(),
+                    F.concat("path", F.array("_nxt")),
+                ).otherwise(F.col("path")).alias("path"),
+                F.coalesce("_nxt", F.col("cur")).alias("cur"),
+            )
+        )
+    # a dangling stop keeps cur fixed but must not re-append: the path
+    # column froze above, so duplicates cannot arise — posexplode gives
+    # the true (possibly shortened) sentence
+    return walks.select(
+        "start", "w", F.posexplode("path").alias("step", "node")
+    ).select("start", "w", F.col("step").cast("long").alias("step"), "node")

@@ -68,6 +68,7 @@ def duck():
     ("cms_join_size", entrymod.q_cms_join_size),
     ("kg_degree_profile", entrymod.q_kg_degree_profile),
     ("event_transitions", entrymod.q_event_transitions),
+    ("kg_random_walks", entrymod.q_kg_random_walks),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -94,7 +95,8 @@ def test_r6_queue_not_registered_this_round():
                 "kg_kcore", "kg_hits", "events_interval_conflicts",
                 "orders_robust_outliers", "snb_customer_pairs",
                 "kg_negative_edges", "stream_cms_state", "cms_join_size",
-                "kg_degree_profile", "event_transitions"} & set(q)
+                "kg_degree_profile", "event_transitions",
+                "kg_random_walks"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -574,3 +574,77 @@ def test_degree_profile_deterministic_across_partitionings(spark):
     one = degree_profile(e).collect()[0]
     two = degree_profile(e.repartition(13)).collect()[0]
     assert tuple(one) == tuple(two) and one.m2 > 0
+
+
+def _walks_reference(edges, walk_len, walks_per_node, directed=False, salt="walk"):
+    import hashlib
+    from collections import defaultdict
+
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d))
+            if not directed:
+                sym.add((d, s))
+    adj = defaultdict(list)
+    for s, d in sym:
+        adj[s].append(d)
+    for s in adj:
+        adj[s].sort()
+    nodes = {s for s, _ in sym} | {d for _, d in sym}
+    out = set()
+    for s in nodes:
+        for w in range(1, walks_per_node + 1):
+            path, cur = [s], s
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = int(hashlib.md5(
+                    f"{s}#{w}#{t}#{salt}".encode()).hexdigest()[:15], 16)
+                cur = nbrs[h % len(nbrs)]
+                path.append(cur)
+            out.update((s, w, i, n) for i, n in enumerate(path))
+    return out
+
+
+def test_random_walks_match_python_replica(spark):
+    from biosd_feature_annotator_spark.operators.graph import random_walks
+
+    edges = [(i % 7, 10 + (i * 3) % 5) for i in range(20)]
+    df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    got = {(r.start, r.w, r.step, r.node)
+           for r in random_walks(df, walk_len=3, walks_per_node=2).collect()}
+    assert got == _walks_reference(edges, 3, 2)
+    # every walk takes real edges: consecutive steps are neighbors
+    sym = {(s, d) for s, d in set(edges)} | {(d, s) for s, d in set(edges)}
+    byw = {}
+    for s, w, t, n in got:
+        byw.setdefault((s, w), {})[t] = n
+    for path in byw.values():
+        for t in range(1, max(path) + 1):
+            assert (path[t - 1], path[t]) in sym
+
+
+def test_random_walks_directed_dangling_stops_early(spark):
+    from biosd_feature_annotator_spark.operators.graph import random_walks
+
+    # 1 → 2 → 3, 3 dangling: the walk from 1 is exactly [1, 2, 3]
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {(r.start, r.step): r.node for r in random_walks(
+        df, walk_len=5, walks_per_node=1, directed=True).collect()}
+    assert {(s, t): n for (s, t), n in got.items() if s == 1} \
+        == {(1, 0): 1, (1, 1): 2, (1, 2): 3}
+    assert got[(3, 0)] == 3 and (3, 1) not in got   # dangling start: len 1
+
+
+def test_random_walks_deterministic_across_partitionings(spark):
+    from biosd_feature_annotator_spark.operators.graph import random_walks
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 30}") for i in range(90)],
+        "src string, dst string")
+    one = sorted(tuple(r) for r in random_walks(e, walk_len=4).collect())
+    two = sorted(tuple(r) for r in random_walks(
+        e.repartition(13), walk_len=4).collect())
+    assert one == two and len(one) > 0
