@@ -1771,7 +1771,113 @@ def q_kg_random_walks(spark, sf):
     )
 
 
+def _lease_intervals(spark, sf):
+    """Shared fixture for the temporal-interval family: each event
+    opens a lease [ts, ts + (event_id%7+1) minutes) — the same shape
+    q_events_interval_conflicts audits."""
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 40)
+    return ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _epoch_ntz("ts").alias("effective_from"),
+        (
+            _epoch_ntz("ts")
+            + (F.col("event_id") % 7 + 1).cast("long") * F.lit(60)
+        ).alias("effective_to"),
+    )
+
+
+def q_events_interval_coalesce(spark, sf):
+    """Temporal coalescing (scd.coalesce_intervals — the SQL:2011 PACK
+    primitive): per-user lease intervals merged into maximal disjoint
+    islands with a merged-source count, via tie-deterministic
+    gaps-and-islands window algebra (one key shuffle, no self-join).
+    The oracle derives the same islands by a genuinely different
+    route: a +1/-1 endpoint sweep line whose coverage returning to
+    zero closes an island, then re-attributes each source interval to
+    its island by containment of its start point."""
+    from biosd_feature_annotator_spark.operators.scd import coalesce_intervals
+
+    return coalesce_intervals(_lease_intervals(spark, sf), ["user_id"])
+
+
+def q_events_coverage_gaps(spark, sf):
+    """Coverage gaps (scd.coverage_gaps): the uncovered stretches
+    between consecutive coalesced lease islands per user — the
+    temporal-completeness audit that predicts exactly where
+    point-in-time lookups would return no version. Operator = coalesce
+    + one more same-partitioning lead window; the oracle reads gaps
+    straight off the sweep line (points where coverage is zero with a
+    later event point) without ever materializing islands."""
+    from biosd_feature_annotator_spark.operators.scd import coverage_gaps
+
+    return coverage_gaps(_lease_intervals(spark, sf), ["user_id"])
+
+
 R6_QUEUE_ORACLES = {
+    "events_interval_coalesce": """
+        WITH iv AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS f,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                       + (event_id % 7 + 1) * 60 AS t
+            FROM events WHERE user_id < 40
+        ),
+        pts AS (
+            SELECT user_id, f AS v, 1 AS d FROM iv
+            UNION ALL
+            SELECT user_id, t, -1 FROM iv
+        ),
+        sw AS (SELECT user_id, v, sum(d) AS dd FROM pts GROUP BY ALL),
+        c AS (
+            SELECT user_id, v, dd,
+                   sum(dd) OVER (PARTITION BY user_id ORDER BY v) AS cov
+            FROM sw
+        ),
+        starts AS (
+            SELECT user_id, v,
+                   row_number() OVER (PARTITION BY user_id ORDER BY v) AS k
+            FROM c WHERE cov > 0 AND cov - dd = 0
+        ),
+        ends AS (
+            SELECT user_id, v,
+                   row_number() OVER (PARTITION BY user_id ORDER BY v) AS k
+            FROM c WHERE cov = 0
+        ),
+        isl AS (
+            SELECT s.user_id, s.v AS valid_from, e.v AS valid_to
+            FROM starts s
+            JOIN ends e ON e.user_id = s.user_id AND e.k = s.k
+        )
+        SELECT i.user_id, i.valid_from, i.valid_to,
+               CAST(count(*) AS BIGINT) AS n_merged
+        FROM isl i
+        JOIN iv ON iv.user_id = i.user_id
+             AND iv.f >= i.valid_from AND iv.f < i.valid_to
+        GROUP BY ALL
+    """,
+    "events_coverage_gaps": """
+        WITH iv AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS f,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                       + (event_id % 7 + 1) * 60 AS t
+            FROM events WHERE user_id < 40
+        ),
+        pts AS (
+            SELECT user_id, f AS v, 1 AS d FROM iv
+            UNION ALL
+            SELECT user_id, t, -1 FROM iv
+        ),
+        sw AS (SELECT user_id, v, sum(d) AS dd FROM pts GROUP BY ALL),
+        c AS (
+            SELECT user_id, v,
+                   sum(dd) OVER (PARTITION BY user_id ORDER BY v) AS cov,
+                   lead(v) OVER (PARTITION BY user_id ORDER BY v) AS nxt
+            FROM sw
+        )
+        SELECT user_id, v AS gap_from, nxt AS gap_to
+        FROM c WHERE cov = 0 AND nxt IS NOT NULL
+    """,
     "kg_apply_diff": """
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS subj,
                'hasPriority' AS pred,

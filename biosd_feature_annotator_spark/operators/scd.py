@@ -273,3 +273,108 @@ def interval_conflicts(
         (F.col("_n_from_lt") - F.col("_n_to_le") - F.lit(1))
         .cast("long").alias("n_overlaps"),
     ).withColumn("is_conflict", F.col("n_overlaps") > 0)
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Temporal coalescing (the SQL:2011 PACK / Snodgrass COALESCE
+    primitive): merge each key's overlapping-or-adjacent validity
+    intervals into maximal disjoint islands → ``(key..., valid_from,
+    valid_to, n_merged)``. The normalizer that makes temporal-KG facts
+    canonical: after coalescing, two fact tables can be compared
+    interval-by-interval, and ``interval_conflicts`` is guaranteed
+    clean. Requires ``from < to`` per row (same contract as
+    interval_conflicts); ``to`` NULL = still open = +inf, so an open
+    interval absorbs everything at or after its start.
+
+    Island boundaries via gaps-and-islands window algebra: a row opens
+    a new island iff no earlier-starting same-key interval reaches it
+    — ``from > max(to) over strictly-earlier rows`` and no earlier row
+    is open-ended. Determinism under equal ``from`` ties needs no
+    tie-break column: a non-head tie row always has flag 0 (its start
+    equals the head's start, which is strictly below the head's end,
+    hence <= the running max), and the head's flag depends only on the
+    multiset of strictly-smaller starts — so the island PARTITION (and
+    therefore every per-island aggregate) is a pure function of the
+    interval multiset at any parallelism. Two same-spec windows over
+    one key-partitioned sort, then one groupBy: ~one shuffle after AQE
+    reuses the sort; no self-join, no per-key quadratic stage. The r6
+    oracle derives the same islands by a genuinely different route — a
+    sweep line over +1/-1 endpoint deltas whose coverage returning to
+    zero closes an island."""
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(from_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = (
+        df.select(*key_cols, from_col, to_col)
+        .withColumn("_prev_max", F.max(to_col).over(w_prev))
+        .withColumn(
+            "_prev_open",
+            F.coalesce(
+                F.sum(F.col(to_col).isNull().cast("long")).over(w_prev),
+                F.lit(0),
+            ),
+        )
+    )
+    flag = (
+        (F.col("_prev_open") == 0)
+        & (F.col("_prev_max").isNull() | (F.col(from_col) > F.col("_prev_max")))
+    ).cast("long")
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(from_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = m.withColumn("_island", F.sum(flag).over(w_cum))
+    to_type = df.schema[to_col].dataType
+    return (
+        g.groupBy(*key_cols, "_island")
+        .agg(
+            F.min(from_col).alias("valid_from"),
+            F.when(
+                F.sum(F.col(to_col).isNull().cast("long")) > 0,
+                F.lit(None).cast(to_type),
+            )
+            .otherwise(F.max(to_col))
+            .alias("valid_to"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_island")
+    )
+
+
+def coverage_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Uncovered gaps inside each key's observed span → ``(key...,
+    gap_from, gap_to)``: the dual of ``coalesce_intervals`` (the
+    temporal-completeness audit — a dimension whose history has gaps
+    silently returns no version for point-in-time lookups landing in
+    one). A gap is the open stretch between two consecutive coalesced
+    islands; keys whose intervals tile produce no rows. Cost: the
+    coalesce plan plus one more same-partitioning lead() window —
+    still a single key shuffle end to end."""
+    from pyspark.sql import Window
+
+    isl = coalesce_intervals(df, key_cols, from_col, to_col)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("valid_from").asc())
+    return (
+        isl.withColumn("_next_from", F.lead("valid_from").over(w))
+        .where(F.col("_next_from").isNotNull())
+        .select(
+            *key_cols,
+            F.col("valid_to").alias("gap_from"),
+            F.col("_next_from").alias("gap_to"),
+        )
+    )

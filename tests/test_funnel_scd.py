@@ -588,3 +588,72 @@ def test_event_transitions_deterministic_across_partitionings(spark):
         sums[ft] += p
         counts[ft] += 1
     assert all(1_000_000 - counts[ft] < s <= 1_000_000 for ft, s in sums.items())
+
+
+# ---------------------------------------------------------------- coalesce
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, effective_from=f, effective_to=t) for k, f, t in rows],
+        schema="k string, effective_from long, effective_to long",
+    )
+
+
+def test_coalesce_merges_overlap_and_adjacency(spark):
+    from biosd_feature_annotator_spark.operators.scd import coalesce_intervals
+
+    iv = _intervals(spark, [
+        ("a", 1, 5), ("a", 3, 7),     # overlap -> one island
+        ("a", 7, 9),                  # adjacent (meets) -> still merges
+        ("a", 20, 25),                # gap -> second island
+        ("b", 0, 2),
+    ])
+    got = {(r.k, r.valid_from): r for r in
+           coalesce_intervals(iv, ["k"]).collect()}
+    assert got[("a", 1)].valid_to == 9 and got[("a", 1)].n_merged == 3
+    assert got[("a", 20)].valid_to == 25 and got[("a", 20)].n_merged == 1
+    assert got[("b", 0)].valid_to == 2
+    assert len(got) == 3
+
+
+def test_coalesce_open_end_absorbs(spark):
+    from biosd_feature_annotator_spark.operators.scd import coalesce_intervals
+
+    iv = _intervals(spark, [
+        ("a", 1, 3),
+        ("a", 2, None),               # open -> absorbs everything after
+        ("a", 100, 200),
+    ])
+    rows = coalesce_intervals(iv, ["k"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.valid_from == 1 and r.valid_to is None and r.n_merged == 3
+
+
+def test_coalesce_tie_determinism(spark):
+    """Equal-start intervals always share an island and the aggregate is
+    tie-order-free: shuffle partitioning / input order cannot change the
+    result (the docstring's head/non-head argument, exercised)."""
+    from biosd_feature_annotator_spark.operators.scd import coalesce_intervals
+
+    rows = [("a", 5, 6), ("a", 5, 30), ("a", 5, 10), ("a", 40, 41)]
+    for perm in (rows, rows[::-1], rows[1:] + rows[:1]):
+        got = sorted(
+            (r.valid_from, r.valid_to, r.n_merged)
+            for r in coalesce_intervals(
+                _intervals(spark, perm).repartition(7), ["k"]
+            ).collect()
+        )
+        assert got == [(5, 30, 3), (40, 41, 1)]
+
+
+def test_coverage_gaps_dual(spark):
+    from biosd_feature_annotator_spark.operators.scd import coverage_gaps
+
+    iv = _intervals(spark, [
+        ("a", 1, 5), ("a", 8, 10), ("a", 10, 12), ("a", 20, 21),
+        ("b", 0, 9),                  # tiles -> no gap rows
+    ])
+    got = sorted((r.k, r.gap_from, r.gap_to)
+                 for r in coverage_gaps(iv, ["k"]).collect())
+    assert got == [("a", 5, 8), ("a", 12, 20)]
