@@ -1813,7 +1813,148 @@ def q_events_coverage_gaps(spark, sf):
     return coverage_gaps(_lease_intervals(spark, sf), ["user_id"])
 
 
+def _hash_graph(spark, sf):
+    """Deterministic NON-bipartite graph fixture: project orderkeys
+    into one 60-node id space by two coprime affine maps, so edges
+    cross arbitrarily and triangles exist (the bipartite co-purchase
+    fixture provably has none)."""
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") < 3000)
+    k = F.col("o_orderkey").cast("long")
+    return o.select(
+        (k % 60).alias("a"),
+        ((k * 7 + 3) % 60).alias("b"),
+    )
+
+
+def q_kg_clustering_coef(spark, sf):
+    """Local clustering coefficient (graph.clustering_coefficients):
+    per-node triangle density as exact integer millionths over the
+    60-node affine-hash graph — oriented wedge-close for triangles,
+    one degree agg, one left join; total over nodes (degree-1 nodes
+    get 0). The oracle brute-forces the same triangles with two SQL
+    self-joins and replays the floor division."""
+    from biosd_feature_annotator_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    return clustering_coefficients(_hash_graph(spark, sf), "a", "b")
+
+
+def q_kg_skipgram_pairs(spark, sf):
+    """Skip-gram training pairs (graph.skipgram_pairs, window=2) from
+    the deterministic random-walk corpus over the co-purchase graph:
+    the DeepWalk pair-extraction step, computed join-free as two
+    leads over one walk-keyed window + a mirrored union. The oracle
+    rebuilds the identical corpus (replaying every md5 coin) and then
+    derives the pairs the OTHER way — a brute-force self-join on the
+    walk id with an |Δstep| ≤ 2 band."""
+    from biosd_feature_annotator_spark.operators.graph import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    corpus = random_walks(
+        _bipartite_edges(spark, sf), walk_len=3, walks_per_node=1
+    )
+    return skipgram_pairs(corpus, window=2)
+
+
 R6_QUEUE_ORACLES = {
+    "kg_clustering_coef": """
+        WITH o AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS k
+            FROM orders WHERE o_orderkey < 3000
+        ),
+        raw AS (SELECT k % 60 AS a, (k * 7 + 3) % 60 AS b FROM o),
+        e AS (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM raw WHERE a <> b
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY node
+        ),
+        tris AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        t AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                SELECT x AS node FROM tris
+                UNION ALL SELECT y FROM tris
+                UNION ALL SELECT z FROM tris
+            ) GROUP BY node
+        )
+        SELECT d.node, d.degree,
+               coalesce(t.n_triangles, 0) AS n_triangles,
+               CAST(CASE WHEN d.degree >= 2
+                    THEN (2 * coalesce(t.n_triangles, 0) * 1000000)
+                         // (d.degree * (d.degree - 1))
+                    ELSE 0 END AS BIGINT) AS cc_micro
+        FROM deg d LEFT JOIN t USING (node)
+    """,
+    "kg_skipgram_pairs": """
+        WITH raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 8 AND o_custkey < 100
+        ),
+        sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+        adj AS (
+            SELECT src, dst,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY dst) - 1 AS i
+            FROM sym
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+        nodes AS (
+            SELECT src AS node FROM sym UNION SELECT dst FROM sym
+        ),
+        s1 AS (
+            SELECT n.node AS start, a.dst AS cur
+            FROM nodes n
+            JOIN deg d ON n.node = d.src
+            JOIN adj a ON a.src = n.node AND a.i =
+                 CAST('0x' || substr(md5(
+                     CAST(n.node AS VARCHAR) || '#1#1#walk'
+                 ), 1, 15) AS BIGINT) % d.outdeg
+        ),
+        s2 AS (
+            SELECT p.start, a.dst AS cur
+            FROM s1 p
+            JOIN deg d ON p.cur = d.src
+            JOIN adj a ON a.src = p.cur AND a.i =
+                 CAST('0x' || substr(md5(
+                     CAST(p.start AS VARCHAR) || '#1#2#walk'
+                 ), 1, 15) AS BIGINT) % d.outdeg
+        ),
+        s3 AS (
+            SELECT p.start, a.dst AS cur
+            FROM s2 p
+            JOIN deg d ON p.cur = d.src
+            JOIN adj a ON a.src = p.cur AND a.i =
+                 CAST('0x' || substr(md5(
+                     CAST(p.start AS VARCHAR) || '#1#3#walk'
+                 ), 1, 15) AS BIGINT) % d.outdeg
+        ),
+        corpus AS (
+            SELECT node AS start, CAST(0 AS BIGINT) AS step, node
+            FROM nodes
+            UNION ALL SELECT start, 1, cur FROM s1
+            UNION ALL SELECT start, 2, cur FROM s2
+            UNION ALL SELECT start, 3, cur FROM s3
+        )
+        SELECT p.node AS center, q.node AS context,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM corpus p
+        JOIN corpus q ON q.start = p.start
+             AND abs(q.step - p.step) BETWEEN 1 AND 2
+        GROUP BY ALL
+    """,
     "events_interval_coalesce": """
         WITH iv AS (
             SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -676,3 +676,115 @@ def random_walks(
     return walks.select(
         "start", "w", F.posexplode("path").alias("step", "node")
     ).select("start", "w", F.col("step").cast("long").alias("step"), "node")
+
+
+def clustering_coefficients(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Local clustering coefficient per node → (node, degree,
+    n_triangles, cc_micro): how close each node's neighborhood is to a
+    clique — THE community-density probe that separates a duplicate
+    nest (cc → 1) from a hub that merely touches many entities
+    (cc → 0), where raw triangle counts alone can't tell the two
+    apart.
+
+    cc = 2·T(v) / (deg(v)·(deg(v)−1)), emitted as exact integer
+    MILLIONTHS (floor division) so the value is bit-identical at any
+    parallelism and in the SQL oracle — the repo's micro-quantization
+    discipline; degree-0/1 nodes get cc_micro = 0, not NULL, so the
+    output is total over the node set.
+
+    Cost on top of triangle_counts (oriented wedge-close, never
+    all-pairs): one degree aggregation over the canonical edge list
+    plus one node-keyed left join — both shuffle at most the node set.
+    The canonical edge list is derived twice (here for degrees, inside
+    triangle_counts under its own persist); at 100 TB that's one extra
+    scan-side dedup, preferred over widening triangle_counts'
+    persisted footprint."""
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(e, "u", "v")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+        .select(
+            "node",
+            "degree",
+            "n_triangles",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * n_triangles * 1000000)"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_micro"),
+        )
+    )
+
+
+def skipgram_pairs(
+    corpus: DataFrame,
+    window: int = 2,
+    walk_cols: tuple[str, str] = ("start", "w"),
+    step_col: str = "step",
+    node_col: str = "node",
+) -> DataFrame:
+    """Skip-gram co-occurrence counts from a walk corpus → (center,
+    context, cnt): every unordered co-occurrence within ±window inside
+    one walk, counted in both directions — the word2vec/DeepWalk
+    training-pair extraction that turns random_walks' sentences into
+    the (center, context) multiset an embedding trainer consumes
+    (and the input doc_pmi_edges-style reweighting applies to).
+
+    Zero joins: one walk-keyed window computes the next `window`
+    nodes as leads in a single pass (one shuffle on the walk id, a
+    constant-width state per row), array_compact drops the
+    end-of-walk NULLs, one explode + a mirrored union makes the pairs
+    symmetric, and a map-side-combinable count finishes. A self-join
+    on the walk id with an |Δstep| ≤ window band — the r6 oracle's
+    deliberately different derivation — would shuffle the corpus
+    twice; walks are short, so the lead form is strictly better at
+    any scale. Revisits within the window (an undirected walk
+    backtracking) produce center = context rows, faithfully counted —
+    downstream samplers decide whether to drop them."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*walk_cols).orderBy(F.col(step_col).asc())
+    leads = corpus.select(
+        F.col(node_col).alias("center"),
+        F.array_compact(
+            F.array(
+                *[F.lead(node_col, d).over(w) for d in range(1, window + 1)]
+            )
+        ).alias("_ctx"),
+    )
+    fwd = leads.select("center", F.explode("_ctx").alias("context"))
+    sym = fwd.unionByName(
+        fwd.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return sym.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -648,3 +648,56 @@ def test_random_walks_deterministic_across_partitionings(spark):
     two = sorted(tuple(r) for r in random_walks(
         e.repartition(13), walk_len=4).collect())
     assert one == two and len(one) > 0
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    from biosd_feature_annotator_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # triangle a-b-c plus pendant d hanging off c
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    got = {r.node: r for r in clustering_coefficients(e).collect()}
+    assert got[1].degree == 2 and got[1].cc_micro == 1_000_000
+    assert got[2].degree == 2 and got[2].cc_micro == 1_000_000
+    # c: 1 triangle over C(3,2)=3 possible -> floor(2e6/6)
+    assert got[3].degree == 3 and got[3].n_triangles == 1
+    assert got[3].cc_micro == 333_333
+    # pendant: degree 1 -> defined as 0, present in the output
+    assert got[4].degree == 1 and got[4].cc_micro == 0
+    assert len(got) == 4
+
+
+def test_skipgram_pairs_hand_walk(spark):
+    from biosd_feature_annotator_spark.operators.graph import skipgram_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, 1, s, n) for s, n in enumerate([10, 11, 12, 13])],
+        "start long, w long, step long, node long",
+    )
+    got = {(r.center, r.context): r.cnt
+           for r in skipgram_pairs(corpus, window=2).collect()}
+    # 5 unordered within-2 pairs, each mirrored
+    assert len(got) == 10
+    assert got[(10, 11)] == 1 and got[(11, 10)] == 1
+    assert got[(10, 12)] == 1 and got[(12, 10)] == 1
+    assert (10, 13) not in got  # distance 3 > window
+    assert got[(11, 13)] == 1 and got[(12, 13)] == 1
+
+
+def test_skipgram_pairs_counts_accumulate_and_respect_walk_ids(spark):
+    from biosd_feature_annotator_spark.operators.graph import skipgram_pairs
+
+    # two walks: the (5,6) adjacency appears in both -> cnt 2; walk
+    # boundaries must not leak (6 end of walk 1, 5 start of walk 2)
+    rows = [(1, 1, 0, 5), (1, 1, 1, 6),
+            (2, 1, 0, 6), (2, 1, 1, 5), (2, 1, 2, 7)]
+    corpus = spark.createDataFrame(
+        rows, "start long, w long, step long, node long")
+    got = {(r.center, r.context): r.cnt
+           for r in skipgram_pairs(corpus, window=2).collect()}
+    assert got[(5, 6)] == 2 and got[(6, 5)] == 2
+    assert got[(6, 7)] == 1  # within walk 2 at distance 2
+    assert (7, 6) in got and got[(7, 6)] == 1
