@@ -1859,7 +1859,160 @@ def q_kg_skipgram_pairs(spark, sf):
     return skipgram_pairs(corpus, window=2)
 
 
+def q_eval_topk_rankers(spark, sf):
+    """Distributed retrieval evaluation (similarity.eval_topk, k=3):
+    score a quantity-based supplier ranker against the exact-revenue
+    ranker per customer — recall@3 and MRR as exact integer millionths,
+    one (query, item) equi-join + query-keyed aggs, nothing collected.
+    Revenue is exact cents×(100−disc%) integer arithmetic so both
+    rankings are bit-stable. The oracle rebuilds both rankings in SQL
+    and derives the metrics differently (left-join counts + a
+    conditional min instead of the hits-then-join pipeline)."""
+    from biosd_feature_annotator_spark.operators.similarity import eval_topk
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").where(F.col("o_custkey") < 200)
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("long").alias("query_id"),
+        F.col("l_suppkey").cast("long").alias("neighbor_id"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    agg = j.groupBy("query_id", "neighbor_id").agg(
+        F.sum("rev").alias("rev"), F.sum("qty").alias("qty")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("rev"), F.asc("neighbor_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qty"), F.asc("neighbor_id")
+    )
+    truth = agg.select(
+        "query_id", "neighbor_id", F.row_number().over(wr).alias("rank")
+    )
+    pred = agg.select(
+        "query_id", "neighbor_id", F.row_number().over(wq).alias("rank")
+    )
+    return eval_topk(pred, truth, k=3)
+
+
+def q_kg_modularity(spark, sf):
+    """Community-quality audit (graph.modularity): per-community Newman
+    modularity contributions for the node%7 partition of the affine-hash
+    graph — exact integer components (e_intra, d_total, m) plus the
+    DECIMAL-floor-quantized contrib_micro, negative for
+    sparser-than-random communities. The oracle recomputes every
+    component in SQL and replays the floor with the hugeint
+    ((num − ((num%den + den)%den)) // den) recipe."""
+    from biosd_feature_annotator_spark.operators.graph import modularity
+
+    e = _hash_graph(spark, sf)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .dropDuplicates()
+    )
+    asg = nodes.select("node", (F.col("node") % 7).alias("community"))
+    return modularity(e, asg)
+
+
 R6_QUEUE_ORACLES = {
+    "kg_modularity": """
+        WITH o AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS k
+            FROM orders WHERE o_orderkey < 3000
+        ),
+        raw AS (SELECT k % 60 AS a, (k * 7 + 3) % 60 AS b FROM o),
+        e AS (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM raw WHERE a <> b
+        ),
+        nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+        asg AS (SELECT n, n % 7 AS community FROM nodes),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY node
+        ),
+        ec AS (
+            SELECT au.community, CAST(count(*) AS BIGINT) AS e_intra
+            FROM e
+            JOIN asg au ON au.n = e.u
+            JOIN asg av ON av.n = e.v
+            WHERE au.community = av.community
+            GROUP BY au.community
+        ),
+        pc AS (
+            SELECT a2.community, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS d_total
+            FROM asg a2 LEFT JOIN deg ON deg.node = a2.n
+            GROUP BY a2.community
+        ),
+        parts AS (
+            SELECT pc.community, pc.n_nodes,
+                   coalesce(ec.e_intra, 0) AS e_intra,
+                   pc.d_total, mm.m,
+                   (4 * CAST(mm.m AS HUGEINT) * coalesce(ec.e_intra, 0)
+                    - CAST(pc.d_total AS HUGEINT) * pc.d_total)
+                   * 1000000 AS num,
+                   4 * CAST(mm.m AS HUGEINT) * mm.m AS den
+            FROM pc LEFT JOIN ec USING (community) CROSS JOIN mm
+        )
+        SELECT community, n_nodes, CAST(e_intra AS BIGINT) AS e_intra,
+               d_total, m,
+               CAST((num - ((num % den + den) % den)) // den
+                    AS BIGINT) AS contrib_micro
+        FROM parts
+    """,
+    "eval_topk_rankers": """
+        WITH j AS (
+            SELECT CAST(o_custkey AS BIGINT) AS q,
+                   CAST(l_suppkey AS BIGINT) AS s,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS rev,
+                   CAST(round(l_quantity) AS BIGINT) AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200
+        ),
+        a AS (
+            SELECT q, s, sum(rev) AS rev, sum(qty) AS qty
+            FROM j GROUP BY q, s
+        ),
+        t3 AS (
+            SELECT * FROM (
+                SELECT q, s, row_number() OVER (
+                    PARTITION BY q ORDER BY rev DESC, s) AS r
+                FROM a
+            ) WHERE r <= 3
+        ),
+        p3 AS (
+            SELECT * FROM (
+                SELECT q, s, row_number() OVER (
+                    PARTITION BY q ORDER BY qty DESC, s) AS r
+                FROM a
+            ) WHERE r <= 3
+        ),
+        m AS (
+            SELECT t.q,
+                   count(p.s) AS n_hit,
+                   count(*) AS n_truth,
+                   min(p.r) AS best
+            FROM t3 t LEFT JOIN p3 p ON p.q = t.q AND p.s = t.s
+            GROUP BY t.q
+        )
+        SELECT q AS query,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST((n_hit * 1000000) // n_truth AS BIGINT) AS recall_micro,
+               CAST(CASE WHEN best IS NOT NULL THEN 1000000 // best
+                    ELSE 0 END AS BIGINT) AS mrr_micro
+        FROM m
+    """,
     "kg_clustering_coef": """
         WITH o AS (
             SELECT CAST(o_orderkey AS BIGINT) AS k

@@ -239,6 +239,12 @@ def main() -> None:
         ("kg_degree_profile", entrymod.q_kg_degree_profile),
         ("event_transitions", entrymod.q_event_transitions),
         ("kg_random_walks", entrymod.q_kg_random_walks),
+        ("events_interval_coalesce", entrymod.q_events_interval_coalesce),
+        ("events_coverage_gaps", entrymod.q_events_coverage_gaps),
+        ("kg_clustering_coef", entrymod.q_kg_clustering_coef),
+        ("kg_skipgram_pairs", entrymod.q_kg_skipgram_pairs),
+        ("eval_topk_rankers", entrymod.q_eval_topk_rankers),
+        ("kg_modularity", entrymod.q_kg_modularity),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

@@ -788,3 +788,109 @@ def skipgram_pairs(
     return sym.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a community assignment, per community →
+    (community, n_nodes, e_intra, d_total, contrib_micro): the quality
+    gate for label_propagation / CC-merge output — a partition whose Q
+    (= Σ contrib) is near 0 is no better than random, so downstream
+    canonicalization shouldn't trust its clusters.
+
+    contrib_c = e_c/m − (d_c/2m)² is carried two ways: as the EXACT
+    integer components (e_c intra-community edges, d_c total member
+    degree, with m in every row for self-containment), which any
+    arbitrary-precision consumer can combine; and pre-quantized to
+    integer millionths via DECIMAL(38,0) arithmetic — num =
+    (4·m·e_c − d_c²)·1e6, den = 4m², then a manual floor division
+    (num − pmod(num, den)) / den, because Spark's `div` silently
+    overflows through a LONG for decimal operands (verified) and
+    decimal `/` alone rounds. pmod's non-negative remainder makes the
+    quotient a true floor for the NEGATIVE contributions sparse
+    communities produce, matching the oracle's hugeint floor recipe
+    exactly. Fits decimal(38,0) to ~10^15 edges.
+
+    Shape: degree agg + two node-keyed joins of the edge list against
+    the (typically broadcast-sized) assignment, one label-keyed agg,
+    and a single-row total frame crossJoined in (a broadcast, the
+    corpus-stats idiom). Unassigned nodes are excluded from every
+    term (documented contract); assigned-but-isolated nodes
+    contribute zeros."""
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    asg = assignment.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("community")
+    ).dropDuplicates(["_n"])
+    # intra-community edge counts: both endpoints assigned, same label
+    lab = (
+        e.join(asg.select(F.col("_n").alias("u"),
+                          F.col("community").alias("_lu")), "u")
+        .join(asg.select(F.col("_n").alias("v"),
+                         F.col("community").alias("_lv")), "v")
+    )
+    e_c = (
+        lab.where(F.col("_lu") == F.col("_lv"))
+        .groupBy(F.col("_lu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_intra"))
+    )
+    deg = (
+        e.select(F.col("u").alias("_n"))
+        .unionByName(e.select(F.col("v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    per_c = (
+        asg.join(deg, "_n", "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0))).alias("d_total"),
+        )
+    )
+    total = e.agg(F.count(F.lit(1)).alias("m"))
+    dec = "decimal(38,0)"
+    return (
+        per_c.join(e_c, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("e_intra"), F.lit(0)).alias("e_intra"),
+            "d_total",
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_num",
+            (
+                F.lit(4).cast(dec) * F.col("m").cast(dec)
+                * F.col("e_intra").cast(dec)
+                - F.col("d_total").cast(dec) * F.col("d_total").cast(dec)
+            )
+            * F.lit(1_000_000).cast(dec),
+        )
+        .withColumn(
+            "_den",
+            F.lit(4).cast(dec) * F.col("m").cast(dec) * F.col("m").cast(dec),
+        )
+        .withColumn(
+            "contrib_micro",
+            ((F.col("_num") - F.pmod(F.col("_num"), F.col("_den")))
+             / F.col("_den")).cast("long"),
+        )
+        .select(
+            "community", "n_nodes", "e_intra", "d_total", "m",
+            "contrib_micro",
+        )
+    )

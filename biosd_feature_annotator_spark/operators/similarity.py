@@ -558,6 +558,74 @@ def ann_recall(ann: DataFrame, exact: DataFrame) -> float:
     return (hit.count() / n_exact) if n_exact else 1.0
 
 
+def eval_topk(
+    pred: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Distributed top-k retrieval evaluation → one row per truth query:
+    (query, n_hit, n_truth, recall_micro, mrr_micro). The per-query,
+    cluster-scale upgrade of ann_recall's two driver-side counts: when
+    the eval set is millions of queries (scoring an ANN index build, or
+    comparing two rankers), the metrics themselves must be a DataFrame,
+    not a float — so they can be sliced, joined to query metadata, and
+    regression-diffed between runs.
+
+    Exact integer arithmetic end to end (the repo's micro-quantization
+    discipline): recall@k = (n_hit·1e6) div n_truth, MRR = 1e6 div
+    (best predicted rank among hits), 0 when nothing hit — bit-stable
+    at any parallelism, no float division anywhere. Both inputs are
+    truncated to rank ≤ k first, so an over-fetched candidate list
+    can't inflate recall. Queries present only in pred are ignored
+    (evaluation is defined over the truth set); truth queries with no
+    predictions still get a row (n_hit = 0) via the left join.
+
+    Shape: one (query, item) equi-join + two query-keyed aggregations
+    — every shuffle is on the query key, nothing is collected, and the
+    hit join's width is bounded by k per query, so skew cannot exceed
+    k rows per key by construction."""
+    p = pred.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("_pr"),
+    )
+    t = truth.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query"),
+        F.col(item_col).alias("item"),
+    )
+    per_truth = t.groupBy("query").agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = (
+        t.join(p, ["query", "item"])
+        .groupBy("query")
+        .agg(
+            F.count(F.lit(1)).alias("_n_hit"),
+            F.min("_pr").alias("_best"),
+        )
+    )
+    return (
+        per_truth.join(hits, "query", "left")
+        .select(
+            "query",
+            F.coalesce(F.col("_n_hit"), F.lit(0)).alias("n_hit"),
+            "n_truth",
+            "_best",
+        )
+        .select(
+            "query",
+            "n_hit",
+            "n_truth",
+            F.expr("(n_hit * 1000000) div n_truth").alias("recall_micro"),
+            F.when(F.col("_best").isNotNull(), F.expr("1000000 div _best"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mrr_micro"),
+        )
+    )
+
+
 # ------------------------------------------------------------------
 # Product quantization (PQ): the memory-scale ANN technique — vectors
 # compressed to m small codes (one per subspace), queries scored against

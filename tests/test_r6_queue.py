@@ -73,6 +73,8 @@ def duck():
     ("events_coverage_gaps", entrymod.q_events_coverage_gaps),
     ("kg_clustering_coef", entrymod.q_kg_clustering_coef),
     ("kg_skipgram_pairs", entrymod.q_kg_skipgram_pairs),
+    ("eval_topk_rankers", entrymod.q_eval_topk_rankers),
+    ("kg_modularity", entrymod.q_kg_modularity),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -102,7 +104,8 @@ def test_r6_queue_not_registered_this_round():
                 "kg_degree_profile", "event_transitions",
                 "kg_random_walks", "events_interval_coalesce",
                 "events_coverage_gaps", "kg_clustering_coef",
-                "kg_skipgram_pairs"} & set(q)
+                "kg_skipgram_pairs", "eval_topk_rankers",
+                "kg_modularity"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

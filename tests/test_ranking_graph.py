@@ -701,3 +701,48 @@ def test_skipgram_pairs_counts_accumulate_and_respect_walk_ids(spark):
     assert got[(5, 6)] == 2 and got[(6, 5)] == 2
     assert got[(6, 7)] == 1  # within walk 2 at distance 2
     assert (7, 6) in got and got[(7, 6)] == 1
+
+
+def test_modularity_two_triangles_and_negative_floor(spark):
+    from biosd_feature_annotator_spark.operators.graph import modularity
+
+    # two triangles joined by one bridge: m = 7
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "a long, b long",
+    )
+    # natural split: each triangle one community
+    asg = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "node long, community long",
+    )
+    got = {r.community: r for r in modularity(e, asg).collect()}
+    # e_c=3, d_c=7 each: (4*7*3 - 49)/(4*49) = 35/196 -> 178571 micro
+    for c in (1, 2):
+        assert got[c].n_nodes == 3 and got[c].e_intra == 3
+        assert got[c].d_total == 7 and got[c].m == 7
+        assert got[c].contrib_micro == 178_571
+
+    # adversarial split across the triangles: negative contribution,
+    # floor (not truncation): (0-25)*1e6/196 = -127551.02 -> -127552
+    bad = spark.createDataFrame(
+        [(1, 10), (4, 10), (2, 20), (3, 20), (5, 20), (6, 20)],
+        "node long, community long",
+    )
+    got2 = {r.community: r for r in modularity(e, bad).collect()}
+    assert got2[10].e_intra == 0 and got2[10].d_total == 5
+    assert got2[10].contrib_micro == -127_552
+
+
+def test_modularity_excludes_unassigned_includes_isolated(spark):
+    from biosd_feature_annotator_spark.operators.graph import modularity
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    # node 3 unassigned; node 9 assigned but has no edges
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 2)], "node long, community long"
+    )
+    got = {r.community: r for r in modularity(e, asg).collect()}
+    assert got[1].e_intra == 1 and got[1].d_total == 3  # deg(1)+deg(2)
+    assert got[2].n_nodes == 1 and got[2].e_intra == 0
+    assert got[2].d_total == 0 and got[2].contrib_micro == 0

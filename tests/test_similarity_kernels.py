@@ -112,3 +112,32 @@ def test_lsh_topk_identical_across_kernels(spark, emb):
     c = s.lsh_cosine_topk(q, emb, k=3, n_planes=16, bands=4, dim=64,
                           kernel="catalyst")
     assert _rows(a) == _rows(c)
+
+
+def test_eval_topk_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.similarity import eval_topk
+
+    truth = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2),
+         ("q3", "m", 1)],
+        "query_id string, neighbor_id string, rank long",
+    )
+    pred = spark.createDataFrame(
+        [("q1", "b", 1), ("q1", "z", 2), ("q1", "c", 3),
+         ("q1", "a", 4),              # rank 4 > k: must NOT count
+         ("q2", "u", 1), ("q2", "v", 2),
+         ("q4", "w", 1)],             # pred-only query: ignored
+        "query_id string, neighbor_id string, rank long",
+    )
+    got = {r.query: r for r in eval_topk(pred, truth, k=3).collect()}
+    assert set(got) == {"q1", "q2", "q3"}
+    # q1: hits b(rank1), c(rank3); a excluded by k-truncation
+    assert got["q1"].n_hit == 2 and got["q1"].n_truth == 3
+    assert got["q1"].recall_micro == 666_666
+    assert got["q1"].mrr_micro == 1_000_000        # best hit at rank 1
+    # q2: no overlap
+    assert got["q2"].n_hit == 0 and got["q2"].recall_micro == 0
+    assert got["q2"].mrr_micro == 0
+    # q3: truth query with no predictions at all still gets a row
+    assert got["q3"].n_hit == 0 and got["q3"].n_truth == 1
