@@ -1919,7 +1919,62 @@ def q_kg_modularity(spark, sf):
     return modularity(e, asg)
 
 
+def q_docs_rater_kappa(spark, sf):
+    """Inter-rater agreement (quality.cohens_kappa) between two
+    document quality gates — a char-length rater vs a token-count
+    rater: exact confusion components plus the DECIMAL-floor kappa in
+    integer millionths, the curation-pipeline check that two labelers
+    agree beyond chance. The oracle never builds the confusion
+    matrix: for binary raters it derives s_marg straight from the two
+    margins (a1·b1 + (n−a1)(n−b1)) in one conditional-sum pass and
+    replays the hugeint floor."""
+    from biosd_feature_annotator_spark.plans.quality import cohens_kappa
+
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    r = d.select(
+        (F.length("text") >= 200).alias("rater_a"),
+        (F.size(toks) >= 40).alias("rater_b"),
+    )
+    return cohens_kappa(r)
+
+
 R6_QUEUE_ORACLES = {
+    "docs_rater_kappa": """
+        WITH d AS (
+            SELECT length(text) >= 200 AS ra,
+                   len(string_split_regex(trim(text), '\\s+')) >= 40 AS rb
+            FROM documents
+        ),
+        c AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree,
+                   CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a1,
+                   CAST(sum(CASE WHEN rb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b1
+            FROM d
+        ),
+        k AS (
+            SELECT n, n_agree,
+                   CAST(a1 AS HUGEINT) * b1
+                     + CAST(n - a1 AS HUGEINT) * (n - b1) AS s_marg
+            FROM c
+        ),
+        q AS (
+            SELECT n, n_agree, s_marg,
+                   (CAST(n AS HUGEINT) * n_agree - s_marg)
+                     * 1000000 AS num,
+                   CAST(n AS HUGEINT) * n - s_marg AS den
+            FROM k
+        )
+        SELECT n, n_agree, CAST(s_marg AS BIGINT) AS s_marg,
+               CAST(CASE WHEN den <> 0 THEN
+                    (num - ((num % den + den) % den)) // den
+                    END AS BIGINT) AS kappa_micro
+        FROM q
+    """,
     "kg_modularity": """
         WITH o AS (
             SELECT CAST(o_orderkey AS BIGINT) AS k

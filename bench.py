@@ -245,6 +245,7 @@ def main() -> None:
         ("kg_skipgram_pairs", entrymod.q_kg_skipgram_pairs),
         ("eval_topk_rankers", entrymod.q_eval_topk_rankers),
         ("kg_modularity", entrymod.q_kg_modularity),
+        ("docs_rater_kappa", entrymod.q_docs_rater_kappa),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

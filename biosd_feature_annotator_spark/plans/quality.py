@@ -270,3 +270,71 @@ def robust_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame, a: str = "rater_a", b: str = "rater_b"
+) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between two label columns
+    → ONE row (n, n_agree, s_marg, kappa_micro): the label-quality
+    gate for curation pipelines — when two annotators (a heuristic
+    gate vs a model scorer, or two model versions) disagree no better
+    than chance, neither label is trustworthy training signal, and raw
+    percent-agreement can't see that (it rewards constant raters).
+
+    kappa = (p_o − p_e)/(1 − p_e) carried exactly:
+    n = Σ confusion counts, n_agree = Σ diagonal, s_marg = Σ_label
+    rowmargin·colmargin (the chance-agreement numerator over n²), so
+    kappa = (n·n_agree − s_marg)/(n² − s_marg). The quantized value is
+    a true floor in integer millionths via the same DECIMAL(38,0)
+    manual floor as graph.modularity (kappa is negative for
+    worse-than-chance raters, and `div` overflows on wide decimals);
+    the exact integer components travel alongside for any
+    arbitrary-precision consumer. Both raters constant and equal
+    (p_e = 1, kappa undefined) yields NULL, documented.
+
+    Shape: one (a, b)-keyed count (the confusion matrix — labels-sized,
+    tiny), then everything else is algebra over that matrix: two
+    label-keyed margin aggs, one label equi-join, three single-row
+    frames crossJoined (broadcast). The data is touched ONCE."""
+    conf = df.groupBy(
+        F.col(a).alias("_la"), F.col(b).alias("_lb")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    totals = conf.agg(
+        F.sum("_c").alias("n"),
+        F.sum(
+            F.when(F.col("_la").eqNullSafe(F.col("_lb")), F.col("_c"))
+            .otherwise(F.lit(0))
+        ).alias("n_agree"),
+    )
+    rows = conf.groupBy("_la").agg(F.sum("_c").alias("_ra"))
+    cols = conf.groupBy("_lb").agg(F.sum("_c").alias("_cb"))
+    s = (
+        rows.join(cols, rows["_la"].eqNullSafe(cols["_lb"]))
+        .agg(F.coalesce(F.sum(F.col("_ra") * F.col("_cb")), F.lit(0))
+             .alias("s_marg"))
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * F.col("n_agree").cast(dec)
+        - F.col("s_marg").cast(dec)
+    ) * F.lit(1_000_000).cast(dec)
+    den = (
+        F.col("n").cast(dec) * F.col("n").cast(dec)
+        - F.col("s_marg").cast(dec)
+    )
+    return (
+        totals.crossJoin(F.broadcast(s))
+        .withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            "n",
+            "n_agree",
+            "s_marg",
+            F.when(
+                F.col("_den") != F.lit(0).cast(dec),
+                ((F.col("_num") - F.pmod(F.col("_num"), F.col("_den")))
+                 / F.col("_den")).cast("long"),
+            ).alias("kappa_micro"),
+        )
+    )

@@ -657,3 +657,47 @@ def test_coverage_gaps_dual(spark):
     got = sorted((r.k, r.gap_from, r.gap_to)
                  for r in coverage_gaps(iv, ["k"]).collect())
     assert got == [("a", 5, 8), ("a", 12, 20)]
+
+
+# ---------------------------------------------------------------- kappa
+
+def test_cohens_kappa_textbook_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import cohens_kappa
+
+    rows = ([(True, True)] * 20 + [(True, False)] * 5
+            + [(False, True)] * 10 + [(False, False)] * 15)
+    df = spark.createDataFrame(rows, "rater_a boolean, rater_b boolean")
+    r = cohens_kappa(df).collect()[0]
+    # n=50 agree=35 margins 25/30: s=25*30+25*20=1250
+    # kappa = (1750-1250)/(2500-1250) = 0.4
+    assert (r.n, r.n_agree, r.s_marg) == (50, 35, 1250)
+    assert r.kappa_micro == 400_000
+
+
+def test_cohens_kappa_worse_than_chance_and_degenerate(spark):
+    from biosd_feature_annotator_spark.plans.quality import cohens_kappa
+
+    perfect_disagree = spark.createDataFrame(
+        [(True, False)] * 2 + [(False, True)] * 2,
+        "rater_a boolean, rater_b boolean",
+    )
+    r = cohens_kappa(perfect_disagree).collect()[0]
+    assert r.kappa_micro == -1_000_000  # exact floor, negative
+
+    constant = spark.createDataFrame(
+        [(True, True)] * 3, "rater_a boolean, rater_b boolean"
+    )
+    r2 = cohens_kappa(constant).collect()[0]
+    assert r2.kappa_micro is None  # p_e = 1: undefined -> NULL
+
+
+def test_cohens_kappa_multicategory(spark):
+    from biosd_feature_annotator_spark.plans.quality import cohens_kappa
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "y")],
+        "rater_a string, rater_b string",
+    )
+    r = cohens_kappa(df).collect()[0]
+    # s = 2*1 + 1*2 = 4; kappa = (6-4)/(9-4) = 0.4
+    assert (r.n, r.n_agree, r.s_marg, r.kappa_micro) == (3, 2, 4, 400_000)

@@ -75,6 +75,7 @@ def duck():
     ("kg_skipgram_pairs", entrymod.q_kg_skipgram_pairs),
     ("eval_topk_rankers", entrymod.q_eval_topk_rankers),
     ("kg_modularity", entrymod.q_kg_modularity),
+    ("docs_rater_kappa", entrymod.q_docs_rater_kappa),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -105,7 +106,7 @@ def test_r6_queue_not_registered_this_round():
                 "kg_random_walks", "events_interval_coalesce",
                 "events_coverage_gaps", "kg_clustering_coef",
                 "kg_skipgram_pairs", "eval_topk_rankers",
-                "kg_modularity"} & set(q)
+                "kg_modularity", "docs_rater_kappa"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
