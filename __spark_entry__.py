@@ -1939,7 +1939,122 @@ def q_docs_rater_kappa(spark, sf):
     return cohens_kappa(r)
 
 
+def q_mutual_best_pairs(spark, sf):
+    """Reciprocal best match (similarity.mutual_best_match): customer ↔
+    supplier pairs where each is the other's top exact-revenue partner
+    — the entity-alignment seed extractor; hubs that don't reciprocate
+    drop out. Window argmax with pinned ties (desc score, asc partner);
+    the oracle derives each side's argmax the other way (max-score agg,
+    then min partner among maxima) before intersecting."""
+    from biosd_feature_annotator_spark.operators.similarity import (
+        mutual_best_match,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").where(F.col("o_custkey") < 200)
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("query_id"),
+            F.col("l_suppkey").cast("long").alias("neighbor_id"),
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100)
+                   .cast("long"))
+            ).alias("rev"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("rev").alias("score"))
+    )
+    return mutual_best_match(p, "query_id", "neighbor_id", "score").select(
+        F.col("left").alias("cust"),
+        F.col("right").alias("supp"),
+        "score",
+    )
+
+
+def q_events_time_weighted_avg(spark, sf):
+    """Time-weighted average (scd.time_weighted_avg) of an
+    interval-held value per user over the lease fixture — duration
+    must weight the value, which plain AVG over version rows gets
+    backwards. Exact decimal sums plus the DECIMAL-floor twa in
+    integer millionths; the oracle replays both sums in hugeint and
+    the same floor recipe."""
+    from biosd_feature_annotator_spark.operators.scd import (
+        time_weighted_avg,
+    )
+
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 40)
+    iv = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _epoch_ntz("ts").alias("effective_from"),
+        (
+            _epoch_ntz("ts")
+            + (F.col("event_id") % 7 + 1).cast("long") * F.lit(60)
+        ).alias("effective_to"),
+        (F.col("event_id") % 97).cast("long").alias("val"),
+    )
+    return time_weighted_avg(iv, ["user_id"], "val")
+
+
 R6_QUEUE_ORACLES = {
+    "mutual_best_pairs": """
+        WITH j AS (
+            SELECT CAST(o_custkey AS BIGINT) AS q,
+                   CAST(l_suppkey AS BIGINT) AS s,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200
+        ),
+        p AS (
+            SELECT q, s, CAST(sum(rev) AS BIGINT) AS score
+            FROM j GROUP BY q, s
+        ),
+        lm AS (SELECT q, max(score) AS ms FROM p GROUP BY q),
+        lbest AS (
+            SELECT p.q, min(p.s) AS s
+            FROM p JOIN lm ON lm.q = p.q AND p.score = lm.ms
+            GROUP BY p.q
+        ),
+        rm AS (SELECT s, max(score) AS ms FROM p GROUP BY s),
+        rbest AS (
+            SELECT p.s, min(p.q) AS q
+            FROM p JOIN rm ON rm.s = p.s AND p.score = rm.ms
+            GROUP BY p.s
+        )
+        SELECT lb.q AS cust, lb.s AS supp, p.score
+        FROM lbest lb
+        JOIN rbest rb ON rb.s = lb.s AND rb.q = lb.q
+        JOIN p ON p.q = lb.q AND p.s = lb.s
+    """,
+    "events_time_weighted_avg": """
+        WITH iv AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS f,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                       + (event_id % 7 + 1) * 60 AS t,
+                   CAST(event_id % 97 AS BIGINT) AS val
+            FROM events WHERE user_id < 40
+        ),
+        a AS (
+            SELECT user_id,
+                   sum(CAST(val AS HUGEINT) * (t - f)) AS wsum,
+                   sum(CAST(t - f AS HUGEINT)) AS dur
+            FROM iv GROUP BY user_id
+        ),
+        q AS (
+            SELECT user_id, wsum, dur, wsum * 1000000 AS num
+            FROM a
+        )
+        SELECT user_id, CAST(wsum AS BIGINT) AS wsum,
+               CAST(dur AS BIGINT) AS dur_total,
+               CAST(CASE WHEN dur <> 0 THEN
+                    (num - ((num % dur + dur) % dur)) // dur
+                    END AS BIGINT) AS twa_micro
+        FROM q
+    """,
     "docs_rater_kappa": """
         WITH d AS (
             SELECT length(text) >= 200 AS ra,

@@ -378,3 +378,50 @@ def coverage_gaps(
             F.col("_next_from").alias("gap_to"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Time-weighted average of an interval-held value per key →
+    (key..., wsum, dur_total, twa_micro): the temporal aggregate that
+    makes validity-interval facts comparable — a price held for a year
+    must outweigh one held for a minute, which a plain AVG over
+    version rows gets exactly backwards. The TimescaleDB
+    time_weight('locf') shape, as one Spark aggregation.
+
+    Requires finite ``from < to`` (coalesce open intervals to a
+    horizon upstream) and an integer value (cents / micro-quantized):
+    then wsum = Σ value·duration and dur_total = Σ duration are exact
+    longs-in-decimal, and twa_micro = floor(wsum·1e6 / dur_total) via
+    the DECIMAL(38,0) manual floor (pmod-then-divide — `div` overflows
+    through a long, and true floor keeps NEGATIVE values exact). The
+    exact components travel alongside, so downstream can re-weight or
+    merge partial results without precision loss — the same
+    mergeable-state discipline as the agg-state family.
+
+    Shape: one map-side-combinable aggregation keyed by the key
+    columns. Nothing else — no window, no join; overlapping intervals
+    are each weighted by their own duration (coalesce first if
+    double-counting overlap is wrong for the source)."""
+    dec = "decimal(38,0)"
+    dur = (F.col(to_col) - F.col(from_col)).cast(dec)
+    agg = df.groupBy(*key_cols).agg(
+        F.sum(F.col(value_col).cast(dec) * dur).alias("_wsum"),
+        F.sum(dur).alias("_dur"),
+    )
+    num = F.col("_wsum") * F.lit(1_000_000).cast(dec)
+    return agg.select(
+        *key_cols,
+        F.col("_wsum").cast("long").alias("wsum"),
+        F.col("_dur").cast("long").alias("dur_total"),
+        F.when(
+            F.col("_dur") != F.lit(0).cast(dec),
+            ((num - F.pmod(num, F.col("_dur"))) / F.col("_dur"))
+            .cast("long"),
+        ).alias("twa_micro"),
+    )

@@ -909,3 +909,60 @@ def group_centroids_long(
             ).alias("centroid"),
         )
     )
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    left_col: str = "query_id",
+    right_col: str = "neighbor_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal best match over a scored pair table → (left, right,
+    score) rows where each side is the other's argmax — the
+    high-precision seed-pair extractor for entity alignment: when two
+    KG builds (or an embedding space and a lexicon) must be linked,
+    mutual-top-1 pairs are the near-certain anchors that bootstrap
+    everything else, while one-directional best matches are polluted by
+    hubs that are everyone's favorite without reciprocating.
+
+    Deterministic argmax: highest score, ties broken by the SMALLEST
+    partner id (row_number, the repo's pinned-tie discipline) — use an
+    exact score (integer cents, micro-quantized cosine) for bit-stable
+    results. Shape: two window passes over the same pair table (one
+    shuffle per side's key) and one (left, right) equi-join of two
+    argmax-thinned frames — each at most one row per key, so the join
+    cannot fan out; no all-pairs stage. The oracle twin derives each
+    argmax differently (max-score agg, then min-partner among the
+    maxima) to keep the verification independent."""
+    bl = (
+        pairs.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(left_col).orderBy(
+                    F.desc(score_col), F.asc(right_col)
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(left_col).alias("left"),
+            F.col(right_col).alias("right"),
+            F.col(score_col).alias("score"),
+        )
+    )
+    br = (
+        pairs.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(right_col).orderBy(
+                    F.desc(score_col), F.asc(left_col)
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(left_col).alias("left"),
+            F.col(right_col).alias("right"),
+        )
+    )
+    return bl.join(br, ["left", "right"])

@@ -76,6 +76,8 @@ def duck():
     ("eval_topk_rankers", entrymod.q_eval_topk_rankers),
     ("kg_modularity", entrymod.q_kg_modularity),
     ("docs_rater_kappa", entrymod.q_docs_rater_kappa),
+    ("mutual_best_pairs", entrymod.q_mutual_best_pairs),
+    ("events_time_weighted_avg", entrymod.q_events_time_weighted_avg),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -106,7 +108,9 @@ def test_r6_queue_not_registered_this_round():
                 "kg_random_walks", "events_interval_coalesce",
                 "events_coverage_gaps", "kg_clustering_coef",
                 "kg_skipgram_pairs", "eval_topk_rankers",
-                "kg_modularity", "docs_rater_kappa"} & set(q)
+                "kg_modularity", "docs_rater_kappa",
+                "mutual_best_pairs",
+                "events_time_weighted_avg"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

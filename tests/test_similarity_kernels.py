@@ -141,3 +141,53 @@ def test_eval_topk_hand_case(spark):
     assert got["q2"].mrr_micro == 0
     # q3: truth query with no predictions at all still gets a row
     assert got["q3"].n_hit == 0 and got["q3"].n_truth == 1
+
+
+def test_mutual_best_match_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.similarity import (
+        mutual_best_match,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # c1's best is s1 (9) and s1's best is c1: mutual
+            ("c1", "s1", 9), ("c1", "s2", 5),
+            # c2's best is s1 (8) but s1 prefers c1: NOT mutual.
+            # s2's best is c2 (7) but c2 prefers s1: NOT mutual either
+            # — the hub-pollution case reciprocity filters out.
+            ("c2", "s1", 8),
+            ("c2", "s2", 7),
+            # c5<->s5 is an isolated mutual pair
+            ("c5", "s5", 1),
+            # tie on score for c3: lowest partner id (s3) wins; s3
+            # reciprocates c3 -> mutual at 4
+            ("c3", "s3", 4), ("c3", "s4", 4), ("c4", "s3", 2),
+        ],
+        "query_id string, neighbor_id string, score long",
+    )
+    got = {(r.left, r.right): r.score
+           for r in mutual_best_match(pairs).collect()}
+    assert got == {("c1", "s1"): 9, ("c3", "s3"): 4, ("c5", "s5"): 1}
+
+
+def test_time_weighted_avg_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.scd import (
+        time_weighted_avg,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            # value 100 for 9s, value 10 for 1s: twa = 910/10 = 91
+            ("a", 0, 9, 100), ("a", 9, 10, 10),
+            # negative value, floor not truncation: -5*3/3 exact, then
+            # (-5*3 + 4*1)/4s = -11/4 = -2.75 -> -2750000 micro exact
+            ("b", 0, 3, -5), ("b", 3, 4, 4),
+        ],
+        "k string, effective_from long, effective_to long, v long",
+    )
+    got = {r.k: r for r in
+           time_weighted_avg(iv, ["k"], "v").collect()}
+    assert got["a"].wsum == 910 and got["a"].dur_total == 10
+    assert got["a"].twa_micro == 91_000_000
+    assert got["b"].wsum == -11 and got["b"].dur_total == 4
+    assert got["b"].twa_micro == -2_750_000
