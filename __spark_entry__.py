@@ -1997,7 +1997,153 @@ def q_events_time_weighted_avg(spark, sf):
     return time_weighted_avg(iv, ["user_id"], "val")
 
 
+def q_emb_auc_scores(spark, sf):
+    """Mann-Whitney ROC AUC (quality.binary_auc) of a centi-quantized
+    embedding component ranking the high labels — exact tie-averaged
+    rank sums as longs plus the DECIMAL-floor AUC in integer
+    millionths, the threshold-free gate for any model-assisted
+    curation scorer. The oracle derives U the OTHER way — from the
+    pairwise definition Σ wins + ½·ties over the per-score
+    pos/neg-count cross join — so rank-sum bookkeeping is verified
+    against the definition itself."""
+    from biosd_feature_annotator_spark.plans.quality import binary_auc
+
+    e = _t(spark, sf, "embeddings")
+    r = e.select(
+        F.round(F.col("embedding").getItem(1).cast("double") * 100)
+        .cast("long")
+        .alias("score"),
+        (F.col("label") >= 5).alias("is_pos"),
+    )
+    return binary_auc(r)
+
+
+def q_emb_calibration(spark, sf):
+    """Reliability bins + ECE (quality.calibration_bins) of a
+    micro-quantized pseudo-confidence against the high-label outcome —
+    per-bin exact components (the n_b denominators cancel, so each
+    bin's |avg_conf − frac_pos| contribution is a long) and the
+    DECIMAL-floor ECE repeated per row. The oracle replays the binning
+    and the hugeint floor independently."""
+    from biosd_feature_annotator_spark.plans.quality import (
+        calibration_bins,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    cm = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(500_000)
+            + F.round(
+                F.col("embedding").getItem(3).cast("double") * 1_000_000
+            ).cast("long"),
+        ),
+    )
+    r = e.select(
+        cm.alias("conf_micro"), (F.col("label") >= 5).alias("is_pos")
+    )
+    return calibration_bins(r)
+
+
+def q_emb_gram_matrix(spark, sf):
+    """Exact upper-triangle Gram matrix (similarity.gram_matrix) of
+    the milli-quantized embeddings — the distributed-PCA/whitening
+    reduction: a data-sized pass folds 10^12 vectors into d(d+1)/2
+    integer cells and the eigensolve is driver-side numpy on that
+    metadata-sized result. The oracle regenerates the pairs from a
+    correlated double-unnest over the same quantized lists."""
+    from biosd_feature_annotator_spark.operators.similarity import (
+        gram_matrix,
+    )
+
+    return gram_matrix(_t(spark, sf, "embeddings"))
+
+
 R6_QUEUE_ORACLES = {
+    "emb_auc_scores": """
+        WITH s AS (
+            SELECT CAST(round(CAST(embedding[2] AS DOUBLE) * 100)
+                        AS BIGINT) AS score,
+                   (label >= 5) AS pos
+            FROM embeddings
+        ),
+        g AS (
+            SELECT score, count(*) AS c,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p
+            FROM s GROUP BY score
+        ),
+        -- pairwise definition: u2 = 2*(wins) + ties, from the
+        -- per-score cross join (independent of rank-sum bookkeeping)
+        pw AS (
+            SELECT
+                (SELECT COALESCE(sum(
+                     CAST(a.p AS HUGEINT) * (a.c - a.p)), 0) FROM g a)
+                    AS same_u2_half,
+                (SELECT COALESCE(sum(
+                     2 * CAST(a.p AS HUGEINT) * (b.c - b.p)), 0)
+                 FROM g a JOIN g b ON a.score > b.score) AS wins2
+        ),
+        t AS (
+            SELECT sum(p) AS n_pos, sum(c - p) AS n_neg FROM g
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CAST(wins2 + same_u2_half AS BIGINT) AS u2,
+               CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                    ((wins2 + same_u2_half) * 1000000)
+                        // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                    END AS BIGINT) AS auc_micro
+        FROM t, pw
+    """,
+    "emb_calibration": """
+        WITH s AS (
+            SELECT LEAST(1000000, GREATEST(0,
+                       500000 + CAST(round(
+                           CAST(embedding[4] AS DOUBLE) * 1000000)
+                           AS BIGINT))) AS cm,
+                   (label >= 5) AS pos
+            FROM embeddings
+        ),
+        b AS (
+            SELECT LEAST(9, cm * 10 // 1000000) AS bin,
+                   count(*) AS n,
+                   sum(cm) AS sum_conf_micro,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+            FROM s GROUP BY 1
+        ),
+        t AS (
+            SELECT sum(n) AS nn,
+                   sum(abs(sum_conf_micro - n_pos * 1000000)) AS gg
+            FROM b
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+               CAST(sum_conf_micro AS BIGINT) AS sum_conf_micro,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(abs(sum_conf_micro - n_pos * 1000000) AS BIGINT)
+                   AS gap_micro,
+               CAST(gg // nn AS BIGINT) AS ece_micro
+        FROM b, t
+    """,
+    "emb_gram_matrix": """
+        WITH q AS (
+            SELECT list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        p AS (
+            SELECT t.i - 1 AS i, u.j - 1 AS j,
+                   CAST(v[t.i] AS HUGEINT) * v[u.j] AS prod
+            FROM q,
+                 unnest(range(1, len(v) + 1)) AS t(i),
+                 unnest(range(1, len(v) + 1)) AS u(j)
+            WHERE u.j >= t.i
+        )
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               CAST(sum(prod) AS BIGINT) AS g
+        FROM p GROUP BY i, j
+    """,
     "mutual_best_pairs": """
         WITH j AS (
             SELECT CAST(o_custkey AS BIGINT) AS q,

@@ -966,3 +966,54 @@ def mutual_best_match(
         )
     )
     return bl.join(br, ["left", "right"])
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", quant: int = 1000
+) -> DataFrame:
+    """Exact d×d Gram matrix of an embedding column → upper-triangle
+    rows (i, j, g) with i ≤ j and g = Σ_rows v̂ᵢ·v̂ⱼ over milli-quantized
+    components v̂ = round(v·quant): the distributed building block for
+    PCA / whitening / covariance over 10^12 vectors — the data-sized
+    pass reduces everything to a d(d+1)/2-cell matrix (metadata-sized,
+    d=64 → 2080 longs), and the eigendecomposition that follows is a
+    driver-side numpy call on that tiny result, never a Spark job.
+
+    Exactness: quantize FIRST, multiply integers, sum in DECIMAL(38,0)
+    — float dot products are order-dependent and would hash-differ
+    across parallelism levels; integer products commute. With |v|≲1
+    and quant=1000 each term is ≤ ~10^6, so even 10^12 rows stay
+    within the decimal accumulator and the emitted long.
+
+    Shape: per row one posexplode to (i, v̂ᵢ) then one posexplode of
+    the TAIL SLICE from i (upper triangle only — half the generated
+    rows; the matrix is symmetric), then a groupBy on (i, j): partial
+    aggregation combines map-side, so the shuffle carries at most
+    d(d+1)/2 rows per task regardless of data size. No join, no
+    window, no Python."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(quant)))
+        .cast("long"),
+    )
+    step1 = df.select(q.alias("_q")).select(
+        F.posexplode("_q").alias("i", "_vi"), F.col("_q")
+    )
+    step2 = step1.select(
+        "i",
+        "_vi",
+        F.posexplode(
+            F.slice("_q", F.col("i") + 1, F.size("_q") - F.col("i"))
+        ).alias("_p", "_vj"),
+    )
+    return (
+        step2.select(
+            F.col("i").cast("long").alias("i"),
+            (F.col("i") + F.col("_p")).cast("long").alias("j"),
+            (F.col("_vi") * F.col("_vj")).cast("decimal(38,0)")
+            .alias("_prod"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("_prod").alias("_g"))
+        .select("i", "j", F.col("_g").cast("long").alias("g"))
+    )

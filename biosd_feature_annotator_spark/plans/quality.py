@@ -16,7 +16,7 @@ report itself is rules-sized, never data-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def not_null(col: str) -> dict:
@@ -337,4 +337,135 @@ def cohens_kappa(
                  / F.col("_den")).cast("long"),
             ).alias("kappa_micro"),
         )
+    )
+
+
+def binary_auc(
+    df: DataFrame, score_col: str = "score", label_col: str = "is_pos"
+) -> DataFrame:
+    """ROC AUC of a binary classifier score → ONE row (n_pos, n_neg,
+    u2, auc_micro): the threshold-free ranking metric every
+    model-assisted curation gate reports — "does the quality scorer
+    actually rank kept docs above dropped ones" is an AUC question,
+    and at 10^12 rows the sklearn-style sort-everything-on-one-node
+    answer does not exist.
+
+    Mann-Whitney with exact tie handling: group rows by score (the
+    map-side-combinable pass that touches the data once), then over
+    the DISTINCT-score frame compute each tie group's doubled average
+    rank 2·r̄ = 2·cum_before + c + 1 (an integer — halves never appear),
+    u2 = Σ_pos 2·r̄ − n_pos·(n_pos+1) = twice the U statistic, and
+    AUC = u2 / (2·n_pos·n_neg), floored to integer millionths via the
+    DECIMAL(38,0) pmod recipe. The exact integers (n_pos, n_neg, u2)
+    travel alongside so partial results merge without precision loss.
+    Degenerate single-class inputs yield auc_micro = NULL.
+
+    Shape: one score-keyed aggregation of the data, then an
+    unpartitioned running-sum window over DISTINCT scores only — use a
+    quantized score (integer cents / micros, the repo discipline) so
+    that frame is domain-bounded (≤ ~1e6 rows however large the data),
+    then a single global agg. Never sorts the data itself."""
+    per = df.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(
+            F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_p"),
+    )
+    w = (
+        Window.orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per.withColumn(
+        "_before", F.coalesce(F.sum("_c").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("_p").alias("n_pos"),
+        F.sum(F.col("_c") - F.col("_p")).alias("n_neg"),
+        F.sum(
+            F.col("_p")
+            * (F.lit(2) * F.col("_before") + F.col("_c") + F.lit(1))
+        ).alias("_r2"),
+    )
+    dec = "decimal(38,0)"
+    u2 = (
+        F.col("_r2").cast(dec)
+        - F.col("n_pos").cast(dec) * (F.col("n_pos").cast(dec) + 1)
+    )
+    num = u2 * F.lit(1_000_000).cast(dec)
+    den = (
+        F.lit(2).cast(dec)
+        * F.col("n_pos").cast(dec)
+        * F.col("n_neg").cast(dec)
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            ((num - F.pmod(num, den)) / den).cast("long"),
+        ).alias("auc_micro"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    conf_micro_col: str = "conf_micro",
+    label_col: str = "is_pos",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error over a
+    confidence column in integer millionths → one row per occupied bin
+    (bin, n, sum_conf_micro, n_pos, gap_micro, ece_micro): a scorer
+    that says 0.9 should be right ~90% of the time, and a curation
+    threshold chosen on miscalibrated confidences silently shifts the
+    kept-data distribution. ECE is the standard audit.
+
+    Exactness: each bin's contribution n_b·|avg_conf − frac_pos| equals
+    |sum_conf_micro − n_pos·10^6| EXACTLY in integer micro units (the
+    n_b denominators cancel), so gap_micro is a long with no float in
+    sight, and ece_micro = floor(Σ gap_micro / N) via the DECIMAL pmod
+    floor, repeated on every row for self-contained consumption. The
+    per-bin exact components merge across shards (mergeable-state
+    discipline).
+
+    Shape: one bins-keyed (≤ `bins` groups) map-side-combinable agg of
+    the data, one broadcast of the bins-sized total back onto the bins
+    frame. The data is touched once."""
+    binc = F.least(
+        F.lit(int(bins) - 1).cast("long"),
+        F.floor(
+            F.col(conf_micro_col) * F.lit(int(bins)) / F.lit(1_000_000)
+        ).cast("long"),
+    )
+    per = (
+        df.groupBy(binc.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(conf_micro_col).alias("sum_conf_micro"),
+            F.sum(
+                F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_pos"),
+        )
+        .withColumn(
+            "gap_micro",
+            F.abs(
+                F.col("sum_conf_micro")
+                - F.col("n_pos") * F.lit(1_000_000)
+            ),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("_N"), F.sum("gap_micro").alias("_G")
+    )
+    dec = "decimal(38,0)"
+    g = F.col("_G").cast(dec)
+    n = F.col("_N").cast(dec)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "sum_conf_micro",
+        "n_pos",
+        "gap_micro",
+        ((g - F.pmod(g, n)) / n).cast("long").alias("ece_micro"),
     )

@@ -701,3 +701,86 @@ def test_cohens_kappa_multicategory(spark):
     r = cohens_kappa(df).collect()[0]
     # s = 2*1 + 1*2 = 4; kappa = (6-4)/(9-4) = 0.4
     assert (r.n, r.n_agree, r.s_marg, r.kappa_micro) == (3, 2, 4, 400_000)
+
+
+# ---------------------------------------------------------------- auc / ece
+def test_binary_auc_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import binary_auc
+
+    # scores: pos at {3, 2}, neg at {2, 1, 0}
+    # pairs: (3>2),(3>1),(3>0) wins; (2==2) tie; (2>1),(2>0) wins
+    # U = 5 + 0.5 = 5.5 of 6 -> AUC = 11/12 = 0.91666..
+    df = spark.createDataFrame(
+        [(3, True), (2, True), (2, False), (1, False), (0, False)],
+        "score long, is_pos boolean",
+    )
+    r = binary_auc(df).collect()[0]
+    assert r.n_pos == 2 and r.n_neg == 3
+    assert r.u2 == 11  # 2*U
+    assert r.auc_micro == 916_666  # floor(11e6/12)
+
+    # perfect ranking -> 1.0; reversed -> 0.0
+    perfect = spark.createDataFrame(
+        [(9, True), (1, False)], "score long, is_pos boolean"
+    )
+    assert binary_auc(perfect).collect()[0].auc_micro == 1_000_000
+    rev = spark.createDataFrame(
+        [(1, True), (9, False)], "score long, is_pos boolean"
+    )
+    assert binary_auc(rev).collect()[0].auc_micro == 0
+
+    # single-class input -> NULL auc, counts still exact
+    mono = spark.createDataFrame(
+        [(5, True), (7, True)], "score long, is_pos boolean"
+    )
+    m = binary_auc(mono).collect()[0]
+    assert m.n_neg == 0 and m.auc_micro is None
+
+
+def test_calibration_bins_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import (
+        calibration_bins,
+    )
+
+    # bin 9: two rows at conf .95, one positive -> gap = |1.9e6-1e6|
+    # bin 0: one row at conf .05, negative -> gap = 5e4
+    # conf 1.0 lands in bin 9 via the LEAST clamp
+    df = spark.createDataFrame(
+        [
+            (950_000, True), (950_000, False),
+            (50_000, False),
+            (1_000_000, True),
+        ],
+        "conf_micro long, is_pos boolean",
+    )
+    got = {r.bin: r for r in calibration_bins(df).collect()}
+    assert set(got) == {0, 9}
+    b9 = got[9]
+    assert b9.n == 3 and b9.n_pos == 2
+    assert b9.sum_conf_micro == 2_900_000
+    assert b9.gap_micro == 900_000
+    assert got[0].gap_micro == 50_000
+    # ECE = (900000+50000)/4 = 237500, same on every row
+    assert {r.ece_micro for r in got.values()} == {237_500}
+
+
+def test_gram_matrix_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.similarity import (
+        gram_matrix,
+    )
+
+    # two 3-d vectors; quant=1000: v1=(1000,2000,0), v2=(0,1000,-1000)
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 0.0],), ([0.0, 1.0, -1.0],)],
+        "embedding array<float>",
+    )
+    got = {(r.i, r.j): r.g for r in gram_matrix(df).collect()}
+    # upper triangle only, exact integer sums
+    assert got == {
+        (0, 0): 1_000_000 + 0,
+        (0, 1): 2_000_000 + 0,
+        (0, 2): 0 + 0,
+        (1, 1): 4_000_000 + 1_000_000,
+        (1, 2): 0 - 1_000_000,
+        (2, 2): 0 + 1_000_000,
+    }

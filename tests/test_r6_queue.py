@@ -78,6 +78,9 @@ def duck():
     ("docs_rater_kappa", entrymod.q_docs_rater_kappa),
     ("mutual_best_pairs", entrymod.q_mutual_best_pairs),
     ("events_time_weighted_avg", entrymod.q_events_time_weighted_avg),
+    ("emb_auc_scores", entrymod.q_emb_auc_scores),
+    ("emb_calibration", entrymod.q_emb_calibration),
+    ("emb_gram_matrix", entrymod.q_emb_gram_matrix),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -110,7 +113,9 @@ def test_r6_queue_not_registered_this_round():
                 "kg_skipgram_pairs", "eval_topk_rankers",
                 "kg_modularity", "docs_rater_kappa",
                 "mutual_best_pairs",
-                "events_time_weighted_avg"} & set(q)
+                "events_time_weighted_avg",
+                "emb_auc_scores", "emb_calibration",
+                "emb_gram_matrix"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
