@@ -2060,7 +2060,117 @@ def q_emb_gram_matrix(spark, sf):
     return gram_matrix(_t(spark, sf, "embeddings"))
 
 
+def q_docs_label_gini(spark, sf):
+    """Label-balance audit (quality.gini_impurity): Gini impurity and
+    Herfindahl concentration of each source's language distribution —
+    exact integer components (n, Σc²) plus DECIMAL-floor rationals in
+    integer millionths, the no-logs training-mix balance check. The
+    oracle replays the two-level count and the hugeint floors."""
+    from biosd_feature_annotator_spark.plans.quality import gini_impurity
+
+    return gini_impurity(_t(spark, sf, "documents"), ["source"], "lang")
+
+
+def q_docs_source_drift(spark, sf):
+    """Distribution drift (quality.tv_distance): total variation
+    distance between src1's and src2's language profiles as the exact
+    common-denominator rational Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b) —
+    no per-key float division anywhere — floored to integer
+    millionths. The oracle re-derives it from one conditional-sum pass
+    and the same hugeint floor."""
+    from biosd_feature_annotator_spark.plans.quality import tv_distance
+
+    return tv_distance(
+        _t(spark, sf, "documents"), "lang", "source", "src1", "src2"
+    )
+
+
+def q_events_decayed_score(spark, sf):
+    """Recency-weighted engagement (scd.decayed_sum): per-user sum of
+    centi-quantized event values decayed by 2^−(age in whole days) at
+    a FIXED anchor epoch — the decay factor is division by a long
+    power of two (never pow()), each term is one correctly-rounded
+    division then one round to integer micros, and only longs are
+    summed: bit-stable on any partitioning. The oracle replays the
+    identical three-step term recipe."""
+    from biosd_feature_annotator_spark.operators.scd import decayed_sum
+
+    ev = _t(spark, sf, "events")
+    r = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        _epoch_ntz("ts").alias("es"),
+    )
+    # anchor: 2024-02-01 00:00:00 UTC, just past the fixture's range
+    return decayed_sum(
+        r, ["user_id"], "v_cents", "es", anchor_epoch=1_706_745_600
+    )
+
+
 R6_QUEUE_ORACLES = {
+    "docs_label_gini": """
+        WITH c AS (
+            SELECT source, lang, count(*) AS cnt
+            FROM documents GROUP BY source, lang
+        ),
+        g AS (
+            SELECT source, sum(cnt) AS n,
+                   sum(CAST(cnt AS HUGEINT) * cnt) AS ss
+            FROM c GROUP BY source
+        )
+        SELECT source, CAST(n AS BIGINT) AS n, CAST(ss AS BIGINT) AS sum_sq,
+               CAST(((CAST(n AS HUGEINT) * n - ss) * 1000000)
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_micro,
+               CAST((ss * 1000000)
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS hhi_micro
+        FROM g
+    """,
+    "docs_source_drift": """
+        WITH p AS (
+            SELECT lang,
+                   sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS cb
+            FROM documents
+            WHERE source IN ('src1', 'src2')
+            GROUP BY lang
+        ),
+        t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM p),
+        a AS (
+            SELECT min(na) AS na, min(nb) AS nb, count(*) AS nk,
+                   sum(abs(CAST(ca AS HUGEINT) * nb
+                           - CAST(cb AS HUGEINT) * na)) AS num
+            FROM p, t
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(nk AS BIGINT) AS n_keys,
+               CAST(CASE WHEN na > 0 AND nb > 0 THEN
+                    (num * 1000000) // (2 * CAST(na AS HUGEINT) * nb)
+                    END AS BIGINT) AS tv_micro
+        FROM a
+    """,
+    "events_decayed_score": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS u,
+                   CAST(round(value * 100) AS BIGINT) AS vc,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events
+        ),
+        d AS (
+            SELECT u, vc,
+                   LEAST(40, GREATEST(0, (1706745600 - es) // 86400))
+                       AS delta
+            FROM s
+        ),
+        t AS (
+            SELECT u,
+                   CAST(round(vc * 1000000.0 / (1::BIGINT << delta))
+                        AS BIGINT) AS term
+            FROM d
+        )
+        SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(term) AS BIGINT) AS decayed_micro
+        FROM t GROUP BY u
+    """,
     "emb_auc_scores": """
         WITH s AS (
             SELECT CAST(round(CAST(embedding[2] AS DOUBLE) * 100)

@@ -425,3 +425,56 @@ def time_weighted_avg(
             .cast("long"),
         ).alias("twa_micro"),
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    anchor_epoch: int,
+    bucket_sec: int = 86_400,
+    max_delta: int = 40,
+) -> DataFrame:
+    """Exponentially time-decayed sum per key → (key…, n, decayed_micro):
+    the recency-weighted engagement / freshness score (Σ v·2^−Δ with Δ =
+    whole buckets of age at a fixed anchor) that feeds ranking and
+    sampling weights — yesterday's signal counts half of today's, and a
+    fixed per-bucket half-life means the score is refreshable by pure
+    re-scaling instead of recomputation.
+
+    Bit-stable by construction, no libm: the decay factor is division
+    by a LONG power of two (`1 << Δ`, exact in IEEE — never pow()), the
+    age Δ is integer floor division of epoch seconds clamped to
+    [0, max_delta] (beyond 2^-40 a term is < 1 micro anyway), each
+    term is ONE correctly-rounded division then ONE round to integer
+    micros, and only those longs are summed — order-free on any
+    partitioning, replayable by a SQL oracle with the same three steps.
+    The anchor is an explicit argument (never now()): scores are
+    reproducible and shards scored at different wall times agree.
+
+    Shape: one projection + one key-keyed map-side-combinable agg."""
+    age = F.col(ts_col).cast("long") * -1 + F.lit(int(anchor_epoch))
+    delta = F.least(
+        F.lit(int(max_delta)).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            ((age - F.pmod(age, F.lit(int(bucket_sec))))
+             / F.lit(int(bucket_sec))).cast("long"),
+        ),
+    )
+    # SQL shiftleft (the PySpark wrapper only takes a literal bit count)
+    term = F.round(
+        F.col(value_col).cast("double")
+        * F.lit(1_000_000.0)
+        / F.expr("shiftleft(1L, cast(_delta as int))")
+    ).cast("long")
+    return (
+        df.withColumn("_delta", delta)
+        .select(*key_cols, term.alias("_t"))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_t").alias("decayed_micro"),
+        )
+    )

@@ -469,3 +469,104 @@ def calibration_bins(
         "gap_micro",
         ((g - F.pmod(g, n)) / n).cast("long").alias("ece_micro"),
     )
+
+
+def gini_impurity(
+    df: DataFrame, group_cols: list[str], label_col: str
+) -> DataFrame:
+    """Label-balance audit per group → (group…, n, sum_sq, gini_micro,
+    hhi_micro): Gini impurity 1 − Σp² and its complement the
+    Herfindahl concentration index Σp² over a categorical label's
+    distribution inside each group — the training-mix balance check
+    ("is src7 all-English?", "did this shard collapse to one class?")
+    that entropy usually answers, computed WITHOUT logs so it stays a
+    rational of integer counts: gini = (n² − Σc²)/n², floored to
+    integer millionths via the DECIMAL(38,0) pmod recipe, with the
+    exact integer components (n, Σc²) alongside for lossless merging.
+
+    Shape: one (group, label)-keyed count then one group-keyed agg —
+    both map-side combinable; nothing is data-sized downstream."""
+    per = df.groupBy(
+        *[F.col(c) for c in group_cols], F.col(label_col)
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    dec = "decimal(38,0)"
+    g = per.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_c").cast(dec) * F.col("_c").cast(dec))
+        .cast("long")
+        .alias("sum_sq"),
+    )
+    n2 = F.col("n").cast(dec) * F.col("n").cast(dec)
+    gnum = (n2 - F.col("sum_sq").cast(dec)) * F.lit(1_000_000).cast(dec)
+    hnum = F.col("sum_sq").cast(dec) * F.lit(1_000_000).cast(dec)
+    return g.select(
+        *group_cols,
+        "n",
+        "sum_sq",
+        ((gnum - F.pmod(gnum, n2)) / n2).cast("long").alias("gini_micro"),
+        ((hnum - F.pmod(hnum, n2)) / n2).cast("long").alias("hhi_micro"),
+    )
+
+
+def tv_distance(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Total variation distance between two groups' categorical
+    distributions → ONE row (n_a, n_b, n_keys, tv_micro): the
+    distribution-drift audit for training mixes — "does src1's
+    language profile match src2's", "did the new crawl shift the
+    topic histogram" — as the exact rational
+    TV = Σ_k |c_a·n_b − c_b·n_a| / (2·n_a·n_b) (common-denominator
+    form: no per-key float division, keys absent from one side fall
+    out naturally as |c·n_other|). Floored to integer millionths via
+    the DECIMAL(38,0) pmod recipe; exact integer totals travel
+    alongside. Either side empty → tv_micro NULL.
+
+    Shape: one key-keyed conditional-count agg of the data (map-side
+    combinable), a broadcast of the single-row totals back onto the
+    keys-sized frame, one final tiny agg. The data is touched once."""
+    per = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("_ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("_cb"),
+        )
+    )
+    tot = per.agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
+    )
+    dec = "decimal(38,0)"
+    joined = per.crossJoin(F.broadcast(tot))
+    agg = joined.groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.abs(
+                F.col("_ca").cast(dec) * F.col("n_b").cast(dec)
+                - F.col("_cb").cast(dec) * F.col("n_a").cast(dec)
+            )
+        ).alias("_num"),
+    )
+    num = F.col("_num") * F.lit(1_000_000).cast(dec)
+    den = (
+        F.lit(2).cast(dec)
+        * F.col("n_a").cast(dec)
+        * F.col("n_b").cast(dec)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_keys",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            ((num - F.pmod(num, den)) / den).cast("long"),
+        ).alias("tv_micro"),
+    )

@@ -784,3 +784,75 @@ def test_gram_matrix_hand_case(spark):
         (1, 2): 0 - 1_000_000,
         (2, 2): 0 + 1_000_000,
     }
+
+
+def test_gini_impurity_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import gini_impurity
+
+    # g1: 2+2 of two labels -> gini = 1 - 8/16 = .5; hhi = .5
+    # g2: 3 of one label -> gini 0, hhi 1
+    # g3: 1+2 -> gini = 1 - 5/9 = 4/9 = .444444, floor micro 444444
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
+         ("g2", "x"), ("g2", "x"), ("g2", "x"),
+         ("g3", "x"), ("g3", "y"), ("g3", "y")],
+        "g string, lab string",
+    )
+    got = {r.g: r for r in gini_impurity(df, ["g"], "lab").collect()}
+    assert got["g1"].n == 4 and got["g1"].sum_sq == 8
+    assert got["g1"].gini_micro == 500_000
+    assert got["g1"].hhi_micro == 500_000
+    assert got["g2"].gini_micro == 0 and got["g2"].hhi_micro == 1_000_000
+    assert got["g3"].gini_micro == 444_444  # floor(4e6/9)
+    assert got["g3"].hhi_micro == 555_555
+
+
+def test_tv_distance_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import tv_distance
+
+    # a: {x:2, y:2} (n=4); b: {x:1, z:1} (n=2)
+    # TV = .5*(|.5-.5| + |.5-0| + |0-.5|) = .5
+    df = spark.createDataFrame(
+        [("x", "a"), ("x", "a"), ("y", "a"), ("y", "a"),
+         ("x", "b"), ("z", "b"),
+         ("w", "c")],  # other groups ignored
+        "k string, grp string",
+    )
+    r = tv_distance(df, "k", "grp", "a", "b").collect()[0]
+    assert r.n_a == 4 and r.n_b == 2 and r.n_keys == 3
+    assert r.tv_micro == 500_000
+
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [("x", "a"), ("x", "b"), ("y", "a"), ("y", "b")],
+        "k string, grp string",
+    )
+    assert tv_distance(same, "k", "grp", "a", "b").collect()[0] \
+        .tv_micro == 0
+
+    # disjoint supports -> 1
+    disj = spark.createDataFrame(
+        [("x", "a"), ("y", "b")], "k string, grp string"
+    )
+    assert tv_distance(disj, "k", "grp", "a", "b").collect()[0] \
+        .tv_micro == 1_000_000
+
+
+def test_decayed_sum_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.scd import decayed_sum
+
+    # anchor 1000, bucket 100: ages 0, 150, 250 -> deltas 0, 1, 2
+    # terms: 80*1e6, 40*1e6/2 = 20e6, 100*1e6/4 = 25e6
+    df = spark.createDataFrame(
+        [("u", 80, 1000), ("u", 40, 850), ("u", 100, 750),
+         # future timestamp clamps to delta 0; huge age clamps to 40
+         ("v", 8, 1100), ("v", 1 << 20, -999_999)],
+        "k string, v long, es long",
+    )
+    got = {r.k: r for r in
+           decayed_sum(df, ["k"], "v", "es", anchor_epoch=1000,
+                       bucket_sec=100).collect()}
+    assert got["u"].n == 3
+    assert got["u"].decayed_micro == 80_000_000 + 20_000_000 + 25_000_000
+    # v: 8e6 + round(2^20 * 1e6 / 2^40) = 8e6 + round(1e6/2^20) = 8e6+1
+    assert got["v"].decayed_micro == 8_000_000 + 1

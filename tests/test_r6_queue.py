@@ -81,6 +81,9 @@ def duck():
     ("emb_auc_scores", entrymod.q_emb_auc_scores),
     ("emb_calibration", entrymod.q_emb_calibration),
     ("emb_gram_matrix", entrymod.q_emb_gram_matrix),
+    ("docs_label_gini", entrymod.q_docs_label_gini),
+    ("docs_source_drift", entrymod.q_docs_source_drift),
+    ("events_decayed_score", entrymod.q_events_decayed_score),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -115,7 +118,9 @@ def test_r6_queue_not_registered_this_round():
                 "mutual_best_pairs",
                 "events_time_weighted_avg",
                 "emb_auc_scores", "emb_calibration",
-                "emb_gram_matrix"} & set(q)
+                "emb_gram_matrix", "docs_label_gini",
+                "docs_source_drift",
+                "events_decayed_score"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
