@@ -2107,7 +2107,130 @@ def q_events_decayed_score(spark, sf):
     )
 
 
+def q_orders_ks_drift(spark, sf):
+    """Two-sample Kolmogorov-Smirnov distance (quality.ks_distance)
+    between URGENT and HIGH orders' centi-quantized total-price
+    distributions — the numeric drift twin of docs_source_drift, as
+    the exact rational max|cumA·n_b − cumB·n_a|/(n_a·n_b) with no
+    float CDF anywhere. The oracle rebuilds both running CDFs with its
+    own window and replays the hugeint floor."""
+    from biosd_feature_annotator_spark.plans.quality import ks_distance
+
+    o = _t(spark, sf, "orders")
+    r = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    return ks_distance(r, "cents", "prio", "1-URGENT", "2-HIGH")
+
+
+def q_events_regression_eval(spark, sf):
+    """Exact regression eval (quality.regression_metrics) of the
+    per-event-type floor-mean predictor against centi-quantized event
+    values — the ANOVA-style explained-variance gate with zero float
+    accumulation: MAE/MSE as rationals of long sums, R² via the
+    one-pass identity n·SST = n·Σy² − (Σy)², all true-floored to
+    integer millionths. The oracle recomputes the group means and all
+    five sums independently in hugeint."""
+    from biosd_feature_annotator_spark.plans.quality import (
+        regression_metrics,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = ev.groupBy("event_type").agg(
+        F.sum(F.col("y").cast(dec)).alias("_s"),
+        F.count(F.lit(1)).cast(dec).alias("_c"),
+    )
+    yhat = (
+        (F.col("_s") - F.pmod(F.col("_s"), F.col("_c"))) / F.col("_c")
+    ).cast("long")
+    joined = ev.join(
+        F.broadcast(m.select("event_type", yhat.alias("yhat"))),
+        "event_type",
+    )
+    return regression_metrics(joined, "y", "yhat")
+
+
 R6_QUEUE_ORACLES = {
+    "orders_ks_drift": """
+        WITH s AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderpriority AS prio
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ),
+        g AS (
+            SELECT v,
+                   sum(CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END)
+                       AS ca,
+                   sum(CASE WHEN prio = '2-HIGH' THEN 1 ELSE 0 END)
+                       AS cb
+            FROM s GROUP BY v
+        ),
+        c AS (
+            SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+                   sum(cb) OVER (ORDER BY v) AS cumb
+            FROM g
+        ),
+        t AS (
+            SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nv FROM g
+        ),
+        d AS (
+            SELECT max(abs(CAST(cuma AS HUGEINT) * nb
+                           - CAST(cumb AS HUGEINT) * na)) AS dd
+            FROM c, t
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(nv AS BIGINT) AS n_values,
+               CAST(CASE WHEN na > 0 AND nb > 0 THEN
+                    (dd * 1000000) // (CAST(na AS HUGEINT) * nb)
+                    END AS BIGINT) AS ks_micro
+        FROM d, t
+    """,
+    "events_regression_eval": """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(sum(CAST(y AS HUGEINT))
+                        - ((sum(CAST(y AS HUGEINT)) % count(*)
+                            + count(*)) % count(*)) AS HUGEINT)
+                       // count(*) AS yhat
+            FROM e GROUP BY event_type
+        ),
+        j AS (
+            SELECT e.y, m.yhat FROM e JOIN m USING (event_type)
+        ),
+        a AS (
+            SELECT count(*) AS n,
+                   sum(abs(CAST(y AS HUGEINT) - yhat)) AS sae,
+                   sum((CAST(y AS HUGEINT) - yhat)
+                       * (CAST(y AS HUGEINT) - yhat)) AS sse,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM j
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(sae AS BIGINT) AS sae,
+               CAST(sse AS BIGINT) AS sse,
+               CAST((sae * 1000000) // n AS BIGINT) AS mae_micro,
+               CAST((sse * 1000000) // n AS BIGINT) AS mse_micro,
+               CAST(CASE WHEN n * syy - sy * sy <> 0 THEN
+                    ((n * syy - sy * sy - n * sse) * 1000000
+                     - ((((n * syy - sy * sy - n * sse) * 1000000)
+                         % (n * syy - sy * sy)
+                         + (n * syy - sy * sy))
+                        % (n * syy - sy * sy)))
+                        // (n * syy - sy * sy)
+                    END AS BIGINT) AS r2_micro
+        FROM a
+    """,
     "docs_label_gini": """
         WITH c AS (
             SELECT source, lang, count(*) AS cnt

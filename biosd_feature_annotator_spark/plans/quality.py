@@ -570,3 +570,118 @@ def tv_distance(
             ((num - F.pmod(num, den)) / den).cast("long"),
         ).alias("tv_micro"),
     )
+
+
+def ks_distance(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between two groups'
+    NUMERIC distributions → ONE row (n_a, n_b, n_values, ks_micro):
+    the numeric twin of tv_distance — "did the new crawl shift the
+    document-length distribution", "do this month's order totals match
+    last month's" — as the exact rational
+    D = max_v |cumA(v)·n_b − cumB(v)·n_a| / (n_a·n_b), floored to
+    integer millionths via the DECIMAL(38,0) pmod recipe. No float
+    CDFs anywhere; either side empty → NULL.
+
+    Shape: one value-keyed conditional-count agg of the data (map-side
+    combinable), then running sums over DISTINCT values only — an
+    unpartitioned window, so use a quantized value (integer cents, the
+    repo discipline) to keep that frame domain-bounded — then one tiny
+    global max. The data is touched once."""
+    per = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("_ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("_cb"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+    )
+    tot = per.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    dec = "decimal(38,0)"
+    agg = cum.crossJoin(F.broadcast(tot)).groupBy(
+        "n_a", "n_b", "n_values"
+    ).agg(
+        F.max(
+            F.abs(
+                F.col("_cuma").cast(dec) * F.col("n_b").cast(dec)
+                - F.col("_cumb").cast(dec) * F.col("n_a").cast(dec)
+            )
+        ).alias("_d")
+    )
+    num = F.col("_d") * F.lit(1_000_000).cast(dec)
+    den = F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            ((num - F.pmod(num, den)) / den).cast("long"),
+        ).alias("ks_micro"),
+    )
+
+
+def regression_metrics(
+    df: DataFrame, y_col: str, yhat_col: str
+) -> DataFrame:
+    """Exact regression-eval report for INTEGER-quantized targets and
+    predictions → ONE row (n, sae, sse, mae_micro, mse_micro,
+    r2_micro): the model-quality gate for numeric scorers (a quality
+    regressor, a length predictor) without a single float accumulation
+    — MAE and MSE are rationals of the long/decimal sums, and R² uses
+    the one-pass algebraic identity n·SST = n·Σy² − (Σy)² so
+    r2 = (nSST − n·SSE)/nSST needs no second pass for the mean. All
+    three floored to integer millionths via the DECIMAL(38,0) pmod
+    recipe (R² is NEGATIVE for predictors worse than the mean, so the
+    true floor matters); exact components travel alongside and merge
+    across shards. Constant targets (SST = 0) → r2_micro NULL.
+
+    Shape: ONE global aggregation of five conditional sums. Nothing
+    else."""
+    dec = "decimal(38,0)"
+    d = F.col(y_col).cast(dec) - F.col(yhat_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(d)).alias("_sae"),
+        F.sum(d * d).alias("_sse"),
+        F.sum(y).alias("_sy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast(dec)
+    mil = F.lit(1_000_000).cast(dec)
+    nsst = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r2num = (nsst - n * F.col("_sse")) * mil
+    maen = F.col("_sae") * mil
+    msen = F.col("_sse") * mil
+    return agg.select(
+        "n",
+        F.col("_sae").cast("long").alias("sae"),
+        F.col("_sse").cast("long").alias("sse"),
+        ((maen - F.pmod(maen, n)) / n).cast("long").alias("mae_micro"),
+        ((msen - F.pmod(msen, n)) / n).cast("long").alias("mse_micro"),
+        F.when(
+            nsst != F.lit(0).cast(dec),
+            ((r2num - F.pmod(r2num, nsst)) / nsst).cast("long"),
+        ).alias("r2_micro"),
+    )

@@ -856,3 +856,64 @@ def test_decayed_sum_hand_case(spark):
     assert got["u"].decayed_micro == 80_000_000 + 20_000_000 + 25_000_000
     # v: 8e6 + round(2^20 * 1e6 / 2^40) = 8e6 + round(1e6/2^20) = 8e6+1
     assert got["v"].decayed_micro == 8_000_000 + 1
+
+
+def test_ks_distance_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import ks_distance
+
+    # a: {1, 2, 3}; b: {2, 3, 4}
+    # cum diffs (x3 common den 9): v1 |3-0|=3, v2 |6-3|=3, v3 |9-6|=3,
+    # v4 |9-9|=0 -> D = 3/9 = 1/3 -> 333333
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (2, "b"), (3, "b"), (4, "b")],
+        "v long, grp string",
+    )
+    r = ks_distance(df, "v", "grp", "a", "b").collect()[0]
+    assert r.n_a == 3 and r.n_b == 3 and r.n_values == 4
+    assert r.ks_micro == 333_333
+
+    # disjoint supports -> D = 1
+    disj = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (9, "b")], "v long, grp string"
+    )
+    assert ks_distance(disj, "v", "grp", "a", "b").collect()[0] \
+        .ks_micro == 1_000_000
+
+    # identical samples -> 0
+    same = spark.createDataFrame(
+        [(5, "a"), (5, "b"), (7, "a"), (7, "b")], "v long, grp string"
+    )
+    assert ks_distance(same, "v", "grp", "a", "b").collect()[0] \
+        .ks_micro == 0
+
+
+def test_regression_metrics_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import (
+        regression_metrics,
+    )
+
+    # y = (2, 4, 6), yhat = (3, 4, 5): sae = 2, sse = 2
+    # mean = 4, SST = 8 -> r2 = 1 - 2/8 = 0.75
+    df = spark.createDataFrame(
+        [(2, 3), (4, 4), (6, 5)], "y long, yhat long"
+    )
+    r = regression_metrics(df, "y", "yhat").collect()[0]
+    assert r.n == 3 and r.sae == 2 and r.sse == 2
+    assert r.mae_micro == 666_666  # floor(2e6/3)
+    assert r.mse_micro == 666_666
+    assert r.r2_micro == 750_000
+
+    # predictor worse than the mean -> negative R², true floor
+    bad = spark.createDataFrame(
+        [(0, 10), (10, 0)], "y long, yhat long"
+    )
+    b = regression_metrics(bad, "y", "yhat").collect()[0]
+    # SSE = 200, SST = 50 -> r2 = 1-4 = -3
+    assert b.r2_micro == -3_000_000
+
+    # constant target -> SST = 0 -> NULL r2, components still exact
+    const = spark.createDataFrame(
+        [(5, 4), (5, 6)], "y long, yhat long"
+    )
+    c = regression_metrics(const, "y", "yhat").collect()[0]
+    assert c.r2_micro is None and c.sae == 2

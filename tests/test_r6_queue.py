@@ -84,6 +84,8 @@ def duck():
     ("docs_label_gini", entrymod.q_docs_label_gini),
     ("docs_source_drift", entrymod.q_docs_source_drift),
     ("events_decayed_score", entrymod.q_events_decayed_score),
+    ("orders_ks_drift", entrymod.q_orders_ks_drift),
+    ("events_regression_eval", entrymod.q_events_regression_eval),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -120,7 +122,8 @@ def test_r6_queue_not_registered_this_round():
                 "emb_auc_scores", "emb_calibration",
                 "emb_gram_matrix", "docs_label_gini",
                 "docs_source_drift",
-                "events_decayed_score"} & set(q)
+                "events_decayed_score", "orders_ks_drift",
+                "events_regression_eval"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
