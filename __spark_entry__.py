@@ -2155,7 +2155,198 @@ def q_events_regression_eval(spark, sf):
     return regression_metrics(joined, "y", "yhat")
 
 
+def q_orders_mannwhitney(spark, sf):
+    """Exact Mann-Whitney rank-sum drift (quality.mannwhitney_u)
+    between URGENT and HIGH orders' centi-quantized total prices —
+    the stochastic-dominance twin of orders_ks_drift, computed from
+    per-value counts as the doubled integer u2 = Σ ca·(2·cumb< + cb)
+    with no rank materialization and no float. The oracle rebuilds
+    the before-value running count with its own shifted window and
+    replays the hugeint floor of ρ = U/(n_a·n_b)."""
+    from biosd_feature_annotator_spark.plans.quality import mannwhitney_u
+
+    o = _t(spark, sf, "orders")
+    r = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    return mannwhitney_u(r, "cents", "prio", "1-URGENT", "2-HIGH")
+
+
+def q_customer_cluster_ari(spark, sf):
+    """Pair-counting clustering agreement (quality.cluster_pair_metrics)
+    between the nation partition and the market-segment partition of
+    customers — pairwise P/R/F1, Rand, and Adjusted Rand from pure
+    integer pair algebra on (pred, gold) cell counts, the acceptance
+    gate shape used to score canonicalization clusters against gold
+    co-reference. The oracle recomputes every doubled pair count in
+    hugeint and replays the signed pmod floor for ARI."""
+    from biosd_feature_annotator_spark.plans.quality import (
+        cluster_pair_metrics,
+    )
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("pred"),
+        F.col("c_mktsegment").alias("gold"),
+    )
+    return cluster_pair_metrics(c, "pred", "gold")
+
+
+def q_orders_fd_profile(spark, sf):
+    """Approximate-FD profiling (quality.fd_profile) of three candidate
+    dependencies on orders — custkey→orderstatus and
+    priority→orderstatus (violated), orderkey→orderstatus (holds
+    exactly: the key column) — with the
+    Kivinen-Mannila g₂ (rows in violating groups) and g₃ (minimum
+    deletions to repair) error measures as floored millionths. The
+    oracle re-derives each measure from its own (lhs, rhs) cell
+    counts."""
+    from biosd_feature_annotator_spark.plans.quality import fd_profile
+
+    o = _t(spark, sf, "orders")
+    return fd_profile(
+        o,
+        [
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderkey", "o_orderstatus"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    )
+
+
 R6_QUEUE_ORACLES = {
+    "orders_mannwhitney": """
+        WITH s AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderpriority AS prio
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ),
+        g AS (
+            SELECT v,
+                   sum(CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END)
+                       AS ca,
+                   sum(CASE WHEN prio = '2-HIGH' THEN 1 ELSE 0 END)
+                       AS cb
+            FROM s GROUP BY v
+        ),
+        c AS (
+            SELECT ca, cb,
+                   coalesce(sum(cb) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cumb
+            FROM g
+        ),
+        a AS (
+            SELECT sum(ca) AS na, sum(cb) AS nb,
+                   sum(CAST(ca AS HUGEINT)
+                       * (2 * CAST(cumb AS HUGEINT) + cb)) AS u2
+            FROM c
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(u2 AS BIGINT) AS u2_a,
+               CAST(CASE WHEN na > 0 AND nb > 0 THEN
+                    (u2 * 1000000)
+                    // (2 * CAST(na AS HUGEINT) * nb)
+                    END AS BIGINT) AS rho_micro
+        FROM a
+    """,
+    "customer_cluster_ari": """
+        WITH cells AS (
+            SELECT c_nationkey AS p, c_mktsegment AS g,
+                   count(*) AS c
+            FROM customer GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT sum(c) AS n,
+                   sum(CAST(c AS HUGEINT) * (c - 1)) AS tp2
+            FROM cells
+        ),
+        ps AS (
+            SELECT sum(CAST(a AS HUGEINT) * (a - 1)) AS p2
+            FROM (SELECT sum(c) AS a FROM cells GROUP BY p)
+        ),
+        gs AS (
+            SELECT sum(CAST(b AS HUGEINT) * (b - 1)) AS g2
+            FROM (SELECT sum(c) AS b FROM cells GROUP BY g)
+        ),
+        m AS (
+            SELECT n, tp2, p2, g2,
+                   CAST(n AS HUGEINT) * (n - 1) AS c2,
+                   2 * (tp2 * CAST(n AS HUGEINT) * (n - 1) - p2 * g2)
+                       AS ari_num,
+                   CAST(n AS HUGEINT) * (n - 1) * (p2 + g2)
+                       - 2 * p2 * g2 AS ari_den
+            FROM t, ps, gs
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(tp2 // 2 AS BIGINT) AS tp_pairs,
+               CAST(p2 // 2 AS BIGINT) AS pred_pairs,
+               CAST(g2 // 2 AS BIGINT) AS gold_pairs,
+               CAST(CASE WHEN p2 <> 0 THEN (tp2 * 1000000) // p2
+                    END AS BIGINT) AS precision_micro,
+               CAST(CASE WHEN g2 <> 0 THEN (tp2 * 1000000) // g2
+                    END AS BIGINT) AS recall_micro,
+               CAST(CASE WHEN p2 + g2 <> 0 THEN
+                    (2 * tp2 * 1000000) // (p2 + g2)
+                    END AS BIGINT) AS f1_micro,
+               CAST(CASE WHEN c2 <> 0 THEN
+                    ((c2 + 2 * tp2 - p2 - g2) * 1000000) // c2
+                    END AS BIGINT) AS rand_micro,
+               CAST(CASE WHEN ari_den <> 0 THEN
+                    (ari_num * 1000000
+                     - (((ari_num * 1000000) % ari_den + ari_den)
+                        % ari_den)) // ari_den
+                    END AS BIGINT) AS ari_micro
+        FROM m
+    """,
+    "orders_fd_profile": """
+        WITH fd AS (
+            SELECT lhs, rhs, l, r, count(*) AS c FROM (
+                SELECT 'o_custkey' AS lhs, 'o_orderstatus' AS rhs,
+                       CAST(o_custkey AS VARCHAR) AS l,
+                       CAST(o_orderstatus AS VARCHAR) AS r
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderkey', 'o_orderstatus',
+                       CAST(o_orderkey AS VARCHAR),
+                       CAST(o_orderstatus AS VARCHAR)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', 'o_orderstatus',
+                       CAST(o_orderpriority AS VARCHAR),
+                       CAST(o_orderstatus AS VARCHAR)
+                FROM orders
+            ) GROUP BY 1, 2, 3, 4
+        ),
+        grp AS (
+            SELECT lhs, rhs, l, count(*) AS nrhs, sum(c) AS rws,
+                   max(c) AS keep
+            FROM fd GROUP BY 1, 2, 3
+        ),
+        a AS (
+            SELECT lhs, rhs, count(*) AS n_groups,
+                   sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END)
+                       AS viol_groups,
+                   sum(CASE WHEN nrhs > 1 THEN rws ELSE 0 END)
+                       AS viol_rows,
+                   sum(keep) AS keep_rows, sum(rws) AS n
+            FROM grp GROUP BY 1, 2
+        )
+        SELECT lhs, rhs,
+               CAST(n_groups AS BIGINT) AS n_groups,
+               CAST(viol_groups AS BIGINT) AS viol_groups,
+               CAST(viol_rows AS BIGINT) AS viol_rows,
+               CAST(keep_rows AS BIGINT) AS keep_rows,
+               CAST(CASE WHEN n > 0 THEN
+                    (CAST(viol_rows AS HUGEINT) * 1000000) // n
+                    END AS BIGINT) AS g2_micro,
+               CAST(CASE WHEN n > 0 THEN
+                    (CAST(n - keep_rows AS HUGEINT) * 1000000) // n
+                    END AS BIGINT) AS g3_micro
+        FROM a
+    """,
     "orders_ks_drift": """
         WITH s AS (
             SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,

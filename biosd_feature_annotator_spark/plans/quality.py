@@ -685,3 +685,240 @@ def regression_metrics(
             ((r2num - F.pmod(r2num, nsst)) / nsst).cast("long"),
         ).alias("r2_micro"),
     )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) statistic
+    between two groups' INTEGER-quantized distributions → ONE row
+    (n_a, n_b, u2_a, rho_micro): the median-shift drift test that
+    complements [ks_distance] — KS asks "did the shape change
+    anywhere", U asks "did one side stochastically dominate" (a new
+    crawl whose document lengths are systematically longer moves U
+    long before it moves a mean distorted by outliers). No ranks are
+    ever materialized per row and no float appears anywhere:
+
+        U_a = #{(x_a, x_b) : x_a > x_b} + ties/2
+
+    is computed from per-VALUE counts as the doubled integer
+    u2_a = Σ_v ca_v·(2·cumb_<v + cb_v), so ties contribute exactly
+    half a pair each without a fraction. The common-language effect
+    size ρ = U_a/(n_a·n_b) (P[a > b] + ½P[tie]) is floored to integer
+    millionths via the DECIMAL(38,0) pmod recipe; ρ = ½ means no
+    shift, 1 means total dominance. Either side empty → NULL rho.
+
+    Shape: identical to ks_distance — one map-side-combinable
+    conditional-count agg keyed by value, one running sum over
+    DISTINCT values (unpartitioned window: quantize the value so the
+    distinct domain stays bounded — integer cents, the repo
+    discipline), one global sum. The data is touched once."""
+    per = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("_ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("_cb"),
+        )
+    )
+    wprev = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dec = "decimal(38,0)"
+    cum = per.select(
+        F.col("_ca").cast(dec).alias("_ca"),
+        F.col("_cb").cast(dec).alias("_cb"),
+        F.coalesce(F.sum("_cb").over(wprev), F.lit(0))
+        .cast(dec)
+        .alias("_cumb"),
+    )
+    agg = cum.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("_ca")
+            * (F.lit(2).cast(dec) * F.col("_cumb") + F.col("_cb"))
+        ).alias("_u2"),
+    )
+    num = F.col("_u2") * F.lit(1_000_000).cast(dec)
+    den = (
+        F.lit(2).cast(dec)
+        * F.col("n_a").cast(dec)
+        * F.col("n_b").cast(dec)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.col("_u2").cast("long").alias("u2_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            ((num - F.pmod(num, den)) / den).cast("long"),
+        ).alias("rho_micro"),
+    )
+
+
+def cluster_pair_metrics(
+    df: DataFrame, pred_col: str, gold_col: str
+) -> DataFrame:
+    """Exact pair-counting evaluation of a predicted clustering against
+    a gold clustering → ONE row (n, tp_pairs, pred_pairs, gold_pairs,
+    precision_micro, recall_micro, f1_micro, rand_micro, ari_micro):
+    THE acceptance gate for entity canonicalization — after
+    [connected_components] merges surface forms, pairwise P/R answers
+    "of the pairs we merged, how many belong together (precision) and
+    how many true co-references did we find (recall)", and the
+    Adjusted Rand Index corrects agreement for chance so a trivial
+    all-singletons clustering scores 0, not high.
+
+    Everything is integer pair algebra on cluster-size counts — no
+    per-pair materialization, no float:
+
+        TP  = Σ_cells C(n_ij, 2)     (cells of the pred×gold table)
+        P   = Σ_i C(a_i, 2),  G = Σ_j C(b_j, 2),  C = C(n, 2)
+        Rand = (C + 2·TP − P − G) / C
+        ARI  = 2·(TP·C − P·G) / (C·(P+G) − 2·P·G)
+
+    C(k,2) doubles as k·(k−1) so every intermediate stays integral;
+    micro values are true-floored via the DECIMAL(38,0) pmod recipe
+    (ARI is NEGATIVE for adversarial clusterings, so the floor
+    matters). Degenerate denominators (all-singleton or one-cluster
+    inputs) → NULL for that metric.
+
+    Shape: one (pred, gold) cell-count aggregation of the data —
+    map-side combinable, output bounded by #clusters² not rows — then
+    cluster-size rollups of the CELLS, never re-touching the data.
+    One pass total."""
+    dec = "decimal(38,0)"
+    cells = df.groupBy(
+        F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+    ).agg(F.count(F.lit(1)).cast(dec).alias("_c"))
+    two = F.lit(2).cast(dec)
+
+    def _pairs2(c):  # doubled pair count k·(k−1) = 2·C(k,2)
+        return c * (c - F.lit(1).cast(dec))
+
+    pred_sz = cells.groupBy("_p").agg(F.sum("_c").alias("_a"))
+    gold_sz = cells.groupBy("_g").agg(F.sum("_c").alias("_b"))
+    agg = (
+        cells.agg(
+            F.sum("_c").alias("_n"),
+            F.sum(_pairs2(F.col("_c"))).alias("_tp2"),
+        )
+        .crossJoin(
+            F.broadcast(
+                pred_sz.agg(F.sum(_pairs2(F.col("_a"))).alias("_p2"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                gold_sz.agg(F.sum(_pairs2(F.col("_b"))).alias("_g2"))
+            )
+        )
+    )
+    mil = F.lit(1_000_000).cast(dec)
+    c2 = _pairs2(F.col("_n"))  # doubled C(n,2) = n·(n−1)
+
+    def _ratio(numer, denom):
+        # true-floored micro ratio, NULL when the denominator is 0
+        n_ = numer * mil
+        return F.when(
+            denom != F.lit(0).cast(dec),
+            ((n_ - F.pmod(n_, denom)) / denom).cast("long"),
+        )
+
+    tp2, p2, g2 = F.col("_tp2"), F.col("_p2"), F.col("_g2")
+    ari_num = two * (tp2 * c2 - p2 * g2)
+    ari_den = c2 * (p2 + g2) - two * p2 * g2
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        (tp2 / two).cast("long").alias("tp_pairs"),
+        (p2 / two).cast("long").alias("pred_pairs"),
+        (g2 / two).cast("long").alias("gold_pairs"),
+        _ratio(tp2, p2).alias("precision_micro"),
+        _ratio(tp2, g2).alias("recall_micro"),
+        _ratio(two * tp2, p2 + g2).alias("f1_micro"),
+        _ratio(c2 + two * tp2 - p2 - g2, c2).alias("rand_micro"),
+        _ratio(ari_num, ari_den).alias("ari_micro"),
+    )
+
+
+def fd_profile(
+    df: DataFrame, fds: list[tuple[str, str]]
+) -> DataFrame:
+    """Approximate-functional-dependency profiling (the
+    Kivinen-Mannila g₂/g₃ error measures from FD discovery) → one row
+    per candidate FD (lhs, rhs, n_groups, viol_groups, viol_rows,
+    keep_rows, g2_micro, g3_micro): the schema-inference gate a
+    curation pipeline runs before trusting a column as a key or a
+    deterministic attribute — "does conv_id determine source", "is
+    (order, line) really unique". g₂ = fraction of rows living in a
+    violating lhs-group; g₃ = minimum fraction of rows that must be
+    DELETED to make the FD hold exactly (n − Σ_groups max single-rhs
+    count, over n). Both floored to integer millionths via the
+    DECIMAL(38,0) pmod recipe. An FD that holds exactly shows
+    viol_groups = 0, g2 = g3 = 0.
+
+    Shape per FD: one (lhs, rhs) count aggregation — map-side
+    combinable, output bounded by distinct pairs — then one rollup of
+    the COUNTS to lhs-groups carrying (n_rhs, rows, max single-rhs
+    run), then one rules-sized global sum. The data is touched once
+    per FD and never shuffled by row; results for all FDs union into
+    one rules-sized report."""
+    dec = "decimal(38,0)"
+    mil = F.lit(1_000_000).cast(dec)
+    reports = []
+    for lhs, rhs in fds:
+        cells = df.groupBy(
+            F.col(lhs).alias("_l"), F.col(rhs).alias("_r")
+        ).agg(F.count(F.lit(1)).alias("_c"))
+        groups = cells.groupBy("_l").agg(
+            F.count(F.lit(1)).alias("_nrhs"),
+            F.sum("_c").alias("_rows"),
+            F.max("_c").alias("_keep"),
+        )
+        agg = groups.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("_nrhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("viol_groups"),
+            F.sum(
+                F.when(F.col("_nrhs") > 1, F.col("_rows")).otherwise(0)
+            )
+            .cast("long")
+            .alias("viol_rows"),
+            F.sum("_keep").cast("long").alias("keep_rows"),
+            F.sum("_rows").cast("long").alias("_n"),
+        )
+        g2n = F.col("viol_rows").cast(dec) * mil
+        g3n = (F.col("_n") - F.col("keep_rows")).cast(dec) * mil
+        den = F.col("_n").cast(dec)
+        reports.append(
+            agg.select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "viol_groups",
+                "viol_rows",
+                "keep_rows",
+                F.when(
+                    F.col("_n") > 0,
+                    ((g2n - F.pmod(g2n, den)) / den).cast("long"),
+                ).alias("g2_micro"),
+                F.when(
+                    F.col("_n") > 0,
+                    ((g3n - F.pmod(g3n, den)) / den).cast("long"),
+                ).alias("g3_micro"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

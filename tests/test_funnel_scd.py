@@ -917,3 +917,86 @@ def test_regression_metrics_hand_case(spark):
     )
     c = regression_metrics(const, "y", "yhat").collect()[0]
     assert c.r2_micro is None and c.sae == 2
+
+
+def test_mannwhitney_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import mannwhitney_u
+
+    # a: {1,2,3}, b: {2,3,4} -> U_a = 0 + 0.5 + 1.5 = 2 -> u2 = 4
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (2, "b"), (3, "b"), (4, "b")],
+        "v long, grp string",
+    )
+    r = mannwhitney_u(df, "v", "grp", "a", "b").collect()[0]
+    assert r.n_a == 3 and r.n_b == 3
+    assert r.u2_a == 4
+    assert r.rho_micro == 222_222  # floor(4e6 / 18)
+
+    # total dominance of a -> rho = 1
+    dom = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (1, "b"), (2, "b")], "v long, grp string"
+    )
+    assert mannwhitney_u(dom, "v", "grp", "a", "b").collect()[0] \
+        .rho_micro == 1_000_000
+
+    # identical samples -> rho = 1/2 exactly
+    same = spark.createDataFrame(
+        [(5, "a"), (7, "a"), (5, "b"), (7, "b")], "v long, grp string"
+    )
+    assert mannwhitney_u(same, "v", "grp", "a", "b").collect()[0] \
+        .rho_micro == 500_000
+
+
+def test_cluster_pair_metrics_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import (
+        cluster_pair_metrics,
+    )
+
+    # pred {1,2}{3,4} vs gold {1,2,3}{4}: TP=1, P=2, G=3, C=6
+    df = spark.createDataFrame(
+        [(1, "p1", "gA"), (2, "p1", "gA"), (3, "p2", "gA"),
+         (4, "p2", "gB")],
+        "item long, pred string, gold string",
+    )
+    r = cluster_pair_metrics(df, "pred", "gold").collect()[0]
+    assert (r.n, r.tp_pairs, r.pred_pairs, r.gold_pairs) == (4, 1, 2, 3)
+    assert r.precision_micro == 500_000
+    assert r.recall_micro == 333_333
+    assert r.f1_micro == 400_000       # 2·1/(2+3)
+    assert r.rand_micro == 500_000     # (6-2-3+2)/6
+    assert r.ari_micro == 0            # agreement exactly at chance
+
+    # perfect clustering -> everything 1.0
+    perf = spark.createDataFrame(
+        [(1, "x", "g1"), (2, "x", "g1"), (3, "y", "g2"), (4, "y", "g2")],
+        "item long, pred string, gold string",
+    )
+    p = cluster_pair_metrics(perf, "pred", "gold").collect()[0]
+    assert p.precision_micro == p.recall_micro == p.f1_micro == 1_000_000
+    assert p.rand_micro == 1_000_000 and p.ari_micro == 1_000_000
+
+    # all-singletons pred: no predicted pairs -> precision NULL, ARI 0
+    sing = spark.createDataFrame(
+        [(1, "a", "g1"), (2, "b", "g1"), (3, "c", "g2")],
+        "item long, pred string, gold string",
+    )
+    s = cluster_pair_metrics(sing, "pred", "gold").collect()[0]
+    assert s.pred_pairs == 0 and s.precision_micro is None
+    assert s.ari_micro == 0
+
+
+def test_fd_profile_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c")], "l long, r string"
+    )
+    rows = {x.lhs: x for x in fd_profile(
+        df, [("l", "r"), ("r", "l")]).collect()}
+    v = rows["l"]  # l -> r violated in group l=1
+    assert (v.n_groups, v.viol_groups, v.viol_rows) == (2, 1, 3)
+    assert v.keep_rows == 3            # keep both 'a' rows + 'c'
+    assert v.g2_micro == 750_000       # 3 of 4 rows in violating groups
+    assert v.g3_micro == 250_000       # delete 1 of 4 rows to repair
+    h = rows["r"]  # r -> l holds exactly
+    assert h.viol_groups == 0 and h.g2_micro == 0 and h.g3_micro == 0

@@ -86,6 +86,9 @@ def duck():
     ("events_decayed_score", entrymod.q_events_decayed_score),
     ("orders_ks_drift", entrymod.q_orders_ks_drift),
     ("events_regression_eval", entrymod.q_events_regression_eval),
+    ("orders_mannwhitney", entrymod.q_orders_mannwhitney),
+    ("customer_cluster_ari", entrymod.q_customer_cluster_ari),
+    ("orders_fd_profile", entrymod.q_orders_fd_profile),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -123,7 +126,8 @@ def test_r6_queue_not_registered_this_round():
                 "emb_gram_matrix", "docs_label_gini",
                 "docs_source_drift",
                 "events_decayed_score", "orders_ks_drift",
-                "events_regression_eval"} & set(q)
+                "events_regression_eval", "orders_mannwhitney",
+                "customer_cluster_ari", "orders_fd_profile"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
