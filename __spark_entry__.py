@@ -2214,6 +2214,56 @@ def q_orders_fd_profile(spark, sf):
     )
 
 
+def q_events_rate_bursts(spark, sf):
+    """Per-event-type burst detection (funnel.rate_bursts): day buckets,
+    a bucket bursts when its count exceeds 2× the mean of the three
+    contiguous preceding buckets — integer cross-multiplication, no
+    float mean, NULL ratio when history has a gap. The oracle replays
+    the (type, day) count, the 3-row trailing window, the
+    lag-contiguity guard, and the floored-millionths ratio."""
+    from biosd_feature_annotator_spark.operators.funnel import rate_bursts
+
+    e = _t(spark, sf, "events")
+    return rate_bursts(
+        e, ["event_type"], "ts", bucket_seconds=86400,
+        trailing=3, ratio_num=2, ratio_den=1,
+    )
+
+
+def q_events_cum_distinct(spark, sf):
+    """Growth accounting (funnel.cumulative_distinct): per day the exact
+    distinct active users, first-seen users, and cumulative reach —
+    cumulative distinct computed as the running sum of first-appearance
+    counts (per-key state = min(bucket), one row per key), never a
+    carried distinct-set. The oracle re-derives dau, min-bucket
+    first-appearances, and the running sum over the day domain."""
+    from biosd_feature_annotator_spark.operators.funnel import (
+        cumulative_distinct,
+    )
+
+    e = _t(spark, sf, "events")
+    return cumulative_distinct(e, "user_id", "ts", bucket_seconds=86400)
+
+
+def q_lineitem_assoc_rules(spark, sf):
+    """Directed association rules (ranking.association_rules) over
+    order→supplier baskets: every rule A→B with pair support ≥ 2,
+    confidence and lift as exact floored millionths (DECIMAL
+    cross-multiplication, no float). The oracle replays the distinct
+    presence relation, the basket-keyed pair self-join, and both
+    directions' integer ratios."""
+    from biosd_feature_annotator_spark.operators.ranking import (
+        association_rules,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return association_rules(
+        li.select("l_orderkey", "l_suppkey"),
+        "l_orderkey", "l_suppkey",
+        min_item_support=1, min_pair_support=2,
+    )
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -3916,6 +3966,104 @@ R6_QUEUE_ORACLES = {
         SELECT start, 1, 2, cur FROM s2
         UNION ALL
         SELECT start, 1, 3, cur FROM s3
+    """,
+    "events_rate_bursts": """
+        WITH per AS (
+            SELECT event_type, e - (e % 86400) AS bucket,
+                   count(*) AS cnt
+            FROM (SELECT event_type,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS e
+                  FROM events)
+            GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, bucket, cnt,
+                   CAST(coalesce(sum(cnt) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS prior_sum,
+                   coalesce(lag(bucket, 3) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                   ) = bucket - 259200, false) AS contig
+            FROM per
+        )
+        SELECT event_type, bucket, CAST(cnt AS BIGINT) AS cnt,
+               prior_sum,
+               CAST(CASE WHEN contig AND prior_sum > 0 THEN
+                    (CAST(cnt AS HUGEINT) * 3 * 1000000) // prior_sum
+                    END AS BIGINT) AS ratio_micro,
+               (contig AND cnt * 3 > prior_sum * 2) AS is_burst
+        FROM w
+    """,
+    "events_cum_distinct": """
+        WITH b AS (
+            SELECT user_id AS k, e - (e % 86400) AS bucket
+            FROM (SELECT user_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS e
+                  FROM events)
+        ),
+        dau AS (
+            SELECT bucket, count(DISTINCT k) AS dau FROM b GROUP BY 1
+        ),
+        fst AS (
+            SELECT bucket, count(*) AS new_keys FROM (
+                SELECT k, min(bucket) AS bucket FROM b GROUP BY k
+            ) GROUP BY 1
+        )
+        SELECT d.bucket, CAST(d.dau AS BIGINT) AS dau,
+               CAST(coalesce(f.new_keys, 0) AS BIGINT) AS new_keys,
+               CAST(sum(coalesce(f.new_keys, 0)) OVER (
+                   ORDER BY d.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_keys
+        FROM dau d LEFT JOIN fst f ON d.bucket = f.bucket
+    """,
+    "lineitem_assoc_rules": """
+        WITH presence AS (
+            SELECT DISTINCT l_orderkey AS basket, l_suppkey AS item
+            FROM lineitem
+        ),
+        nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM presence),
+        supp AS (
+            SELECT item, count(*) AS supp FROM presence GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   count(*) AS supp_pair
+            FROM presence a
+            JOIN presence b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        j AS (
+            SELECT p.item_a, p.item_b, p.supp_pair,
+                   sa.supp AS supp_a, sb.supp AS supp_b, nb.n_baskets
+            FROM pairs p
+            JOIN supp sa ON p.item_a = sa.item
+            JOIN supp sb ON p.item_b = sb.item
+            CROSS JOIN nb
+        )
+        SELECT item_a AS antecedent, item_b AS consequent,
+               CAST(supp_pair AS BIGINT) AS supp_pair,
+               CAST(supp_a AS BIGINT) AS supp_ant,
+               CAST(supp_b AS BIGINT) AS supp_con,
+               CAST((CAST(supp_pair AS HUGEINT) * 1000000) // supp_a
+                    AS BIGINT) AS conf_micro,
+               CAST((CAST(supp_pair AS HUGEINT) * n_baskets * 1000000)
+                    // (CAST(supp_a AS HUGEINT) * supp_b)
+                    AS BIGINT) AS lift_micro
+        FROM j
+        UNION ALL
+        SELECT item_b, item_a,
+               CAST(supp_pair AS BIGINT),
+               CAST(supp_b AS BIGINT),
+               CAST(supp_a AS BIGINT),
+               CAST((CAST(supp_pair AS HUGEINT) * 1000000) // supp_b
+                    AS BIGINT),
+               CAST((CAST(supp_pair AS HUGEINT) * n_baskets * 1000000)
+                    // (CAST(supp_a AS HUGEINT) * supp_b)
+                    AS BIGINT)
+        FROM j
     """,
 }
 

@@ -232,3 +232,159 @@ def event_transitions(
             .alias("p_micro"),
         )
     )
+
+
+def _epoch_floor(ts_col: str) -> F.Column:
+    """Seconds since epoch with TRUE floor semantics, session-timezone
+    independent: the NTZ cast is a no-op on the driver parquet's
+    TIMESTAMP_NTZ columns (unix_timestamp on NTZ would re-interpret the
+    wall clock in the session tz), and the microsecond diff +
+    integer pmod floor-divide avoids both double round-trips and
+    timestampdiff(SECOND)'s truncation-toward-zero on pre-epoch
+    fractional timestamps."""
+    us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({ts_col} as timestamp_ntz))"
+    )
+    return F.expr(f"({us} - pmod({us}, 1000000)) div 1000000").cast("long")
+
+
+def rate_bursts(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    trailing: int = 3,
+    ratio_num: int = 2,
+    ratio_den: int = 1,
+) -> DataFrame:
+    """Burst detection per key: bucket events into fixed windows and
+    flag buckets whose count exceeds (ratio_num/ratio_den)× the mean
+    of the `trailing` immediately-PRECEDING buckets — the
+    rate-anomaly gate of an ingest pipeline ("this tool's call volume
+    tripled in the last hour", "this entity's mention rate spiked
+    after a crawl refresh"). Returns one row per observed (key,
+    bucket): key_cols, bucket (epoch-second bucket start), cnt,
+    prior_sum, ratio_micro, is_burst.
+
+    Exactness: the comparison is the integer cross-multiplication
+    cnt·trailing·ratio_den > prior_sum·ratio_num — no float mean, no
+    division — and ratio_micro = cnt·trailing·1e6 // prior_sum (true
+    floor, NULL when prior_sum = 0). A bucket only qualifies as a
+    burst when its `trailing` predecessors are CONTIGUOUS (checked
+    with lag(bucket, trailing) = bucket − trailing): a gap in history
+    means the trailing mean would silently average over a shorter,
+    unrepresentative window, so such buckets report is_burst = false
+    and a NULL ratio rather than a misleading one.
+
+    Scale shape: one map-side-combinable (key, bucket) count — the
+    data's only shuffle — then one bounded-frame window per key
+    ordered by bucket (rows between -trailing and -1; state is
+    trailing-sized). Output is buckets-sized, never events-sized. Key
+    skew is bounded by the bucketing itself: a hot key contributes
+    one row per bucket, not per event."""
+    epoch = _epoch_floor(ts_col)
+    # true-floor bucket start (pmod, not float division/truncation):
+    # correct for pre-epoch timestamps too — the repo's epoch-floor rule
+    bucket = (epoch - F.pmod(epoch, F.lit(bucket_seconds))).alias("bucket")
+    per = events.groupBy(*key_cols, bucket).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("bucket")
+    wprev = w.rowsBetween(-trailing, -1)
+    dec = "decimal(38,0)"
+    prior_sum = F.sum("cnt").over(wprev)
+    contiguous = (
+        F.lag("bucket", trailing).over(w)
+        == F.col("bucket") - F.lit(trailing * bucket_seconds)
+    )
+    num = (
+        F.col("cnt").cast(dec)
+        * F.lit(trailing).cast(dec)
+        * F.lit(1_000_000).cast(dec)
+    )
+    den = F.col("prior_sum").cast(dec)
+    return (
+        per.select(
+            *key_cols,
+            "bucket",
+            "cnt",
+            F.coalesce(prior_sum, F.lit(0)).alias("prior_sum"),
+            F.coalesce(contiguous, F.lit(False)).alias("_contig"),
+        )
+        .select(
+            *key_cols,
+            "bucket",
+            "cnt",
+            "prior_sum",
+            F.when(
+                F.col("_contig") & (F.col("prior_sum") > 0),
+                ((num - F.pmod(num, den)) / den).cast("long"),
+            ).alias("ratio_micro"),
+            (
+                F.col("_contig")
+                & (
+                    F.col("cnt").cast(dec)
+                    * F.lit(trailing * ratio_den).cast(dec)
+                    > F.col("prior_sum").cast(dec)
+                    * F.lit(ratio_num).cast(dec)
+                )
+            ).alias("is_burst"),
+        )
+    )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Growth accounting: per time bucket, the EXACT number of distinct
+    keys active that bucket (dau), first seen that bucket (new_keys),
+    and seen in any bucket up to and including it (cum_keys) — the
+    "daily/weekly actives + cumulative reach" report, computed without
+    ever carrying a distinct-set through time. The trick is standard
+    but scale-critical: cumulative distinct = running SUM of
+    first-appearance counts, so the only per-key state is min(bucket)
+    — one row per key — and the running sum operates on the
+    buckets-sized relation, never the data.
+
+    Returns one row per bucket with activity: (bucket, dau, new_keys,
+    cum_keys). Buckets with zero events don't appear (they carry no
+    dau row; cum_keys is constant across them by definition).
+
+    Scale shape: two map-side-combinable aggregations of the data —
+    (key → min bucket) and (bucket, key)-distinct → dau — then
+    buckets-domain joins and ONE unpartitioned running-sum window over
+    the bounded bucket domain (days/hours, not rows; the repo's
+    quantize-then-window discipline). Compare the HLL sketch family
+    for the approximate/mergeable variant; this is the exact one."""
+    epoch = _epoch_floor(ts_col)
+    # true-floor bucket start (pmod, not float division/truncation):
+    # correct for pre-epoch timestamps too — the repo's epoch-floor rule
+    bucket = (epoch - F.pmod(epoch, F.lit(bucket_seconds))).alias("bucket")
+    dau = (
+        df.select(F.col(key_col).alias("_k"), bucket)
+        .groupBy("bucket")
+        .agg(F.count_distinct("_k").alias("dau"))
+    )
+    first = (
+        df.select(F.col(key_col).alias("_k"), bucket)
+        .groupBy("_k")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_keys"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dau.join(first, "bucket", "left")
+        .select(
+            "bucket",
+            "dau",
+            F.coalesce("new_keys", F.lit(0)).alias("new_keys"),
+        )
+        .withColumn("cum_keys", F.sum("new_keys").over(w))
+    )

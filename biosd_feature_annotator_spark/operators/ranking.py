@@ -324,3 +324,101 @@ def tfidf_cosine_pairs(
         # int32, and an int32·int32 column product would overflow
         .where(F.col("dot_q") * F.lit(den) >= F.lit(num * quant * quant))
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 1,
+    min_pair_support: int = 1,
+) -> DataFrame:
+    """Directed pairwise association rules (the Apriori/market-basket
+    primitive) over a (basket, item) relation → one row per rule
+    A→B with support(A,B) ≥ min_pair_support:
+    (antecedent, consequent, supp_pair, supp_ant, supp_con,
+    conf_micro, lift_micro). In the KG pipeline this is the
+    co-mention rule miner — "turns that mention entity A also mention
+    entity B with confidence c" — the directed, thresholded
+    complement of [cooccurrence_pmi]'s symmetric log-ratio edges.
+
+        confidence(A→B) = supp(A,B) / supp(A)
+        lift(A→B)       = supp(A,B)·N / (supp(A)·supp(B))
+
+    Both are emitted as exact true-floored millionths via the
+    DECIMAL(38,0) pmod recipe — counts in, integers out, no float, so
+    the DuckDB oracle reproduces every rule bit-for-bit. lift > 1e6
+    means positively associated; lift is symmetric, confidence is the
+    directional part.
+
+    Scale shape: one distinct shuffle for presence (persisted — it
+    feeds the N aggregate, the item-support aggregate, and both
+    self-join sides), then the same basket-keyed self-join as
+    cooccurrence_pmi — quadratic per basket in DISTINCT items, the
+    inherent pairwise cost, with min_item_support pruning items
+    BEFORE pairing (the Apriori antimonotonicity: a pair can never
+    out-support its rarer item). Supports are vocabulary-sized and
+    broadcast to the pair relation; basket is the join key, so item
+    skew cannot concentrate a partition."""
+    from ..cache import scoped_persist
+
+    presence = scoped_persist(
+        baskets.select(
+            F.col(basket_col).alias("basket"),
+            F.col(item_col).alias("item"),
+        ).distinct(),
+        "ranking.assoc.presence",
+    )
+    n = presence.agg(F.count_distinct("basket").alias("n_baskets"))
+    support = (
+        presence.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .where(F.col("supp") >= min_item_support)
+    )
+    kept = presence.join(support.select("item"), "item", "left_semi")
+    a = kept.select("basket", F.col("item").alias("item_a"))
+    b = kept.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("supp_pair"))
+        .where(F.col("supp_pair") >= min_pair_support)
+    )
+    sa = support.select(
+        F.col("item").alias("item_a"), F.col("supp").alias("supp_a")
+    )
+    sb = support.select(
+        F.col("item").alias("item_b"), F.col("supp").alias("supp_b")
+    )
+    j = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+    )
+    dec = "decimal(38,0)"
+    mil = F.lit(1_000_000).cast(dec)
+
+    def _floor_ratio(numer, denom):
+        nn = numer * mil
+        return ((nn - F.pmod(nn, denom)) / denom).cast("long")
+
+    def _direction(ant, con, s_ant, s_con):
+        conf = _floor_ratio(F.col("supp_pair").cast(dec), F.col(s_ant).cast(dec))
+        lift = _floor_ratio(
+            F.col("supp_pair").cast(dec) * F.col("n_baskets").cast(dec),
+            F.col(s_ant).cast(dec) * F.col(s_con).cast(dec),
+        )
+        return j.select(
+            F.col(ant).alias("antecedent"),
+            F.col(con).alias("consequent"),
+            "supp_pair",
+            F.col(s_ant).alias("supp_ant"),
+            F.col(s_con).alias("supp_con"),
+            conf.alias("conf_micro"),
+            lift.alias("lift_micro"),
+        )
+
+    return _direction("item_a", "item_b", "supp_a", "supp_b").unionByName(
+        _direction("item_b", "item_a", "supp_b", "supp_a")
+    )

@@ -1000,3 +1000,60 @@ def test_fd_profile_hand_case(spark):
     assert v.g3_micro == 250_000       # delete 1 of 4 rows to repair
     h = rows["r"]  # r -> l holds exactly
     assert h.viol_groups == 0 and h.g2_micro == 0 and h.g3_micro == 0
+
+
+def _ets(epoch_s):
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(epoch_s, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def test_rate_bursts_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.funnel import rate_bursts
+
+    rows = (
+        [("u", _ets(10))] + [("u", _ets(3700))] + [("u", _ets(7300))]
+        + [("u", _ets(10900 + i)) for i in range(9)]
+        # v has a GAP at bucket 7200 -> its spike must NOT qualify
+        + [("v", _ets(10)), ("v", _ets(3700))]
+        + [("v", _ets(10900 + i)) for i in range(9)]
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        (r.k, r.bucket): r
+        for r in rate_bursts(df, ["k"], "ts", 3600, trailing=3).collect()
+    }
+    spike = got[("u", 10800)]
+    assert spike.cnt == 9 and spike.prior_sum == 3
+    assert spike.ratio_micro == 9_000_000   # 9·3e6 // 3
+    assert spike.is_burst is True
+    # early buckets lack a full contiguous trailing window
+    assert got[("u", 0)].is_burst is False
+    assert got[("u", 3600)].ratio_micro is None
+    # v's history has a hole -> contiguity guard refuses the ratio
+    gap = got[("v", 10800)]
+    assert gap.prior_sum == 2
+    assert gap.ratio_micro is None and gap.is_burst is False
+
+
+def test_cumulative_distinct_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.funnel import (
+        cumulative_distinct,
+    )
+
+    day = 86400
+    df = spark.createDataFrame(
+        [("u1", _ets(10)), ("u2", _ets(20)), ("u1", _ets(day + 5)),
+         ("u3", _ets(2 * day + 5))],
+        "k string, ts timestamp",
+    )
+    got = sorted(
+        map(tuple, cumulative_distinct(df, "k", "ts", day).collect())
+    )
+    assert got == [
+        (0, 2, 2, 2),        # day 0: u1,u2 active, both new
+        (day, 1, 0, 2),      # day 1: u1 returns, nobody new
+        (2 * day, 1, 1, 3),  # day 2: u3 arrives
+    ]

@@ -89,6 +89,9 @@ def duck():
     ("orders_mannwhitney", entrymod.q_orders_mannwhitney),
     ("customer_cluster_ari", entrymod.q_customer_cluster_ari),
     ("orders_fd_profile", entrymod.q_orders_fd_profile),
+    ("events_rate_bursts", entrymod.q_events_rate_bursts),
+    ("events_cum_distinct", entrymod.q_events_cum_distinct),
+    ("lineitem_assoc_rules", entrymod.q_lineitem_assoc_rules),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -127,7 +130,9 @@ def test_r6_queue_not_registered_this_round():
                 "docs_source_drift",
                 "events_decayed_score", "orders_ks_drift",
                 "events_regression_eval", "orders_mannwhitney",
-                "customer_cluster_ari", "orders_fd_profile"} & set(q)
+                "customer_cluster_ari", "orders_fd_profile",
+                "events_rate_bursts", "events_cum_distinct",
+                "lineitem_assoc_rules"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

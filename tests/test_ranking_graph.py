@@ -746,3 +746,36 @@ def test_modularity_excludes_unassigned_includes_isolated(spark):
     assert got[1].e_intra == 1 and got[1].d_total == 3  # deg(1)+deg(2)
     assert got[2].n_nodes == 1 and got[2].e_intra == 0
     assert got[2].d_total == 0 and got[2].contrib_micro == 0
+
+
+def test_association_rules_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.ranking import (
+        association_rules,
+    )
+
+    # b1{x,y} (x listed twice -> presence dedups), b2{x,y}, b3{z,w}
+    df = spark.createDataFrame(
+        [("b1", "x"), ("b1", "x"), ("b1", "y"), ("b2", "x"),
+         ("b2", "y"), ("b3", "z"), ("b3", "w")],
+        "basket string, item string",
+    )
+    rules = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(df, "basket", "item").collect()
+    }
+    assert set(rules) == {("x", "y"), ("y", "x"), ("w", "z"), ("z", "w")}
+    xy = rules[("x", "y")]
+    assert (xy.supp_pair, xy.supp_ant, xy.supp_con) == (2, 2, 2)
+    assert xy.conf_micro == 1_000_000
+    assert xy.lift_micro == 1_500_000     # 2·3 / (2·2)
+    wz = rules[("w", "z")]
+    assert wz.conf_micro == 1_000_000
+    assert wz.lift_micro == 3_000_000     # 1·3 / (1·1)
+
+    # min_item_support prunes items BEFORE pairing (Apriori property)
+    pruned = association_rules(
+        df, "basket", "item", min_item_support=2
+    ).collect()
+    assert {(r.antecedent, r.consequent) for r in pruned} == {
+        ("x", "y"), ("y", "x")
+    }
