@@ -2264,6 +2264,111 @@ def q_lineitem_assoc_rules(spark, sf):
     )
 
 
+def q_kg_closure(spark, sf):
+    """Bounded transitive closure (graph.transitive_closure, semi-naive
+    delta joins) over the order→customer→nation→region hierarchy with
+    node ids offset into disjoint spaces — the ontology-ancestor
+    materialization. The oracle is a recursive CTE with min(depth)
+    GROUP BY, which equals BFS min-hop semantics."""
+    from biosd_feature_annotator_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") < 2000)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    edges = (
+        o.select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).cast("long")
+            .alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).cast("long")
+            .alias("dst"),
+        )
+        .unionByName(c.select(
+            (F.col("c_custkey") + F.lit(1_000_000)).cast("long")
+            .alias("src"),
+            (F.col("c_nationkey") + F.lit(500_000)).cast("long")
+            .alias("dst"),
+        ))
+        .unionByName(n.select(
+            (F.col("n_nationkey") + F.lit(500_000)).cast("long")
+            .alias("src"),
+            F.col("n_regionkey").cast("long").alias("dst"),
+        ))
+    )
+    return transitive_closure(edges, max_depth=3)
+
+
+def q_orders_truth_fusion(spark, sf):
+    """Two-round truth discovery (canonicalize.truth_discovery):
+    suppliers as sources asserting each order's return flag — majority
+    vote, add-one-smoothed source reliability in floored millionths,
+    reliability-weighted re-vote. The oracle replays both vote windows
+    and the integer reliability arithmetic."""
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        truth_discovery,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return truth_discovery(li, "l_suppkey", "l_orderkey", "l_returnflag")
+
+
+def q_kg_rules(spark, sf):
+    """AMIE-style length-2 rule confidence (graph.rule_confidence) over
+    a derived triple store: in_nation ∘ in_region ⇒ cust_region holds
+    exactly (conf 1e6); by_cust ∘ in_nation ⇒ order_nation holds only
+    for 'F'-status orders (the head edges are emitted only there), so
+    its confidence is the observed F fraction. The oracle replays the
+    path self-join, the (x, y) distinct, and the head match."""
+    from biosd_feature_annotator_spark.operators.graph import rule_confidence
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") < 3000)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    ok = (F.col("o_orderkey") + F.lit(10_000_000)).cast("long")
+    ck = (F.col("c_custkey") + F.lit(1_000_000)).cast("long")
+    ock = (F.col("o_custkey") + F.lit(1_000_000)).cast("long")
+    nk = (F.col("n_nationkey") + F.lit(500_000)).cast("long")
+    cnk = (F.col("c_nationkey") + F.lit(500_000)).cast("long")
+    triples = (
+        o.select(ok.alias("subj"), F.lit("by_cust").alias("pred"),
+                 ock.alias("obj"))
+        .unionByName(c.select(ck.alias("subj"),
+                              F.lit("in_nation").alias("pred"),
+                              cnk.alias("obj")))
+        .unionByName(n.select(nk.alias("subj"),
+                              F.lit("in_region").alias("pred"),
+                              F.col("n_regionkey").cast("long")
+                              .alias("obj")))
+        .unionByName(
+            c.join(n, c.c_nationkey == n.n_nationkey)
+            .select(ck.alias("subj"),
+                    F.lit("cust_region").alias("pred"),
+                    F.col("n_regionkey").cast("long").alias("obj"))
+        )
+        .unionByName(
+            o.where(F.col("o_orderstatus") == "F")
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select(ok.alias("subj"),
+                    F.lit("order_nation").alias("pred"),
+                    cnk.alias("obj"))
+        )
+    )
+    return rule_confidence(triples)
+
+
+def q_docs_phrase_search(spark, sf):
+    """Positional-postings phrase search (ranking.phrase_search): every
+    occurrence of a 3-token phrase as consecutive normalized tokens —
+    the postings for each phrase token are filtered at the scan, then
+    aligned with (doc, pos − offset) equi-joins. The oracle re-derives
+    matches with a list_filter over token positions."""
+    from biosd_feature_annotator_spark.operators.ranking import phrase_search
+
+    d = _t(spark, sf, "documents")
+    return phrase_search(d, "big order scan")
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -4064,6 +4169,145 @@ R6_QUEUE_ORACLES = {
                     // (CAST(supp_a AS HUGEINT) * supp_b)
                     AS BIGINT)
         FROM j
+    """,
+    "kg_closure": """
+        WITH RECURSIVE e AS (
+            SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS src,
+                   CAST(o_custkey + 1000000 AS BIGINT) AS dst
+            FROM orders WHERE o_orderkey < 2000
+            UNION
+            SELECT CAST(c_custkey + 1000000 AS BIGINT),
+                   CAST(c_nationkey + 500000 AS BIGINT)
+            FROM customer
+            UNION
+            SELECT CAST(n_nationkey + 500000 AS BIGINT),
+                   CAST(n_regionkey AS BIGINT)
+            FROM nation
+        ),
+        r(src, dst, depth) AS (
+            SELECT src, dst, 1 FROM e
+            UNION ALL
+            SELECT r.src, e.dst, r.depth + 1
+            FROM r JOIN e ON r.dst = e.src
+            WHERE r.depth < 3
+        )
+        SELECT src, dst, CAST(min(depth) AS BIGINT) AS depth
+        FROM r GROUP BY 1, 2
+    """,
+    "orders_truth_fusion": """
+        WITH c AS (
+            SELECT DISTINCT l_suppkey AS source, l_orderkey AS subject,
+                   l_returnflag AS value
+            FROM lineitem
+        ),
+        v1 AS (
+            SELECT subject, value, count(*) AS n
+            FROM c GROUP BY 1, 2
+        ),
+        c1 AS (
+            SELECT subject, value FROM (
+                SELECT subject, value, row_number() OVER (
+                    PARTITION BY subject ORDER BY n DESC, value ASC
+                ) AS rk FROM v1
+            ) WHERE rk = 1
+        ),
+        ps AS (
+            SELECT c.source, count(*) AS total,
+                   sum(CASE WHEN h.subject IS NOT NULL
+                       THEN 1 ELSE 0 END) AS matched
+            FROM c LEFT JOIN c1 h
+              ON c.subject = h.subject AND c.value = h.value
+            GROUP BY 1
+        ),
+        rel AS (
+            SELECT source,
+                   CAST((CAST(matched + 1 AS HUGEINT) * 1000000)
+                        // (total + 2) AS BIGINT) AS rel_micro
+            FROM ps
+        ),
+        v2 AS (
+            SELECT c.subject, c.value, count(*) AS n_votes,
+                   sum(r.rel_micro) AS weight_micro
+            FROM c JOIN rel r ON c.source = r.source
+            GROUP BY 1, 2
+        )
+        SELECT subject, value, CAST(n_votes AS BIGINT) AS n_votes,
+               CAST(weight_micro AS BIGINT) AS weight_micro
+        FROM (
+            SELECT subject, value, n_votes, weight_micro,
+                   row_number() OVER (
+                       PARTITION BY subject
+                       ORDER BY weight_micro DESC, value ASC
+                   ) AS rk
+            FROM v2
+        ) WHERE rk = 1
+    """,
+    "kg_rules": """
+        WITH t AS (
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS subj,
+                       'by_cust' AS pred,
+                       CAST(o_custkey + 1000000 AS BIGINT) AS obj
+                FROM orders WHERE o_orderkey < 3000
+                UNION ALL
+                SELECT CAST(c_custkey + 1000000 AS BIGINT),
+                       'in_nation',
+                       CAST(c_nationkey + 500000 AS BIGINT)
+                FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey + 500000 AS BIGINT),
+                       'in_region', CAST(n_regionkey AS BIGINT)
+                FROM nation
+                UNION ALL
+                SELECT CAST(c_custkey + 1000000 AS BIGINT),
+                       'cust_region', CAST(n_regionkey AS BIGINT)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT CAST(o_orderkey + 10000000 AS BIGINT),
+                       'order_nation',
+                       CAST(c_nationkey + 500000 AS BIGINT)
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE o_orderkey < 3000 AND o_orderstatus = 'F'
+            )
+        ),
+        body AS (
+            SELECT DISTINCT t1.pred AS body_p, t2.pred AS body_q,
+                   t1.subj AS x, t2.obj AS y
+            FROM t t1 JOIN t t2 ON t1.obj = t2.subj
+        ),
+        nb AS (
+            SELECT body_p, body_q, count(*) AS n_body
+            FROM body GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT b.body_p, b.body_q, h.pred AS head_r,
+                   count(*) AS n_matched
+            FROM body b JOIN t h ON b.x = h.subj AND b.y = h.obj
+            GROUP BY 1, 2, 3
+        )
+        SELECT m.body_p, m.body_q, m.head_r,
+               CAST(nb.n_body AS BIGINT) AS n_body,
+               CAST(m.n_matched AS BIGINT) AS n_matched,
+               CAST((CAST(m.n_matched AS HUGEINT) * 1000000)
+                    // nb.n_body AS BIGINT) AS conf_micro
+        FROM m JOIN nb
+          ON m.body_p = nb.body_p AND m.body_q = nb.body_q
+    """,
+    "docs_phrase_search": """
+        SELECT doc_id, CAST(u - 1 AS BIGINT) AS start_pos FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] = 'big' AND toks[i + 1] = 'order'
+                            AND toks[i + 2] = 'scan')) AS u
+            FROM (
+                SELECT doc_id,
+                       string_split(trim(lower(
+                           regexp_replace(text, '\\s+', ' ', 'g'))),
+                           ' ') AS toks
+                FROM documents
+            )
+        )
     """,
 }
 

@@ -489,3 +489,97 @@ def sorted_neighborhood_pairs(
         )
         cross = part if cross is None else cross.unionByName(part)
     return intra.unionByName(cross)
+
+
+def truth_discovery(
+    claims: DataFrame,
+    source_col: str,
+    subject_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-round truth discovery (knowledge-fusion / TruthFinder
+    family, integer-exact): multiple sources assert conflicting values
+    for the same subject — pick a consensus value per subject AND
+    weight sources by how often they agree with it.
+
+        round 1: unweighted majority vote per subject
+                 (count desc, value asc tie-break — deterministic)
+        reliability(source) = (matched + 1)·1e6 // (total + 2)
+                 (add-one smoothed fraction of the source's claims that
+                 match the round-1 consensus; smoothing keeps a
+                 never-right source at a small positive weight instead
+                 of silencing it, and the floored-millionths integer
+                 form makes every weight engine-reproducible)
+        round 2: re-vote with each claim weighted by its source's
+                 reliability; consensus = argmax summed weight
+                 (weight desc, value asc tie-break)
+
+    Returns one row per subject: (subject, value, n_votes,
+    weight_micro) — the round-2 winner, its supporting-claim count and
+    summed reliability weight. Fixed two rounds ⇒ no convergence probe,
+    no driver actions — the same discipline as pagerank.
+
+    Scale shape: claims dedup (a source repeating itself is one vote),
+    two (subject, value) vote aggregations and one source-keyed join —
+    all map-side-combinable counts / long sums; the per-subject argmax
+    is a window over the (subject, value) vote relation, which is
+    values-sized, not claims-sized. Source skew (one crawler asserting
+    half the claims) lands on the source-keyed reliability join, an
+    ordinary hash join on a bounded-cardinality key."""
+    from pyspark.sql import Window
+
+    c = claims.select(
+        F.col(source_col).alias("source"),
+        F.col(subject_col).alias("subject"),
+        F.col(value_col).alias("value"),
+    ).dropDuplicates()
+
+    votes1 = c.groupBy("subject", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w1 = Window.partitionBy("subject").orderBy(
+        F.desc("n"), F.asc("value")
+    )
+    consensus1 = (
+        votes1.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") == 1)
+        .select("subject", "value")
+    )
+    per_source = (
+        c.join(
+            consensus1.withColumn("_hit", F.lit(1)),
+            ["subject", "value"], "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("matched"),
+        )
+    )
+    dec = "decimal(38,0)"
+    rnum = (
+        (F.col("matched") + F.lit(1)).cast(dec)
+        * F.lit(1_000_000).cast(dec)
+    )
+    rden = (F.col("total") + F.lit(2)).cast(dec)
+    rel = per_source.select(
+        "source",
+        ((rnum - F.pmod(rnum, rden)) / rden).cast("long")
+        .alias("rel_micro"),
+    )
+    votes2 = (
+        c.join(rel, "source")
+        .groupBy("subject", "value")
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            F.sum("rel_micro").alias("weight_micro"),
+        )
+    )
+    w2 = Window.partitionBy("subject").orderBy(
+        F.desc("weight_micro"), F.asc("value")
+    )
+    return (
+        votes2.withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") == 1)
+        .select("subject", "value", "n_votes", "weight_micro")
+    )

@@ -894,3 +894,120 @@ def modularity(
             "contrib_micro",
         )
     )
+
+
+def transitive_closure(
+    edges: DataFrame, max_depth: int, checkpoint_rounds: bool = False,
+) -> DataFrame:
+    """Bounded transitive closure of edges(src, dst) → (src, dst, depth)
+    for every pair reachable in 1..max_depth hops, depth = MINIMUM hop
+    count. The ontology-ancestor primitive: annotate a turn with
+    NCBITaxon_9606 and the closure is what lets "mammal"-level queries
+    find it — KG consumers pre-materialize is-a closure rather than
+    traversing at query time.
+
+    Semi-naive evaluation (the datalog textbook shape, and the only one
+    that scales): round i joins ONLY the pairs first discovered in round
+    i-1 (the delta) against the edge list — never the whole closure —
+    and the left-anti join against the accumulated result both dedups
+    and enforces min-depth semantics (a pair reached again by a longer
+    path is dropped before it can re-expand). Each round is one
+    equi-join keyed by the frontier's dst plus one anti-join; the delta
+    shrinks as the closure saturates, so total work is proportional to
+    |closure|·avg_outdeg, not |V|²; cycles terminate naturally because
+    a revisited pair generates no new delta row. checkpoint_rounds cuts
+    lineage for deep hierarchies (same rationale as khop/pagerank).
+    """
+    base = (
+        edges.select("src", "dst").dropDuplicates()
+        .withColumn("depth", F.lit(1).cast("long"))
+    )
+    e2 = edges.select(
+        F.col("src").alias("_mid"), F.col("dst").alias("_dst")
+    ).dropDuplicates()
+    closure = base
+    delta = base.select("src", "dst")
+    for i in range(2, max_depth + 1):
+        nxt = (
+            delta.join(e2, delta.dst == e2._mid)
+            .select("src", F.col("_dst").alias("dst"))
+            .dropDuplicates()
+            .join(closure.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("depth", F.lit(i).cast("long"))
+        )
+        if checkpoint_rounds:
+            nxt = nxt.localCheckpoint(eager=True)
+        closure = closure.unionByName(nxt)
+        delta = nxt.select("src", "dst")
+    return closure
+
+
+def rule_confidence(
+    triples: DataFrame,
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+) -> DataFrame:
+    """AMIE-style length-2 horn-rule mining over a triple store:
+    for every predicate pair (p, q) with at least one connecting path
+    p(x, z) ∧ q(z, y), and every head predicate r asserted on at least
+    one such (x, y), emit
+
+        (body_p, body_q, head_r, n_body, n_matched, conf_micro)
+
+    where n_body = |distinct (x, y) with a p∘q path|, n_matched = how
+    many of those pairs also satisfy r(x, y), and conf_micro is the
+    standard rule confidence n_matched/n_body as exact floored
+    millionths. conf_micro = 1e6 means the rule p(x,z) ∧ q(z,y) ⇒
+    r(x,y) holds on every observed body instance — the KG-completion
+    signal (mine rules from the extracted graph, apply them to infer
+    missing edges).
+
+    Scale shape: one self-join keyed on the shared variable z (the
+    inherent path-counting cost — an equi-join, never all-pairs, with
+    fanout bounded by z's in×out degree product; cap hub nodes upstream
+    if the degree distribution demands it), a distinct to collapse
+    multiple z-witnesses of the same (x, y), then one (x, y)-keyed join
+    against the triple store for head matching — each a plain shuffle
+    join with map-side-combinable counts on top. The all-UNION oracle
+    replays every step."""
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+        F.col(o_col).alias("o"),
+    ).dropDuplicates()
+    t1 = t.select(
+        F.col("p").alias("body_p"), F.col("s").alias("x"),
+        F.col("o").alias("z"),
+    )
+    t2 = t.select(
+        F.col("p").alias("body_q"), F.col("s").alias("z2"),
+        F.col("o").alias("y"),
+    )
+    body = (
+        t1.join(t2, t1.z == t2.z2)
+        .select("body_p", "body_q", "x", "y")
+        .dropDuplicates()
+    )
+    n_body = body.groupBy("body_p", "body_q").agg(
+        F.count(F.lit(1)).alias("n_body")
+    )
+    heads = t.select(
+        F.col("p").alias("head_r"), F.col("s").alias("x"),
+        F.col("o").alias("y"),
+    )
+    matched = (
+        body.join(heads, ["x", "y"])
+        .groupBy("body_p", "body_q", "head_r")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n_matched").cast(dec) * F.lit(1_000_000).cast(dec)
+    den = F.col("n_body").cast(dec)
+    return (
+        matched.join(n_body, ["body_p", "body_q"])
+        .select(
+            "body_p", "body_q", "head_r", "n_body", "n_matched",
+            ((num - F.pmod(num, den)) / den).cast("long")
+            .alias("conf_micro"),
+        )
+    )

@@ -422,3 +422,55 @@ def association_rules(
     return _direction("item_a", "item_b", "supp_a", "supp_b").unionByName(
         _direction("item_b", "item_a", "supp_b", "supp_a")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact multi-token phrase search via a positional inverted index:
+    (id, start_pos) for every occurrence of `phrase` as consecutive
+    whitespace-normalized lowercase tokens — the retrieval-serving
+    primitive BM25 can't provide (bag-of-words scoring has no
+    adjacency) and substring LIKE gets wrong (matches across token
+    boundaries).
+
+    The classic positional-postings intersection, as joins: build the
+    (id, pos, token) relation ONLY for the phrase's k distinct tokens
+    (the isin filter sits under the posexplode and the scan, so at 100
+    TB the parquet reader prunes to candidate rows and the index
+    materialized is k postings lists, never the full corpus index),
+    then k-1 equi-joins on (id, pos - i = start) — each join aligns
+    token i to offset i from a candidate start. Catalyst reorders
+    nothing here: the chain is already selective-first because every
+    side is pre-filtered to one token's postings. Output is
+    occurrences-sized.
+
+    A phrase with repeated tokens works unchanged: posexplode emits
+    each position once, so the (id, start)-keyed joins stay 1:1."""
+    toks = phrase.split()
+    if not toks:
+        raise ValueError("phrase must contain at least one token")
+    norm = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+        " ",
+    )
+    post = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(norm).alias("pos", "token"),
+        )
+        .where(F.col("token").isin(list(set(toks))))
+    )
+    out = (
+        post.where(F.col("token") == toks[0])
+        .select("id", F.col("pos").cast("long").alias("start_pos"))
+    )
+    for i, tk in enumerate(toks[1:], start=1):
+        nxt = post.where(F.col("token") == tk).select(
+            "id", (F.col("pos").cast("long") - F.lit(i)).alias("start_pos")
+        )
+        out = out.join(nxt, ["id", "start_pos"])
+    return out.withColumnRenamed("id", id_col)

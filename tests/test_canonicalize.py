@@ -243,3 +243,31 @@ def test_snb_deterministic_and_null_keys_dropped(spark):
     assert one == two
     assert not any(999 in (a, b) for a, b, _ in one)
     assert set(one) == _snb_bruteforce(rows, 5)
+
+
+def test_truth_discovery_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        truth_discovery,
+    )
+
+    # s1, s2 reliable (agree with majority everywhere); s3 contrarian.
+    # subject B is a 1-1 tie in round 1 -> value-asc tie-break, then
+    # round-2 weights break it the same way here.
+    claims = spark.createDataFrame(
+        [
+            ("s1", "A", "x"), ("s2", "A", "x"), ("s3", "A", "y"),
+            ("s1", "B", "p"), ("s3", "B", "q"),
+            ("s1", "A", "x"),  # duplicate claim counts once
+        ],
+        "src string, subj string, val string",
+    )
+    got = {
+        r.subject: r
+        for r in truth_discovery(claims, "src", "subj", "val").collect()
+    }
+    assert got["A"].value == "x" and got["A"].n_votes == 2
+    assert got["B"].value == "p"
+    # reliabilities: s1 2/2 -> (2+1)e6//(2+2)=750000; s2 1/1 ->
+    # (1+1)e6//(1+2)=666666; s3 0/2 -> (0+1)e6//(2+2)=250000
+    assert got["A"].weight_micro == 750_000 + 666_666
+    assert got["B"].weight_micro == 750_000

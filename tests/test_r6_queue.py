@@ -92,6 +92,10 @@ def duck():
     ("events_rate_bursts", entrymod.q_events_rate_bursts),
     ("events_cum_distinct", entrymod.q_events_cum_distinct),
     ("lineitem_assoc_rules", entrymod.q_lineitem_assoc_rules),
+    ("kg_closure", entrymod.q_kg_closure),
+    ("orders_truth_fusion", entrymod.q_orders_truth_fusion),
+    ("kg_rules", entrymod.q_kg_rules),
+    ("docs_phrase_search", entrymod.q_docs_phrase_search),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -132,7 +136,9 @@ def test_r6_queue_not_registered_this_round():
                 "events_regression_eval", "orders_mannwhitney",
                 "customer_cluster_ari", "orders_fd_profile",
                 "events_rate_bursts", "events_cum_distinct",
-                "lineitem_assoc_rules"} & set(q)
+                "lineitem_assoc_rules", "kg_closure",
+                "orders_truth_fusion", "kg_rules",
+                "docs_phrase_search"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -779,3 +779,89 @@ def test_association_rules_hand_case(spark):
     assert {(r.antecedent, r.consequent) for r in pruned} == {
         ("x", "y"), ("y", "x")
     }
+
+
+def test_transitive_closure_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    # chain 1->2->3->4 plus shortcut 1->3 (min-depth wins) and a
+    # 2-cycle 5<->6 (must terminate, self-pairs at depth 2)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 6), (6, 5)],
+        "src long, dst long",
+    )
+    got = {
+        (r.src, r.dst): r.depth
+        for r in transitive_closure(e, max_depth=3).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1   # shortcut beats 2-hop
+    assert got[(1, 4)] == 2                        # via the shortcut
+    assert got[(2, 4)] == 2
+    assert got[(5, 5)] == 2 and got[(6, 6)] == 2   # cycle closes
+    assert (5, 6) in got and got[(5, 6)] == 1
+    # bounded: nothing deeper than max_depth
+    assert max(got.values()) <= 3
+    # depth-2 run finds strictly fewer pairs
+    d2 = transitive_closure(e, max_depth=2).count()
+    assert d2 == len(got)  # chain saturates at depth 2 here
+    d1 = transitive_closure(e, max_depth=1).count()
+    assert d1 == 6
+
+
+def test_rule_confidence_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.graph import (
+        rule_confidence,
+    )
+
+    # in_nation(c, n) ∧ in_region(n, r) ⇒ cust_region(c, r) holds for
+    # 2 of 3 body pairs (c3's cust_region edge is missing)
+    t = spark.createDataFrame(
+        [
+            ("c1", "in_nation", "n1"), ("c2", "in_nation", "n1"),
+            ("c3", "in_nation", "n2"),
+            ("n1", "in_region", "r1"), ("n2", "in_region", "r1"),
+            ("c1", "cust_region", "r1"), ("c2", "cust_region", "r1"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {
+        (r.body_p, r.body_q, r.head_r): r
+        for r in rule_confidence(t).collect()
+    }
+    rule = rows[("in_nation", "in_region", "cust_region")]
+    assert rule.n_body == 3 and rule.n_matched == 2
+    assert rule.conf_micro == 666_666   # floor(2e6 / 3)
+    # no head predicate ever matches an unconnected body -> absent
+    assert ("in_region", "in_nation", "cust_region") not in rows
+
+
+def test_phrase_search_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.ranking import (
+        phrase_search,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "the Big  order SCAN runs big order scan twice"),
+            (2, "big scan order shuffled words"),
+            (3, "big order but no third token"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.start_pos)
+        for r in phrase_search(d, "big order scan").collect()
+    )
+    # doc 1: case/whitespace-normalized match at 1 and again at 5
+    assert got == [(1, 1), (1, 5)]
+    # repeated-token phrase aligns positionally
+    rep = spark.createDataFrame(
+        [(9, "go go go stop")], "doc_id long, text string"
+    )
+    got2 = sorted(
+        (r.doc_id, r.start_pos)
+        for r in phrase_search(rep, "go go").collect()
+    )
+    assert got2 == [(9, 0), (9, 1)]
