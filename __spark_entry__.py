@@ -2369,6 +2369,101 @@ def q_docs_phrase_search(spark, sf):
     return phrase_search(d, "big order scan")
 
 
+def q_kg_landmarks(spark, sf):
+    """Landmark distance sketches (graph.landmark_distances): labeled
+    multi-source BFS from three supplier landmarks over the undirected
+    customer–supplier bipartite graph, min hop distance ≤ 3 — all
+    sources expand in the same per-round frontier join. The oracle is
+    a recursive CTE seeded with the landmark list, min(dist) grouped."""
+    from biosd_feature_annotator_spark.operators.graph import (
+        landmark_distances,
+    )
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 20)
+    o = _t(spark, sf, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).cast("long")
+            .alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    lm = spark.createDataFrame(
+        [(1_000_001,), (1_000_002,), (1_000_003,)], "node long"
+    )
+    return landmark_distances(edges, lm, max_dist=3)
+
+
+def q_docs_rrf_fusion(spark, sf):
+    """Reciprocal-rank fusion (ranking.rrf_fuse) of two deterministic
+    document rankers — by n_chars and by the portable md5-long key —
+    each cut at 50. Per-term integer flooring (1e6 // (k + rank))
+    makes every fused score engine-exact; the oracle replays both
+    row_number rankers and the summed terms."""
+    from biosd_feature_annotator_spark.operators.dedup import hash64
+    from biosd_feature_annotator_spark.operators.ranking import rrf_fuse
+
+    d = _t(spark, sf, "documents")
+    wa = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    run_a = (
+        d.select(
+            F.lit("q").alias("query"),
+            F.col("doc_id").alias("doc"),
+            F.row_number().over(wa).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= 50)
+    )
+    hb = hash64(F.col("doc_id"), hasher="md5")
+    wb = Window.orderBy(F.asc("_h"), F.asc("doc"))
+    run_b = (
+        d.select(
+            F.lit("q").alias("query"),
+            F.col("doc_id").alias("doc"),
+            hb.alias("_h"),
+        )
+        .select(
+            "query", "doc",
+            F.row_number().over(wb).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= 50)
+    )
+    return rrf_fuse(run_a.unionByName(run_b), k=60)
+
+
+def q_docs_vocab_coverage(spark, sf):
+    """Tokenizer-fit report (textstats.vocab_coverage): per-doc token
+    count, in-vocabulary count, and floored-millionths OOV rate against
+    the deterministic top-100 corpus vocabulary (training.vocab_top's
+    n-desc/token-asc cut), probed via broadcast join. The oracle
+    rebuilds the same vocabulary cut and coverage counts."""
+    from biosd_feature_annotator_spark.operators.textstats import (
+        vocab_coverage,
+    )
+    from biosd_feature_annotator_spark.operators.training import vocab_top
+
+    d = _t(spark, sf, "documents")
+    return vocab_coverage(d, vocab_top(d, "text", k=100))
+
+
+def q_orders_confusion(spark, sf):
+    """Decision-threshold gate (training.confusion_report): exact
+    confusion counts and floored-millionths precision/recall/F1 for
+    the classifier "order is F-status ⇔ totalprice ≥ 150000" — the
+    shipped-cutoff companion of the AUC/calibration reports. The
+    oracle recomputes the four conditional counts and integer ratios."""
+    from biosd_feature_annotator_spark.operators.training import (
+        confusion_report,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_orderstatus") == "F").alias("label"),
+        F.col("o_totalprice").alias("score"),
+    )
+    return confusion_report(o, "label", "score", 150000.0)
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -4308,6 +4403,118 @@ R6_QUEUE_ORACLES = {
                 FROM documents
             )
         )
+    """,
+    "kg_landmarks": """
+        WITH RECURSIVE raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 20
+        ),
+        sym AS (
+            SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+        ),
+        lm AS (
+            SELECT CAST(1000001 AS BIGINT) AS landmark
+            UNION SELECT 1000002 UNION SELECT 1000003
+        ),
+        r(landmark, node, dist) AS (
+            SELECT landmark, landmark, 0 FROM lm
+            UNION ALL
+            SELECT r.landmark, s.dst, r.dist + 1
+            FROM r JOIN sym s ON r.node = s.src
+            WHERE r.dist < 3
+        )
+        SELECT node, landmark, CAST(min(dist) AS BIGINT) AS dist
+        FROM r GROUP BY 1, 2
+    """,
+    "docs_rrf_fusion": """
+        WITH run_a AS (
+            SELECT 'q' AS query, doc_id AS doc, rnk AS rank FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY n_chars DESC, doc_id ASC
+                ) AS rnk FROM documents
+            ) WHERE rnk <= 50
+        ),
+        run_b AS (
+            SELECT 'q' AS query, doc_id AS doc, rnk AS rank FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                         1, 15) AS BIGINT) ASC, doc_id ASC
+                ) AS rnk FROM documents
+            ) WHERE rnk <= 50
+        ),
+        runs AS (
+            SELECT * FROM run_a UNION ALL SELECT * FROM run_b
+        ),
+        fused AS (
+            SELECT query, doc, count(*) AS n_runs,
+                   sum(1000000 // (60 + rank)) AS rrf_micro
+            FROM runs GROUP BY 1, 2
+        )
+        SELECT query, doc, CAST(n_runs AS BIGINT) AS n_runs,
+               CAST(rrf_micro AS BIGINT) AS rrf_micro,
+               CAST(row_number() OVER (
+                   PARTITION BY query
+                   ORDER BY rrf_micro DESC, doc ASC
+               ) AS BIGINT) AS fused_rank
+        FROM fused
+    """,
+    "docs_vocab_coverage": """
+        WITH toks AS (
+            SELECT doc_id, t AS tok FROM (
+                SELECT doc_id, unnest(string_split(trim(lower(
+                    regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+                FROM documents
+            ) WHERE length(t) > 0
+        ),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS n FROM toks GROUP BY 1
+            ) ORDER BY n DESC, tok ASC LIMIT 100
+        ),
+        per AS (
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_in_vocab
+            FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+            GROUP BY 1
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_in_vocab AS BIGINT) AS n_in_vocab,
+               CAST((CAST(n_tokens - n_in_vocab AS HUGEINT) * 1000000)
+                    // n_tokens AS BIGINT) AS oov_micro
+        FROM per
+    """,
+    "orders_confusion": """
+        WITH a AS (
+            SELECT
+                sum(CASE WHEN o_orderstatus = 'F'
+                    AND o_totalprice >= 150000 THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN o_orderstatus <> 'F'
+                    AND o_totalprice >= 150000 THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN o_orderstatus = 'F'
+                    AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS fn,
+                sum(CASE WHEN o_orderstatus <> 'F'
+                    AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS tn,
+                sum(CASE WHEN o_orderstatus IS NULL
+                    OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_null
+            FROM orders
+        )
+        SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+               CAST(n_null AS BIGINT) AS n_null,
+               CAST(CASE WHEN tp + fp > 0 THEN
+                    (CAST(tp AS HUGEINT) * 1000000) // (tp + fp)
+                    END AS BIGINT) AS precision_micro,
+               CAST(CASE WHEN tp + fn > 0 THEN
+                    (CAST(tp AS HUGEINT) * 1000000) // (tp + fn)
+                    END AS BIGINT) AS recall_micro,
+               CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                    (CAST(2 * tp AS HUGEINT) * 1000000)
+                    // (2 * tp + fp + fn)
+                    END AS BIGINT) AS f1_micro
+        FROM a
     """,
 }
 

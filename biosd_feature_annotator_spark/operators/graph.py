@@ -1011,3 +1011,49 @@ def rule_confidence(
             .alias("conf_micro"),
         )
     )
+
+
+def landmark_distances(
+    edges: DataFrame, landmarks: DataFrame, max_dist: int,
+    directed: bool = False, checkpoint_rounds: bool = False,
+) -> DataFrame:
+    """Multi-source labeled BFS: edges(src, dst) + landmarks(node) →
+    (node, landmark, dist) for every node within max_dist hops of each
+    landmark, dist = minimum hop count (landmarks are dist 0 from
+    themselves). The distance-sketch primitive: pick a few dozen
+    landmarks, materialize this relation, and any pairwise distance
+    query is answered as min over landmarks of d(u, ℓ) + d(ℓ, v) —
+    the standard landmark/ALT estimation scheme, turning online graph
+    traversal into one equi-join against a precomputed table.
+
+    Same semi-naive frontier discipline as khop, but the frontier is
+    keyed by (landmark, node) so all sources expand in the SAME
+    per-round join — one edge-list pass per round total, not per
+    landmark. The anti-join on (landmark, node) enforces min-dist and
+    keeps each round's join input proportional to the new frontier."""
+    sym = edges.select("src", "dst")
+    if not directed:
+        sym = sym.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    seeds = landmarks.select(F.col("node").alias("landmark")).dropDuplicates()
+    reached = seeds.select(
+        "landmark", F.col("landmark").alias("node")
+    ).withColumn("dist", F.lit(0).cast("long"))
+    frontier = reached.select("landmark", "node")
+    for i in range(1, max_dist + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select("landmark", F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(
+                reached.select("landmark", "node"),
+                ["landmark", "node"], "left_anti",
+            )
+            .withColumn("dist", F.lit(i).cast("long"))
+        )
+        if checkpoint_rounds:
+            nxt = nxt.localCheckpoint(eager=True)
+        reached = reached.unionByName(nxt)
+        frontier = nxt.select("landmark", "node")
+    return reached.select("node", "landmark", "dist")

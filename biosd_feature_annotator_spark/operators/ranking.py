@@ -474,3 +474,54 @@ def phrase_search(
         )
         out = out.join(nxt, ["id", "start_pos"])
     return out.withColumnRenamed("id", id_col)
+
+
+def rrf_fuse(
+    runs: DataFrame,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists from heterogeneous
+    retrievers (the hybrid-search combiner: BM25 run + ANN run → one
+    list). Input is one row per (query, doc, rank) per run; output one
+    row per (query, doc):
+
+        rrf_micro  = Σ_runs 1e6 // (k + rank)      (exact, floored
+                     per term — no float reciprocal, so the oracle
+                     reproduces every fused score bit-for-bit)
+        n_runs     = how many runs retrieved the doc
+        fused_rank = row_number by (rrf_micro desc, doc asc)
+
+    k=60 is the published default; larger k flattens the rank
+    discount. Per-term flooring (rather than flooring the float sum)
+    is the deliberate exactness choice and changes scores by < 1e-6
+    per run relative to the textbook formula.
+
+    Scale shape: one map-side-combinable (query, doc) aggregation —
+    the fusion itself never joins runs against each other — plus one
+    per-query window on the fused (query, doc) relation, which is
+    retrieved-docs-sized. Query count parallelizes the window;
+    a single hot query is bounded by its candidate-set size."""
+    term = F.expr(
+        f"cast(1000000 div ({k} + cast({rank_col} as bigint)) as long)"
+    )
+    fused = (
+        runs.select(
+            F.col(query_col).alias("query"),
+            F.col(doc_col).alias("doc"),
+            term.alias("_t"),
+        )
+        .groupBy("query", "doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("_t").alias("rrf_micro"),
+        )
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.desc("rrf_micro"), F.asc("doc")
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )

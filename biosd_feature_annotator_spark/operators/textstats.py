@@ -479,3 +479,53 @@ def synth_labeled_corpus(spark, n_docs: int = 300, words_per_doc: int = 25):
         ]
         rows.append((i, lang, " ".join(words)))
     return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_token_col: str = "token",
+) -> DataFrame:
+    """Per-document tokenizer-vocabulary coverage: how much of each doc
+    a fixed vocabulary (e.g. training.vocab_top's cut, or a tokenizer's
+    merge-table alphabet) actually covers — the fit report run before
+    committing a tokenizer to a corpus, and the OOV-rate filter of a
+    curation pipeline (drop docs the tokenizer would shred).
+
+    Returns one row per document with ≥ 1 token: (id_col, n_tokens,
+    n_in_vocab, oov_micro) where oov_micro = (n_tokens − n_in_vocab) ·
+    1e6 // n_tokens, floored-exact.
+
+    Scale shape: explode to tokens, LEFT join the vocabulary —
+    broadcast, because a vocabulary is KB-to-MB-sized by construction —
+    then one map-side-combinable per-doc count; no shuffle touches the
+    token relation beyond the final doc-keyed aggregation. Token skew
+    ("the" everywhere) is irrelevant to a broadcast probe."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(norm_text_col(F.col(text_col)), " "))
+        .alias("_tok"),
+    ).where(F.length("_tok") > 0)
+    v = vocab.select(
+        F.col(vocab_token_col).alias("_tok")
+    ).dropDuplicates().withColumn("_in", F.lit(1))
+    per = (
+        toks.join(F.broadcast(v), "_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("_in", F.lit(0))).alias("n_in_vocab"),
+        )
+    )
+    dec = "decimal(38,0)"
+    num = (
+        (F.col("n_tokens") - F.col("n_in_vocab")).cast(dec)
+        * F.lit(1_000_000).cast(dec)
+    )
+    den = F.col("n_tokens").cast(dec)
+    return per.select(
+        id_col, "n_tokens", "n_in_vocab",
+        ((num - F.pmod(num, den)) / den).cast("long").alias("oov_micro"),
+    )

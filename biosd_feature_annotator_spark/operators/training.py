@@ -550,3 +550,58 @@ def negative_edges(
         (F.col("src") == F.col("_s")) & (F.col("dst_neg") == F.col("_d")),
         "anti",
     )
+
+
+def confusion_report(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    threshold,
+) -> DataFrame:
+    """Single-row exact confusion matrix at a decision threshold
+    (predicted positive ⇔ score ≥ threshold) with floored-millionths
+    precision / recall / F1 — the deployment-gate companion of the
+    threshold-free AUC/calibration reports: AUC says the scorer ranks
+    well, this says what shipping THIS cutoff does.
+
+        precision_micro = tp·1e6 // (tp + fp)   (NULL if no predicted
+        recall_micro    = tp·1e6 // (tp + fn)    positives / positives)
+        f1_micro        = 2·tp·1e6 // (2·tp + fp + fn)
+
+    Rows with a NULL label or score are excluded (counted in n_null so
+    the exclusion is visible, never silent).
+
+    Scale shape: one full-scan map-side-combinable aggregation — four
+    conditional counts — with no shuffle beyond the single-row
+    reduce; the integer ratios are driver-free column arithmetic."""
+    lab = F.col(label_col).cast("boolean")
+    pred = F.col(score_col) >= F.lit(threshold)
+    ok = lab.isNotNull() & F.col(score_col).isNotNull()
+
+    def _cnt(cond):
+        return F.sum(F.when(ok & cond, 1).otherwise(0))
+
+    agg = scored.agg(
+        _cnt(lab & pred).alias("tp"),
+        _cnt(~lab & pred).alias("fp"),
+        _cnt(lab & ~pred).alias("fn"),
+        _cnt(~lab & ~pred).alias("tn"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("n_null"),
+    )
+    dec = "decimal(38,0)"
+    mil = F.lit(1_000_000).cast(dec)
+
+    def _ratio(numer, denom):
+        nn = numer.cast(dec) * mil
+        dd = denom.cast(dec)
+        return F.when(
+            denom > 0, ((nn - F.pmod(nn, dd)) / dd).cast("long")
+        )
+
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "tp", "fp", "fn", "tn", "n_null",
+        _ratio(tp, tp + fp).alias("precision_micro"),
+        _ratio(tp, tp + fn).alias("recall_micro"),
+        _ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1_micro"),
+    )

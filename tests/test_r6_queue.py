@@ -96,6 +96,10 @@ def duck():
     ("orders_truth_fusion", entrymod.q_orders_truth_fusion),
     ("kg_rules", entrymod.q_kg_rules),
     ("docs_phrase_search", entrymod.q_docs_phrase_search),
+    ("kg_landmarks", entrymod.q_kg_landmarks),
+    ("docs_rrf_fusion", entrymod.q_docs_rrf_fusion),
+    ("docs_vocab_coverage", entrymod.q_docs_vocab_coverage),
+    ("orders_confusion", entrymod.q_orders_confusion),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -138,7 +142,9 @@ def test_r6_queue_not_registered_this_round():
                 "events_rate_bursts", "events_cum_distinct",
                 "lineitem_assoc_rules", "kg_closure",
                 "orders_truth_fusion", "kg_rules",
-                "docs_phrase_search"} & set(q)
+                "docs_phrase_search", "kg_landmarks",
+                "docs_rrf_fusion", "docs_vocab_coverage",
+                "orders_confusion"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

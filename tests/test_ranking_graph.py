@@ -865,3 +865,47 @@ def test_phrase_search_hand_case(spark):
         for r in phrase_search(rep, "go go").collect()
     )
     assert got2 == [(9, 0), (9, 1)]
+
+
+def test_landmark_distances_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.graph import (
+        landmark_distances,
+    )
+
+    # path 1-2-3-4-5, undirected; landmarks 1 and 4
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    lm = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {
+        (r.node, r.landmark): r.dist
+        for r in landmark_distances(e, lm, max_dist=2).collect()
+    }
+    assert got[(1, 1)] == 0 and got[(4, 4)] == 0
+    assert got[(3, 1)] == 2 and got[(2, 4)] == 2 and got[(5, 4)] == 1
+    # bounded: node 4 is 3 hops from landmark 1 -> absent at max_dist=2
+    assert (4, 1) not in got
+    # directed variant only walks src->dst
+    d = {
+        (r.node, r.landmark): r.dist
+        for r in landmark_distances(e, lm, 2, directed=True).collect()
+    }
+    assert (3, 4) not in d and d[(5, 4)] == 1
+
+
+def test_rrf_fuse_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.ranking import rrf_fuse
+
+    runs = spark.createDataFrame(
+        [
+            ("q", "a", 1), ("q", "b", 2),   # run 1
+            ("q", "b", 1), ("q", "c", 2),   # run 2
+        ],
+        "query string, doc string, rank long",
+    )
+    got = {r.doc: r for r in rrf_fuse(runs, k=60).collect()}
+    # b: 1e6//61 + 1e6//62 beats a: 1e6//61
+    assert got["b"].rrf_micro == 16393 + 16129
+    assert got["b"].n_runs == 2 and got["b"].fused_rank == 1
+    assert got["a"].rrf_micro == 16393 and got["a"].fused_rank == 2
+    assert got["c"].fused_rank == 3

@@ -1022,3 +1022,46 @@ def test_negative_edges_deterministic_across_partitionings(spark):
         df.repartition(23), k=2).collect())
     assert one == base and len(one) > 0
     assert len(two) > 0
+
+
+def test_vocab_coverage_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "The cat SAT"), (2, "dog  dog zzz"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("dog",)], "token string"
+    )
+    got = {r.doc_id: r for r in vocab_coverage(docs, vocab).collect()}
+    # normalization lowercases; doc 3 has no tokens -> absent
+    assert set(got) == {1, 2}
+    assert (got[1].n_tokens, got[1].n_in_vocab) == (3, 2)
+    assert got[1].oov_micro == 333_333
+    assert (got[2].n_tokens, got[2].n_in_vocab) == (3, 2)
+
+
+def test_confusion_report_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.training import (
+        confusion_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (True, 0.9), (True, 0.8), (True, 0.2),   # 2 tp, 1 fn
+            (False, 0.7), (False, 0.1), (False, 0.3),  # 1 fp, 2 tn
+            (None, 0.5), (True, None),               # excluded
+        ],
+        "label boolean, score double",
+    )
+    r = confusion_report(df, "label", "score", 0.5).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn, r.n_null) == (2, 1, 1, 2, 2)
+    assert r.precision_micro == 666_666
+    assert r.recall_micro == 666_666
+    assert r.f1_micro == 666_666   # 4e6 // 6
+    # degenerate: nothing predicted positive -> NULL precision
+    r2 = confusion_report(df, "label", "score", 2.0).collect()[0]
+    assert r2.precision_micro is None and r2.recall_micro == 0
