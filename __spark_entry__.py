@@ -2464,6 +2464,92 @@ def q_orders_confusion(spark, sf):
     return confusion_report(o, "label", "score", 150000.0)
 
 
+def q_events_rolling_uniques(spark, sf):
+    """7-day rolling distinct users from mergeable HLL states
+    (sketches.rolling_hll_uniques): one scan builds a per-day state,
+    every window is a kilobyte-register merge over a buckets-domain
+    range join. Like approx_distinct, the sketch is asserted in-query
+    against the EXACT trailing distinct at ±5%, so the oracle checks
+    the exact column and the tolerance flag."""
+    from biosd_feature_annotator_spark.operators.funnel import _epoch_floor
+    from biosd_feature_annotator_spark.operators.sketches import (
+        rolling_hll_uniques,
+    )
+
+    e = _t(spark, sf, "events")
+    est = rolling_hll_uniques(e, "user_id", "ts", 86400, trailing=7)
+    epoch = _epoch_floor("ts")
+    pres = e.select(
+        (epoch - F.pmod(epoch, F.lit(86400))).alias("pb"),
+        F.col("user_id").alias("u"),
+    ).dropDuplicates()
+    anchors = pres.select(F.col("pb").alias("wb")).dropDuplicates()
+    exact = (
+        anchors.join(
+            pres,
+            (F.col("pb") <= F.col("wb"))
+            & (F.col("pb") >= F.col("wb") - F.lit(6 * 86400)),
+        )
+        .groupBy("wb")
+        .agg(F.count_distinct("u").alias("exact_users"))
+    )
+    return est.join(exact, est.bucket == exact.wb).select(
+        "bucket", "n_buckets_merged", "exact_users",
+        (
+            F.abs(F.col("n_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_tol"),
+    )
+
+
+def q_customer_k_anonymity(spark, sf):
+    """k-anonymity release gate (plans/quality.k_anonymity_profile):
+    group-size risk profile of customers under the quasi-identifier
+    (mktsegment, nationkey, last name digit) at k=10 — exact counts
+    and the floored-millionths violating-row share. The oracle
+    recomputes the group sizes and the single-row rollup."""
+    from biosd_feature_annotator_spark.plans.quality import (
+        k_anonymity_profile,
+    )
+
+    c = _t(spark, sf, "customer").select(
+        "c_mktsegment", "c_nationkey",
+        F.expr("right(c_name, 1)").alias("last_d"),
+    )
+    return k_anonymity_profile(
+        c, ["c_mktsegment", "c_nationkey", "last_d"], k=10
+    )
+
+
+def q_orders_quantile_bins(spark, sf):
+    """Quantile discretization (sketches.bucketize_by_quantiles): bin
+    every order's totalprice by the p25/p50/p75 cuts extracted from the
+    mergeable grid-quantile state, then summarize each bin — the
+    equal-mass feature-binning step. Bin assignment is a broadcast of
+    one cut row and a flat sum of indicators; the oracle replays the
+    integer grid math and the same binning."""
+    from biosd_feature_annotator_spark.operators import sketches as S
+
+    o = _t(spark, sf, "orders")
+    lo, hi, nb = 0.0, 1_000_000.0, 10_000
+    st = S.grid_quantile_state(
+        o.select("o_totalprice"), [], "o_totalprice", lo, hi, nb
+    )
+    cuts = S.state_quantiles(
+        st, [], {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4)},
+        lo, hi, nb,
+    )
+    binned = S.bucketize_by_quantiles(
+        o.select("o_orderkey", "o_totalprice"), "o_totalprice",
+        cuts, ["p25", "p50", "p75"],
+    )
+    return binned.groupBy("qbin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo_price"),
+        F.max("o_totalprice").alias("hi_price"),
+    )
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -4515,6 +4601,93 @@ R6_QUEUE_ORACLES = {
                     // (2 * tp + fp + fn)
                     END AS BIGINT) AS f1_micro
         FROM a
+    """,
+    "events_rolling_uniques": """
+        WITH pres AS (
+            SELECT DISTINCT e - (e % 86400) AS pb, user_id
+            FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, user_id
+                  FROM events)
+        ),
+        a AS (SELECT DISTINCT pb AS wb FROM pres),
+        ex AS (
+            SELECT a.wb, count(DISTINCT p.pb) AS nb,
+                   count(DISTINCT p.user_id) AS exact_users
+            FROM a JOIN pres p
+              ON p.pb <= a.wb AND p.pb >= a.wb - 518400
+            GROUP BY 1
+        )
+        SELECT wb AS bucket, CAST(nb AS BIGINT) AS n_buckets_merged,
+               CAST(exact_users AS BIGINT) AS exact_users,
+               TRUE AS within_tol
+        FROM ex
+    """,
+    "customer_k_anonymity": """
+        WITH g AS (
+            SELECT c_mktsegment, c_nationkey, right(c_name, 1) AS d,
+                   count(*) AS n
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        a AS (
+            SELECT sum(n) AS n_rows, count(*) AS n_groups,
+                   min(n) AS min_group,
+                   sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)
+                       AS viol_groups,
+                   sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS viol_rows
+            FROM g
+        )
+        SELECT CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_groups AS BIGINT) AS n_groups,
+               CAST(min_group AS BIGINT) AS min_group,
+               CAST(viol_groups AS BIGINT) AS viol_groups,
+               CAST(viol_rows AS BIGINT) AS viol_rows,
+               CAST((CAST(viol_rows AS HUGEINT) * 1000000) // n_rows
+                    AS BIGINT) AS risk_micro
+        FROM a
+    """,
+    "orders_quantile_bins": """
+        WITH q AS (
+            SELECT least(greatest(
+                CAST(round(o_totalprice * 100) AS BIGINT), 0),
+                99999999) AS vq
+            FROM orders
+        ),
+        s AS (
+            SELECT vq // 10000 AS bucket, count(*) AS cnt
+            FROM q GROUP BY 1
+        ),
+        c AS (
+            SELECT bucket, cnt,
+                   sum(cnt) OVER (ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER () AS total
+            FROM s
+        ),
+        cuts AS (
+            SELECT
+                min(CASE WHEN cum * 4 >= total
+                    THEN CAST((bucket + 1) * 10000 AS DOUBLE) / 100.0
+                    END) AS p25,
+                min(CASE WHEN cum * 2 >= total
+                    THEN CAST((bucket + 1) * 10000 AS DOUBLE) / 100.0
+                    END) AS p50,
+                min(CASE WHEN cum * 4 >= total * 3
+                    THEN CAST((bucket + 1) * 10000 AS DOUBLE) / 100.0
+                    END) AS p75
+            FROM c
+        ),
+        b AS (
+            SELECT o_totalprice,
+                   (CASE WHEN o_totalprice >= p25 THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= p50 THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= p75 THEN 1 ELSE 0 END)
+                       AS qbin
+            FROM orders CROSS JOIN cuts
+        )
+        SELECT CAST(qbin AS BIGINT) AS qbin,
+               CAST(count(*) AS BIGINT) AS n,
+               min(o_totalprice) AS lo_price,
+               max(o_totalprice) AS hi_price
+        FROM b GROUP BY 1
     """,
 }
 

@@ -922,3 +922,46 @@ def fd_profile(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def k_anonymity_profile(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """Re-identification risk profile: group rows by the
+    quasi-identifier combination and report how much of the table
+    lives in groups smaller than k — the release gate a privacy review
+    runs before a dataset (or an extracted KG slice) ships. One row:
+
+        n_rows, n_groups, min_group,
+        viol_groups / viol_rows  (groups of size < k and their rows),
+        risk_micro = viol_rows · 1e6 // n_rows   (floored-exact share
+                     of rows that are k-anonymity violations)
+
+    k-anonymity is the weakest of the release criteria (no protection
+    against homogeneity / background-knowledge attacks) but it is the standard
+    first screen, and the group-size distribution it computes is the
+    input to the stronger ones.
+
+    Scale shape: one map-side-combinable (qi…) count — the only
+    data-sized shuffle — then a single-row aggregate over the
+    groups-sized relation. QI skew is the normal case (huge common
+    groups) and is absorbed by the partial aggregation."""
+    groups = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    small = F.col("_n") < F.lit(k)
+    agg = groups.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_n").alias("min_group"),
+        F.sum(F.when(small, 1).otherwise(0)).alias("viol_groups"),
+        F.sum(F.when(small, F.col("_n")).otherwise(0)).alias("viol_rows"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("viol_rows").cast(dec) * F.lit(1_000_000).cast(dec)
+    den = F.col("n_rows").cast(dec)
+    return agg.select(
+        "n_rows", "n_groups", "min_group", "viol_groups", "viol_rows",
+        F.when(
+            F.col("n_rows") > 0,
+            ((num - F.pmod(num, den)) / den).cast("long"),
+        ).alias("risk_micro"),
+    )

@@ -1057,3 +1057,19 @@ def test_cumulative_distinct_hand_case(spark):
         (day, 1, 0, 2),      # day 1: u1 returns, nobody new
         (2 * day, 1, 1, 3),  # day 2: u3 arrives
     ]
+
+
+def test_k_anonymity_profile_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import (
+        k_anonymity_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)],
+        "seg string, code long",
+    )
+    r = k_anonymity_profile(df, ["seg", "code"], k=3).collect()[0]
+    assert (r.n_rows, r.n_groups, r.min_group) == (8, 3, 1)
+    # groups (a,2)=2 and (b,1)=1 violate k=3 -> 3 of 8 rows
+    assert (r.viol_groups, r.viol_rows) == (2, 3)
+    assert r.risk_micro == 375_000

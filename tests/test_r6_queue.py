@@ -100,6 +100,9 @@ def duck():
     ("docs_rrf_fusion", entrymod.q_docs_rrf_fusion),
     ("docs_vocab_coverage", entrymod.q_docs_vocab_coverage),
     ("orders_confusion", entrymod.q_orders_confusion),
+    ("events_rolling_uniques", entrymod.q_events_rolling_uniques),
+    ("customer_k_anonymity", entrymod.q_customer_k_anonymity),
+    ("orders_quantile_bins", entrymod.q_orders_quantile_bins),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -144,7 +147,9 @@ def test_r6_queue_not_registered_this_round():
                 "orders_truth_fusion", "kg_rules",
                 "docs_phrase_search", "kg_landmarks",
                 "docs_rrf_fusion", "docs_vocab_coverage",
-                "orders_confusion"} & set(q)
+                "orders_confusion", "events_rolling_uniques",
+                "customer_k_anonymity",
+                "orders_quantile_bins"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

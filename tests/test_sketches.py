@@ -243,3 +243,55 @@ def test_cms_join_size_disjoint_keys_reports_zero(spark):
     # and a row absent from the join means inner product 0 — est must
     # report 0, not the min of the rows that happened to survive
     assert cms_join_size(sa, sb, depth=4, width=4096).collect()[0].est == 0
+
+
+def test_rolling_hll_uniques_hand_case(spark):
+    import datetime as dt
+
+    from biosd_feature_annotator_spark.operators.sketches import (
+        rolling_hll_uniques,
+    )
+
+    day = 86400
+
+    def ts(s):
+        return dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # day0: u1,u2 · day1: u2,u3 · day3: u1  (day2 empty -> no anchor)
+    df = spark.createDataFrame(
+        [("u1", ts(10)), ("u2", ts(20)), ("u2", ts(day + 5)),
+         ("u3", ts(day + 6)), ("u1", ts(3 * day + 1))],
+        "k string, ts timestamp",
+    )
+    got = {
+        r.bucket: r
+        for r in rolling_hll_uniques(df, "k", "ts", day, trailing=2)
+        .collect()
+    }
+    assert set(got) == {0, day, 3 * day}
+    # tiny cardinalities -> HLL is exact in sparse mode
+    assert got[0].n_buckets_merged == 1 and got[0].n_est == 2
+    assert got[day].n_buckets_merged == 2 and got[day].n_est == 3
+    # day3's window is [day2, day3]; day2 has no state
+    assert got[3 * day].n_buckets_merged == 1 and got[3 * day].n_est == 1
+
+
+def test_bucketize_by_quantiles_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.sketches import (
+        bucketize_by_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, 99.0), (5, None)],
+        "id long, v double",
+    )
+    cuts = spark.createDataFrame([(10.0, 50.0)], "c1 double, c2 double")
+    got = {
+        r.id: r.qbin
+        for r in bucketize_by_quantiles(df, "v", cuts, ["c1", "c2"])
+        .collect()
+    }
+    # bin = #cuts at or below the value; NULL value -> NULL bin
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: None}
