@@ -2550,6 +2550,50 @@ def q_orders_quantile_bins(spark, sf):
     )
 
 
+def q_events_portable_hll(spark, sf):
+    """Engine-portable HLL (sketches.portable_hll_state/estimate):
+    distinct users per event type where — unlike the DataSketches
+    queries that need an in-query tolerance flag — the DuckDB oracle
+    replays the ENTIRE sketch bit-for-bit: md5 register assignment,
+    bin()-length rho, the 2^(62−rho) harmonic sum as DECIMAL, and the
+    rational-α integer estimator."""
+    from biosd_feature_annotator_spark.operators.sketches import (
+        portable_hll_estimate,
+        portable_hll_state,
+    )
+
+    e = _t(spark, sf, "events")
+    st = portable_hll_state(e, ["event_type"], "user_id", p=10)
+    return portable_hll_estimate(st, ["event_type"], p=10)
+
+
+def q_orders_profile(spark, sf):
+    """ANALYZE-style column statistics (plans/quality.profile_columns):
+    one pass over orders computing count / nulls / exact NDV / native
+    min-max for four columns, exploded into a tidy one-row-per-column
+    relation. The oracle recomputes each column's stats independently
+    and unions them."""
+    from biosd_feature_annotator_spark.plans.quality import profile_columns
+
+    o = _t(spark, sf, "orders")
+    return profile_columns(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+def q_events_resample(spark, sf):
+    """Dense hourly resampling (funnel.resample_counts): every hour
+    between the data's min and max appears, zero-filled — the spine is
+    generated executor-side with sequence() + explode off a broadcast
+    min/max row, never collected. The oracle uses generate_series."""
+    from biosd_feature_annotator_spark.operators.funnel import (
+        resample_counts,
+    )
+
+    return resample_counts(_t(spark, sf, "events"), "ts", 3600)
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -4688,6 +4732,87 @@ R6_QUEUE_ORACLES = {
                min(o_totalprice) AS lo_price,
                max(o_totalprice) AS hi_price
         FROM b GROUP BY 1
+    """,
+    "events_portable_hll": """
+        WITH h AS (
+            SELECT event_type,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15) AS BIGINT) AS h
+            FROM events
+        ),
+        reg AS (
+            SELECT event_type, h % 1024 AS register, h // 1024 AS w
+            FROM h
+        ),
+        rho AS (
+            SELECT event_type, register,
+                   max(CASE WHEN w = 0 THEN 51
+                       ELSE 50 - length(bin(w)) + 1 END) AS rho
+            FROM reg GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT event_type, count(*) AS n_set,
+                   sum(CAST(CAST(1 AS BIGINT)
+                       << CAST(62 - rho AS INT) AS HUGEINT)) AS s_set
+            FROM rho GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(1024 - n_set AS BIGINT) AS v_zero,
+               CAST(
+                   (CAST(7386112000 AS HUGEINT) * 1048576
+                    * 4611686018427387904)
+                   // (CAST(10250790000 AS HUGEINT)
+                       * (s_set + (1024 - n_set)
+                          * CAST(4611686018427387904 AS HUGEINT)))
+                   AS BIGINT) AS n_est
+        FROM agg
+    """,
+    "orders_profile": """
+        SELECT 'o_orderkey' AS "column",
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    "events_resample": """
+        WITH per AS (
+            SELECT e - (e % 3600) AS bucket, count(*) AS cnt
+            FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e
+                  FROM events)
+            GROUP BY 1
+        ),
+        b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM per),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, 3600)) AS bucket
+            FROM b
+        )
+        SELECT s.bucket, CAST(coalesce(p.cnt, 0) AS BIGINT) AS cnt
+        FROM spine s LEFT JOIN per p ON s.bucket = p.bucket
     """,
 }
 

@@ -388,3 +388,43 @@ def cumulative_distinct(
         )
         .withColumn("cum_keys", F.sum("new_keys").over(w))
     )
+
+
+def resample_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Dense time resampling: (bucket, cnt) for EVERY bucket between
+    the data's min and max — empty buckets appear with cnt = 0, unlike
+    the sparse groupBy the windowed operators (rate_bursts,
+    cumulative_distinct) deliberately keep. Zero-filling is what makes
+    downstream frame windows (moving averages, gap detection,
+    forecasting features) arithmetically honest: a missing bucket and
+    a zero bucket are different facts.
+
+    Scale shape: one map-side-combinable bucket count, one single-row
+    min/max aggregate, and a spine generated EXECUTOR-side with
+    sequence() + explode off that one broadcast row — the driver never
+    materializes the range, so a decade of 1-second buckets is an
+    array-expansion plan, not a collect. The spine left-joins the
+    sparse counts on the bucket key. Spine length is (max−min)/bucket
+    — guard upstream if the data's time span could make that
+    pathological (a single partition explodes the array; repartition
+    the spine by bucket range for very long spans)."""
+    epoch = _epoch_floor(ts_col)
+    bucket = (epoch - F.pmod(epoch, F.lit(bucket_seconds))).alias("bucket")
+    per = df.select(bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = per.agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.lit(bucket_seconds))
+        ).alias("bucket")
+    )
+    return spine.join(per, "bucket", "left").select(
+        "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )

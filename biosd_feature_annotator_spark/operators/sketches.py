@@ -38,6 +38,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import hash64
+
 
 def grid_quantile_state(
     df: DataFrame, key_cols: list[str], value_col: str,
@@ -481,3 +483,97 @@ def bucketize_by_quantiles(
         F.when(F.col(value_col).isNotNull(), ind.cast("long")),
     )
     return out.drop(*cut_cols)
+
+
+def portable_hll_state(
+    df: DataFrame, key_cols: list[str], value_col: str, p: int = 10,
+) -> DataFrame:
+    """Engine-portable HLL register state: (keys…, register, rho) with
+    rho = max over values hashing to that register — unlike hll_state's
+    DataSketches binary (opaque to any other engine), every number here
+    is reproducible by any SQL engine with md5, so the DuckDB oracle
+    can replay the ENTIRE sketch, estimate included, bit-for-bit.
+
+    Hash layout: h = the md5-long kernel (60 non-negative bits, the
+    same portable hash as the MinHash family); register = h mod 2^p;
+    w = h div 2^p (a W = 60−p bit word); rho = leading-zero count of w
+    within W bits + 1, computed EXACTLY as W − msb(w) + 1 via the
+    binary-string length (no float log2), with w = 0 → W + 1.
+    Registers no value hashed into are simply absent (sparse state —
+    the estimator reconstructs them as zeros).
+
+    Mergeable by construction: merge = groupBy(keys, register)
+    max(rho), associative and order-free — the same contract as the
+    grid/CMS/spacesaving family, so incremental maintenance and
+    cross-partition union cost a registers-sized shuffle (≤ 2^p rows
+    per key), never a rescan."""
+    m = 1 << p
+    w_bits = 60 - p
+    h = hash64(F.col(value_col), hasher="md5")
+    rho = F.when(
+        F.col("_w") == 0, F.lit(w_bits + 1)
+    ).otherwise(F.lit(w_bits) - F.length(F.bin(F.col("_w"))) + 1)
+    return (
+        df.select(*key_cols, h.alias("_h"))
+        # integer div, NOT float division: h has 60 bits and doubles
+        # only carry 53 — float h/m would corrupt low registers
+        .select(
+            *key_cols,
+            F.pmod(F.col("_h"), F.lit(m)).alias("register"),
+            F.expr(f"_h div {m}").alias("_w"),
+        )
+        .select(*key_cols, "register", rho.cast("long").alias("rho"))
+        .groupBy(*key_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_portable_hll_states(*states: DataFrame) -> DataFrame:
+    return _merge_states(states, {"rho": F.max("rho")})
+
+
+def portable_hll_estimate(
+    state: DataFrame, key_cols: list[str], p: int = 10,
+) -> DataFrame:
+    """Raw HLL estimate from a portable state, computed entirely in
+    integer arithmetic so it is engine-exact: per key,
+
+        S      = Σ_{registers} 2^(62 − rho)   (absent registers rho=0
+                 contribute 2^62; S is the harmonic-mean denominator
+                 scaled by 2^62 — max 2^p·2^62 < 10^38, DECIMAL-exact)
+        n_est  = α_num · m² · 2^62 // (α_den · S)
+
+    with α = 0.7213/(1 + 1.079/m) expressed as the exact rational
+    α_num/α_den = 7213000·m / (10⁴·(1000·m + 1079)). This is the RAW
+    HyperLogLog estimator: no small-range linear-counting or bias
+    correction (both need a float ln/lookup that engines don't agree
+    on bit-for-bit), so estimates for n ≲ 2.5·m carry the documented
+    raw-HLL overestimation bias — v_zero (empty registers) is emitted
+    precisely so a consumer CAN apply linear counting; the exactness
+    contract here covers the state and the raw estimator."""
+    m = 1 << p
+    a_num = 7_213_000 * m
+    a_den = 10_000 * (1000 * m + 1079)
+    dec = "decimal(38,0)"
+    present = state.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n_set"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), "
+                     "cast(62 - rho as int))").cast(dec))
+        .alias("_s_set"),
+    )
+    s_total = (
+        F.col("_s_set")
+        + (F.lit(m) - F.col("_n_set")).cast(dec)
+        * F.lit(1 << 62).cast(dec)
+    )
+    num = (
+        F.lit(a_num).cast(dec)
+        * F.lit(m * m).cast(dec)
+        * F.lit(1 << 62).cast(dec)
+    )
+    den = (F.lit(a_den).cast(dec) * s_total)
+    return present.select(
+        *key_cols,
+        (F.lit(m) - F.col("_n_set")).cast("long").alias("v_zero"),
+        ((num - F.pmod(num, den)) / den).cast("long").alias("n_est"),
+    )

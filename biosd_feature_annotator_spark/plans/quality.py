@@ -965,3 +965,52 @@ def k_anonymity_profile(
             ((num - F.pmod(num, den)) / den).cast("long"),
         ).alias("risk_micro"),
     )
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], approx_ndv: bool = False
+) -> DataFrame:
+    """ANALYZE-style column statistics as a tidy relation: one row per
+    profiled column with (column, n_rows, n_null, n_distinct, min_val,
+    max_val) — the catalog-stats builder whose output feeds join
+    ordering, NDV-based broadcast decisions, and the dq rule
+    thresholds. min/max are emitted as strings so heterogeneous
+    columns share one schema; profile numeric columns as integers (or
+    pre-cast) when cross-engine string formatting matters.
+
+    One pass over the data: a single aggregate computes every
+    column's stats, then the one-row result is exploded into the tidy
+    shape (rows = columns — driver-free, the explode is over an array
+    literal of structs). CAVEAT the scale design is explicit about:
+    multiple EXACT count_distincts in one aggregate make Spark expand
+    each input row once per distinct aggregate (len(cols)×
+    amplification before the shuffle). That is the textbook cost of
+    exact multi-NDV; pass approx_ndv=True to use HLL-based
+    approx_count_distinct instead, which keeps the pass at 1× and is
+    what a production ANALYZE does."""
+    ndv = F.approx_count_distinct if approx_ndv else F.count_distinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"_nn_{c}"),
+            ndv(c).alias(f"_nd_{c}"),
+            # min/max on the NATIVE type, cast after: string-cast-first
+            # would order numerics lexicographically ("10" < "9")
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"_n_{c}").cast("long").alias("n_rows"),
+            F.col(f"_nn_{c}").cast("long").alias("n_null"),
+            F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+            F.col(f"_mn_{c}").alias("min_val"),
+            F.col(f"_mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(rows).alias("_r")).select("_r.*")

@@ -1073,3 +1073,32 @@ def test_k_anonymity_profile_hand_case(spark):
     # groups (a,2)=2 and (b,1)=1 violate k=3 -> 3 of 8 rows
     assert (r.viol_groups, r.viol_rows) == (2, 3)
     assert r.risk_micro == 375_000
+
+
+def test_profile_columns_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "a long, b string"
+    )
+    got = {r.column: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert (got["a"].n_rows, got["a"].n_null, got["a"].n_distinct) == (3, 0, 2)
+    assert (got["a"].min_val, got["a"].max_val) == ("1", "2")
+    assert (got["b"].n_null, got["b"].n_distinct) == (1, 2)
+    assert (got["b"].min_val, got["b"].max_val) == ("x", "y")
+
+
+def test_resample_counts_zero_fills(spark):
+    from biosd_feature_annotator_spark.operators.funnel import (
+        resample_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("e", _ets(10)), ("e", _ets(20)), ("e", _ets(7300))],
+        "k string, ts timestamp",
+    )
+    got = sorted(
+        map(tuple, resample_counts(df, "ts", 3600).collect())
+    )
+    # hour 1 (3600) has no events but MUST appear with cnt 0
+    assert got == [(0, 2), (3600, 0), (7200, 1)]

@@ -103,6 +103,9 @@ def duck():
     ("events_rolling_uniques", entrymod.q_events_rolling_uniques),
     ("customer_k_anonymity", entrymod.q_customer_k_anonymity),
     ("orders_quantile_bins", entrymod.q_orders_quantile_bins),
+    ("events_portable_hll", entrymod.q_events_portable_hll),
+    ("orders_profile", entrymod.q_orders_profile),
+    ("events_resample", entrymod.q_events_resample),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -148,8 +151,9 @@ def test_r6_queue_not_registered_this_round():
                 "docs_phrase_search", "kg_landmarks",
                 "docs_rrf_fusion", "docs_vocab_coverage",
                 "orders_confusion", "events_rolling_uniques",
-                "customer_k_anonymity",
-                "orders_quantile_bins"} & set(q)
+                "customer_k_anonymity", "orders_quantile_bins",
+                "events_portable_hll", "orders_profile",
+                "events_resample"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

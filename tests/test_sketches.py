@@ -295,3 +295,47 @@ def test_bucketize_by_quantiles_hand_case(spark):
     }
     # bin = #cuts at or below the value; NULL value -> NULL bin
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: None}
+
+
+def test_portable_hll_merge_equals_direct_and_estimates(spark):
+    from biosd_feature_annotator_spark.operators.sketches import (
+        merge_portable_hll_states,
+        portable_hll_estimate,
+        portable_hll_state,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 2).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    direct = portable_hll_state(df, ["g"], "v")
+    halves = [
+        portable_hll_state(df.where(F.col("id") < 2500), ["g"], "v"),
+        portable_hll_state(df.where(F.col("id") >= 2500), ["g"], "v"),
+    ]
+    merged = merge_portable_hll_states(*halves)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    est = {
+        r.g: r for r in portable_hll_estimate(direct, ["g"]).collect()
+    }
+    # 2500 distinct per group, m=1024 (rsd ~3.2%): raw estimator is in
+    # its valid range; deterministic md5 makes this assertion stable
+    for g in (0, 1):
+        assert abs(est[g].n_est - 2500) < 2500 * 0.12
+        assert 0 <= est[g].v_zero < 1024
+
+
+def test_portable_hll_rho_special_cases(spark):
+    from biosd_feature_annotator_spark.operators.sketches import (
+        portable_hll_state,
+    )
+
+    st = portable_hll_state(
+        spark.createDataFrame([("a",), ("b",), ("a",)], "v string"),
+        [], "v", p=4,
+    ).collect()
+    # duplicates collapse; rho bounded by W+1 = 57 for p=4
+    assert len(st) <= 2
+    assert all(1 <= r.rho <= 57 for r in st)
