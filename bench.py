@@ -246,6 +246,23 @@ def main() -> None:
         ("eval_topk_rankers", entrymod.q_eval_topk_rankers),
         ("kg_modularity", entrymod.q_kg_modularity),
         ("docs_rater_kappa", entrymod.q_docs_rater_kappa),
+        ("events_rate_bursts", entrymod.q_events_rate_bursts),
+        ("events_cum_distinct", entrymod.q_events_cum_distinct),
+        ("lineitem_assoc_rules", entrymod.q_lineitem_assoc_rules),
+        ("kg_closure", entrymod.q_kg_closure),
+        ("orders_truth_fusion", entrymod.q_orders_truth_fusion),
+        ("kg_rules", entrymod.q_kg_rules),
+        ("docs_phrase_search", entrymod.q_docs_phrase_search),
+        ("kg_landmarks", entrymod.q_kg_landmarks),
+        ("docs_rrf_fusion", entrymod.q_docs_rrf_fusion),
+        ("docs_vocab_coverage", entrymod.q_docs_vocab_coverage),
+        ("orders_confusion", entrymod.q_orders_confusion),
+        ("events_rolling_uniques", entrymod.q_events_rolling_uniques),
+        ("customer_k_anonymity", entrymod.q_customer_k_anonymity),
+        ("orders_quantile_bins", entrymod.q_orders_quantile_bins),
+        ("events_portable_hll", entrymod.q_events_portable_hll),
+        ("orders_profile", entrymod.q_orders_profile),
+        ("events_resample", entrymod.q_events_resample),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 
