@@ -2594,6 +2594,68 @@ def q_events_resample(spark, sf):
     return resample_counts(_t(spark, sf, "events"), "ts", 3600)
 
 
+def q_kg_weighted_paths(spark, sf):
+    """Bounded Bellman-Ford (graph.weighted_sssp): minimum total
+    integer weight over ≤3-edge paths from three supplier landmarks on
+    the undirected customer–supplier graph, edge weight = min lineitem
+    quantity — semi-naive relaxation (only improved labels propagate).
+    The oracle enumerates ≤3-edge walks recursively and takes min(dist)
+    (non-negative weights ⇒ walks and paths agree)."""
+    from biosd_feature_annotator_spark.operators.graph import weighted_sssp
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 8)
+    o = _t(spark, sf, "orders")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("o_custkey") < 100)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).cast("long")
+            .alias("dst"),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+    )
+    sym = raw.unionByName(
+        raw.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = spark.createDataFrame(
+        [(1_000_001,), (1_000_002,), (1_000_003,)], "node long"
+    )
+    return weighted_sssp(sym, seeds, rounds=3)
+
+
+def q_events_session_paths(spark, sf):
+    """Common-journey mining (funnel.session_paths): sessions split at
+    >30 min gaps, each session reduced to its first-3-event-type path
+    string, counted per path — the rank filter runs BEFORE the
+    collect, so a huge session contributes 3 rows. The oracle replays
+    sessionization, the row_number prefix cut, and string_agg."""
+    from biosd_feature_annotator_spark.operators.funnel import session_paths
+
+    return session_paths(_t(spark, sf, "events"), 1800, 3)
+
+
+def q_user_value_trend(spark, sf):
+    """Per-user value trend (plans/quality.groupwise_ols): least-squares
+    line of event value cents over seconds-since-2024 from exact
+    DECIMAL moments; slope and intercept as floored millionths with
+    the intercept derived from the ALREADY-floored slope so both
+    engines share one rounding chain. The oracle replays the moments
+    in HUGEINT and emulates the floor with the pmod identity."""
+    from biosd_feature_annotator_spark.operators.funnel import _epoch_floor
+    from biosd_feature_annotator_spark.plans.quality import groupwise_ols
+
+    e = _t(spark, sf, "events").where(F.col("value").isNotNull())
+    d = e.select(
+        "user_id",
+        (_epoch_floor("ts") - F.lit(1_704_067_200)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return groupwise_ols(d, ["user_id"], "x", "y")
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -4813,6 +4875,104 @@ R6_QUEUE_ORACLES = {
         )
         SELECT s.bucket, CAST(coalesce(p.cnt, 0) AS BIGINT) AS cnt
         FROM spine s LEFT JOIN per p ON s.bucket = p.bucket
+    """,
+    "kg_weighted_paths": """
+        WITH RECURSIVE raw AS (
+            SELECT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst,
+                   CAST(min(l_quantity) AS BIGINT) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 8 AND o_custkey < 100
+            GROUP BY 1, 2
+        ),
+        sym AS (
+            SELECT src, dst, w FROM raw
+            UNION ALL SELECT dst, src, w FROM raw
+        ),
+        lm AS (
+            SELECT CAST(1000001 AS BIGINT) AS node
+            UNION SELECT 1000002 UNION SELECT 1000003
+        ),
+        r(node, dist, depth) AS (
+            SELECT node, CAST(0 AS BIGINT), 0 FROM lm
+            UNION ALL
+            SELECT s.dst, r.dist + s.w, r.depth + 1
+            FROM r JOIN sym s ON r.node = s.src
+            WHERE r.depth < 3
+        )
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM r GROUP BY 1
+    """,
+    "events_session_paths": """
+        WITH e AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events
+        ),
+        s AS (
+            SELECT *, sum(CASE WHEN prev IS NULL OR ep - prev > 1800
+                          THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM (SELECT *, lag(ep) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                  ) AS prev FROM e)
+        ),
+        r AS (
+            SELECT user_id, sess, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, sess
+                       ORDER BY ts, event_id) AS rk
+            FROM s
+        ),
+        p AS (
+            SELECT user_id, sess,
+                   string_agg(event_type, '>' ORDER BY rk) AS path,
+                   count(*) AS plen
+            FROM r WHERE rk <= 3 GROUP BY 1, 2
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(max(plen) AS BIGINT) AS path_len
+        FROM p GROUP BY 1
+    """,
+    "user_value_trend": """
+        WITH d AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        a AS (
+            SELECT user_id,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+            FROM d GROUP BY 1
+        ),
+        s AS (
+            SELECT user_id, n, sx, sy,
+                   (n * sxy - sx * sy) * 1000000 AS snum,
+                   n * sxx - sx * sx AS sden
+            FROM a
+        ),
+        sl AS (
+            SELECT user_id, n, sx, sy,
+                   CASE WHEN sden <> 0 THEN
+                       (snum - ((snum % sden) + sden) % sden) / sden
+                   END AS slope
+            FROM s
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               CAST(sx AS BIGINT) AS sum_x,
+               CAST(sy AS BIGINT) AS sum_y,
+               CAST(slope AS BIGINT) AS slope_micro,
+               CAST(CASE WHEN slope IS NOT NULL THEN
+                    (sy * 1000000 - slope * sx
+                     - (((sy * 1000000 - slope * sx) % n) + n) % n) / n
+                    END AS BIGINT) AS intercept_micro
+        FROM sl
     """,
 }
 

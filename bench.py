@@ -263,6 +263,9 @@ def main() -> None:
         ("events_portable_hll", entrymod.q_events_portable_hll),
         ("orders_profile", entrymod.q_orders_profile),
         ("events_resample", entrymod.q_events_resample),
+        ("kg_weighted_paths", entrymod.q_kg_weighted_paths),
+        ("events_session_paths", entrymod.q_events_session_paths),
+        ("user_value_trend", entrymod.q_user_value_trend),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

@@ -428,3 +428,66 @@ def resample_counts(
     return spine.join(per, "bucket", "left").select(
         "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    k_prefix: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Common-journey mining: sessionize (gap > gap_seconds starts a
+    new session — the engine's standard lag + cumulative-sum split),
+    take each session's FIRST k_prefix event types in (ts, order_col)
+    order, and count sessions per path string — "what do sessions
+    actually start with", the exploratory complement of funnel_depths'
+    single hypothesized path and event_transitions' one-step matrix.
+    Returns (path, n_sessions, path_len) with path as
+    'a>b>c'.
+
+    Scale shape: one user-keyed shuffle for the session windows, then
+    one (user, session)-keyed combinable collect of ONLY the first k
+    positions — the rank filter runs before the collect, so a
+    pathological 10⁶-event session contributes k rows, not 10⁶ — and
+    one path-keyed combinable count. Ties at identical timestamps are
+    pinned by order_col throughout."""
+    epoch = _epoch_floor(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    sess = events.withColumn(
+        "_sess",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    ws = Window.partitionBy(user_col, "_sess").orderBy(ts_col, order_col)
+    firsts = (
+        sess.withColumn("_rk", F.row_number().over(ws))
+        .where(F.col("_rk") <= k_prefix)
+        .groupBy(user_col, "_sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_rk").alias("rk"),
+                                F.col(type_col).alias("et"),
+                            )
+                        )
+                    ),
+                    lambda s: s.et,
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+    )
+    return firsts.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("path_len").cast("long").alias("path_len"),
+    )

@@ -1057,3 +1057,61 @@ def landmark_distances(
         reached = reached.unionByName(nxt)
         frontier = nxt.select("landmark", "node")
     return reached.select("node", "landmark", "dist")
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    weight_col: str = "w",
+    checkpoint_rounds: bool = False,
+) -> DataFrame:
+    """Bounded Bellman-Ford: edges(src, dst, w — non-negative integer
+    weights) + seeds(node) → (node, dist) where dist is the minimum
+    total weight over paths of ≤ `rounds` edges from any seed. The
+    weighted complement of khop/landmark_distances (hop counts treat a
+    10-confidence edge and a 1-confidence edge alike; weighted
+    distances are what "strength of connection ≤ d" queries need).
+    Integer weights keep every relaxation an exact long sum — callers
+    quantize float costs once upstream (the engine's micro-quantize
+    discipline) so min() never compares accumulated float error.
+
+    Semi-naive relaxation, the distributed Bellman-Ford shape: each
+    round joins ONLY the nodes whose distance improved last round
+    against the edge list (map-side-combinable min on the candidate
+    relation, then one left join against the current labels to keep
+    strict improvements). Converged graphs produce an empty improved
+    set and later rounds are no-ops; with non-negative weights
+    `rounds` ≥ the hop diameter gives the exact fixpoint. Fixed round
+    count ⇒ action-free loop (the pagerank/CC discipline)."""
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("_w")
+    )
+    dist = (
+        seeds.select("node").dropDuplicates()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    improved = dist
+    for _ in range(rounds):
+        cand = (
+            improved.join(e, improved.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("_d2"),
+            )
+            .groupBy("node")
+            .agg(F.min("_d2").alias("_d2"))
+        )
+        cur = dist.select(F.col("node").alias("_n"), F.col("dist").alias("_cur"))
+        improved = (
+            cand.join(cur, cand.node == cur._n, "left")
+            .where(F.col("_cur").isNull() | (F.col("_d2") < F.col("_cur")))
+            .select("node", F.col("_d2").alias("dist"))
+        )
+        if checkpoint_rounds:
+            improved = improved.localCheckpoint(eager=True)
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+        )
+    return dist

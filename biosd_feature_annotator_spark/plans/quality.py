@@ -1014,3 +1014,63 @@ def profile_columns(
         for c in cols
     ])
     return one.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+def groupwise_ols(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key least-squares trend line from exact integer moments —
+    the entity-trend detector of a KG maintenance loop ("is this
+    entity's mention rate rising between runs") and the per-segment
+    drift line of a monitoring stack. x and y must be INTEGER columns
+    (quantize floats once upstream — the engine's micro discipline);
+    all five moments (n, Σx, Σy, Σxy, Σx²) are then exact DECIMAL
+    sums, order- and partitioning-free, and both fitted coefficients
+    are floored millionths derived by a fixed integer chain:
+
+        slope_micro     = ⌊(n·Σxy − Σx·Σy)·1e6 / (n·Σx² − Σx²_sum)⌋
+        intercept_micro = ⌊(Σy·1e6 − slope_micro·Σx) / n⌋
+
+    intercept deliberately uses the ALREADY-FLOORED slope so the two
+    engines share one rounding chain (no hidden double precision).
+    Zero x-variance keys report NULL coefficients rather than a fake
+    line. One map-side-combinable aggregation — no shuffle beyond the
+    key count; a hot key is one combiner row per partition."""
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    mil = F.lit(1_000_000).cast(dec)
+    s_num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) * mil
+    s_den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        s_den != 0,
+        ((s_num - F.pmod(s_num, s_den)) / s_den).cast("long"),
+    )
+    out = agg.withColumn("slope_micro", slope)
+    i_num = (
+        F.col("_sy") * mil
+        - F.col("slope_micro").cast(dec) * F.col("_sx")
+    )
+    i_den = F.col("_n")
+    intercept = F.when(
+        F.col("slope_micro").isNotNull(),
+        ((i_num - F.pmod(i_num, i_den)) / i_den).cast("long"),
+    )
+    return out.select(
+        *key_cols,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_sx").cast("long").alias("sum_x"),
+        F.col("_sy").cast("long").alias("sum_y"),
+        "slope_micro",
+        intercept.alias("intercept_micro"),
+    )

@@ -1102,3 +1102,42 @@ def test_resample_counts_zero_fills(spark):
     )
     # hour 1 (3600) has no events but MUST appear with cnt 0
     assert got == [(0, 2), (3600, 0), (7200, 1)]
+
+
+def test_session_paths_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.funnel import session_paths
+
+    rows = [
+        # user u: session 1 = a,b,c,d (path keeps first 3); gap; session 2 = a
+        (1, "u", _ets(0), "a"), (2, "u", _ets(60), "b"),
+        (3, "u", _ets(120), "c"), (4, "u", _ets(180), "d"),
+        (5, "u", _ets(10000), "a"),
+        # user v: one session a>b
+        (6, "v", _ets(0), "a"), (7, "v", _ets(30), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    got = {
+        r.path: r for r in session_paths(df, 1800, 3).collect()
+    }
+    assert got["a>b>c"].n_sessions == 1 and got["a>b>c"].path_len == 3
+    assert got["a"].n_sessions == 1 and got["a"].path_len == 1
+    assert got["a>b"].n_sessions == 1 and got["a>b"].path_len == 2
+
+
+def test_groupwise_ols_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import groupwise_ols
+
+    df = spark.createDataFrame(
+        # key g: y = 2x + 1 exactly; key h: constant x -> NULL fit
+        [("g", 0, 1), ("g", 1, 3), ("g", 2, 5),
+         ("h", 4, 7), ("h", 4, 9)],
+        "k string, x long, y long",
+    )
+    got = {r.k: r for r in groupwise_ols(df, ["k"], "x", "y").collect()}
+    assert got["g"].slope_micro == 2_000_000
+    assert got["g"].intercept_micro == 1_000_000
+    assert (got["g"].n, got["g"].sum_x, got["g"].sum_y) == (3, 3, 9)
+    assert got["h"].slope_micro is None
+    assert got["h"].intercept_micro is None

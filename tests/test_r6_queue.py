@@ -106,6 +106,9 @@ def duck():
     ("events_portable_hll", entrymod.q_events_portable_hll),
     ("orders_profile", entrymod.q_orders_profile),
     ("events_resample", entrymod.q_events_resample),
+    ("kg_weighted_paths", entrymod.q_kg_weighted_paths),
+    ("events_session_paths", entrymod.q_events_session_paths),
+    ("user_value_trend", entrymod.q_user_value_trend),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -153,7 +156,8 @@ def test_r6_queue_not_registered_this_round():
                 "orders_confusion", "events_rolling_uniques",
                 "customer_k_anonymity", "orders_quantile_bins",
                 "events_portable_hll", "orders_profile",
-                "events_resample"} & set(q)
+                "events_resample", "kg_weighted_paths",
+                "events_session_paths", "user_value_trend"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -909,3 +909,21 @@ def test_rrf_fuse_hand_case(spark):
     assert got["b"].n_runs == 2 and got["b"].fused_rank == 1
     assert got["a"].rrf_micro == 16393 and got["a"].fused_rank == 2
     assert got["c"].fused_rank == 3
+
+
+def test_weighted_sssp_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.graph import weighted_sssp
+
+    # 1 -2-> 2 -2-> 3, plus a heavy direct 1 -9-> 3 (relaxed later)
+    e = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 2), (1, 3, 9), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.dist for r in weighted_sssp(e, seeds, rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 4, 4: 5}
+    # at rounds=1 only direct edges are relaxed
+    g1 = {r.node: r.dist for r in weighted_sssp(e, seeds, rounds=1).collect()}
+    assert g1 == {1: 0, 2: 2, 3: 9}
