@@ -2656,6 +2656,62 @@ def q_user_value_trend(spark, sf):
     return groupwise_ols(d, ["user_id"], "x", "y")
 
 
+def q_stream_hll_users(spark, sf):
+    """STREAMING incremental portable-HLL maintenance
+    (streaming/incremental.stream_hll_registers): events arrive as a
+    REAL 3-micro-batch availableNow file stream; each batch's register
+    sketch max-merges into the materialized state under the family's
+    verify-then-swap exactly-once discipline. Registers are a pure
+    function of the value set, so the committed state is independent
+    of the batch split — the oracle rebuilds the registers directly
+    from ALL events (md5 + bin-length rho), earned here through the
+    streaming loop."""
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_hll_registers,
+    )
+
+    base = _stream_base("stream_hll")
+    got = stream_hll_registers(
+        spark, os.path.join(sf, "events.parquet"),
+        os.path.join(base, "out"), os.path.join(base, "ckpt"),
+        key_col="event_type", value_col="user_id", p=10, n_files=3,
+    )
+    return got.select("event_type", "register", "rho")
+
+
+def q_kg_dag_layers(spark, sf):
+    """Topological layering (graph.dag_layers): longest-path layer of
+    every node in the order→customer→nation→region DAG (the
+    transitive-closure graph), semi-naive max relaxation from the
+    in-degree-0 sources. The oracle takes max(depth) over the
+    recursive path expansion."""
+    from biosd_feature_annotator_spark.operators.graph import dag_layers
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") < 2000)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    edges = (
+        o.select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).cast("long")
+            .alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).cast("long")
+            .alias("dst"),
+        )
+        .unionByName(c.select(
+            (F.col("c_custkey") + F.lit(1_000_000)).cast("long")
+            .alias("src"),
+            (F.col("c_nationkey") + F.lit(500_000)).cast("long")
+            .alias("dst"),
+        ))
+        .unionByName(n.select(
+            (F.col("n_nationkey") + F.lit(500_000)).cast("long")
+            .alias("src"),
+            F.col("n_regionkey").cast("long").alias("dst"),
+        ))
+    )
+    return dag_layers(edges, rounds=3)
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -4973,6 +5029,51 @@ R6_QUEUE_ORACLES = {
                      - (((sy * 1000000 - slope * sx) % n) + n) % n) / n
                     END AS BIGINT) AS intercept_micro
         FROM sl
+    """,
+    "stream_hll_users": """
+        WITH h AS (
+            SELECT event_type,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15) AS BIGINT) AS h
+            FROM events
+        ),
+        reg AS (
+            SELECT event_type, h % 1024 AS register, h // 1024 AS w
+            FROM h
+        )
+        SELECT event_type, CAST(register AS BIGINT) AS register,
+               CAST(max(CASE WHEN w = 0 THEN 51
+                        ELSE 50 - length(bin(w)) + 1 END)
+                    AS BIGINT) AS rho
+        FROM reg GROUP BY 1, 2
+    """,
+    "kg_dag_layers": """
+        WITH RECURSIVE e AS (
+            SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS src,
+                   CAST(o_custkey + 1000000 AS BIGINT) AS dst
+            FROM orders WHERE o_orderkey < 2000
+            UNION
+            SELECT CAST(c_custkey + 1000000 AS BIGINT),
+                   CAST(c_nationkey + 500000 AS BIGINT)
+            FROM customer
+            UNION
+            SELECT CAST(n_nationkey + 500000 AS BIGINT),
+                   CAST(n_regionkey AS BIGINT)
+            FROM nation
+        ),
+        src_nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            WHERE src NOT IN (SELECT dst FROM e)
+        ),
+        r(node, layer, depth) AS (
+            SELECT node, CAST(0 AS BIGINT), 0 FROM src_nodes
+            UNION ALL
+            SELECT e.dst, r.layer + 1, r.depth + 1
+            FROM r JOIN e ON r.node = e.src
+            WHERE r.depth < 3
+        )
+        SELECT node, CAST(max(layer) AS BIGINT) AS layer
+        FROM r GROUP BY 1
     """,
 }
 

@@ -266,6 +266,7 @@ def main() -> None:
         ("kg_weighted_paths", entrymod.q_kg_weighted_paths),
         ("events_session_paths", entrymod.q_events_session_paths),
         ("user_value_trend", entrymod.q_user_value_trend),
+        ("kg_dag_layers", entrymod.q_kg_dag_layers),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

@@ -1115,3 +1115,53 @@ def weighted_sssp(
             .unionByName(improved)
         )
     return dist
+
+
+def dag_layers(edges: DataFrame, rounds: int) -> DataFrame:
+    """Topological layering of a DAG: (node, layer) where layer is the
+    length of the LONGEST path reaching the node from any source
+    (in-degree-0) node — the processing-order assignment for
+    hierarchy-aware jobs (evaluate an ontology level by level, roll
+    metrics up a reporting tree) and the dual of transitive_closure's
+    reachability. Sources are layer 0; every node reachable from a
+    source appears, which in a DAG is every node.
+
+    Same semi-naive max-relaxation as weighted_sssp with min: each
+    round joins ONLY nodes whose layer grew last round against the
+    edge list (combinable max on candidates, strict-improvement
+    filter). `rounds` must be ≥ the DAG depth for the exact fixpoint;
+    on a graph WITH cycles the longest path is unbounded and this
+    returns the rounds-capped relaxation — the cap is the safety rail,
+    cycle detection is the caller's contract (check_constraints /
+    closure-based audits)."""
+    e = edges.select("src", "dst").dropDuplicates()
+    nodes_src = e.select(F.col("src").alias("node")).dropDuplicates()
+    nodes_dst = e.select(F.col("dst").alias("node")).dropDuplicates()
+    layer = (
+        nodes_src.join(nodes_dst, "node", "left_anti")
+        .withColumn("layer", F.lit(0).cast("long"))
+    )
+    improved = layer
+    for _ in range(rounds):
+        cand = (
+            improved.join(e, improved.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("layer") + F.lit(1)).alias("_l2"),
+            )
+            .groupBy("node")
+            .agg(F.max("_l2").alias("_l2"))
+        )
+        cur = layer.select(
+            F.col("node").alias("_n"), F.col("layer").alias("_cur")
+        )
+        improved = (
+            cand.join(cur, cand.node == cur._n, "left")
+            .where(F.col("_cur").isNull() | (F.col("_l2") > F.col("_cur")))
+            .select("node", F.col("_l2").alias("layer"))
+        )
+        layer = (
+            layer.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+        )
+    return layer

@@ -851,3 +851,95 @@ def stream_cms_counts(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def stream_hll_registers(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str,
+    key_col: str = "event_type", value_col: str = "user_id", p: int = 10,
+    n_files: int = 3, fresh: bool = True,
+) -> DataFrame:
+    """Incrementally maintained ENGINE-PORTABLE HLL registers over a
+    stream — the distinct-count member of the incremental-state family
+    (quantiles: stream_quantile_sketch, frequencies: stream_cms_counts,
+    components: stream_component_assign): each micro-batch sketches its
+    own rows (operators/sketches.portable_hll_state) and merges into
+    the materialized register table by per-register MAX, so "how many
+    distinct values since the stream began" never rescans history and
+    the state stays ≤ keys×2^p rows forever.
+
+    The portable sketch is the right one to maintain this way for the
+    same reason CMS was: registers are a pure function of the value
+    SET (max is associative, order- and partition-free), so the
+    committed state after any batch split is row-identical to the
+    direct sketch over all events so far — and because every register
+    is md5-derived integer arithmetic, a SQL oracle can replay the
+    maintained state AND the estimate bit-for-bit from raw history
+    (the DataSketches binary in hll_state can't be checked this way).
+
+    Exactly-once under foreachBatch replay: the family's shared
+    verify-then-swap discipline — merged state plus `_applied`
+    batch-id marker, rename-to-.bak commit, up-front recovery of both
+    crash windows; replayed batches skip on batch_id ≤ marker."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.sketches import (
+        merge_portable_hll_states,
+        portable_hll_state,
+    )
+
+    bak = out_path.rstrip("/") + ".bak"
+    tmp = out_path.rstrip("/") + ".tmp"
+    if fresh:
+        for pth in (out_path, checkpoint, bak, tmp):
+            shutil.rmtree(pth, ignore_errors=True)
+        events_path = _stage_single_file(events_path, checkpoint, n_files=n_files)
+    elif os.path.isfile(events_path):
+        events_path = os.path.join(os.path.dirname(checkpoint.rstrip("/")), "in")
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    marker = os.path.join(out_path, "_applied")
+
+    def recover() -> None:
+        if os.path.isdir(bak):
+            if os.path.isdir(out_path):
+                shutil.rmtree(bak)
+            else:
+                os.rename(bak, out_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    recover()
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        recover()
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return
+        delta = portable_hll_state(batch_df, [key_col], value_col, p=p)
+        if os.path.isdir(out_path):
+            prev = batch_df.sparkSession.read.parquet(out_path)
+            merged = merge_portable_hll_states(prev, delta)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        if os.path.isdir(out_path):
+            os.rename(out_path, bak)
+        os.rename(tmp, out_path)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

@@ -109,6 +109,8 @@ def duck():
     ("kg_weighted_paths", entrymod.q_kg_weighted_paths),
     ("events_session_paths", entrymod.q_events_session_paths),
     ("user_value_trend", entrymod.q_user_value_trend),
+    ("stream_hll_users", entrymod.q_stream_hll_users),
+    ("kg_dag_layers", entrymod.q_kg_dag_layers),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -157,7 +159,8 @@ def test_r6_queue_not_registered_this_round():
                 "customer_k_anonymity", "orders_quantile_bins",
                 "events_portable_hll", "orders_profile",
                 "events_resample", "kg_weighted_paths",
-                "events_session_paths", "user_value_trend"} & set(q)
+                "events_session_paths", "user_value_trend",
+                "stream_hll_users", "kg_dag_layers"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

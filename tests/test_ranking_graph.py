@@ -927,3 +927,16 @@ def test_weighted_sssp_hand_case(spark):
     # at rounds=1 only direct edges are relaxed
     g1 = {r.node: r.dist for r in weighted_sssp(e, seeds, rounds=1).collect()}
     assert g1 == {1: 0, 2: 2, 3: 9}
+
+
+def test_dag_layers_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.graph import dag_layers
+
+    # diamond with a long arm: layer = LONGEST path from a source
+    #   1 -> 2 -> 4 -> 5 ; 1 -> 4 ; 6 isolated source -> 7
+    e = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 4), (4, 5), (6, 7)],
+        "src long, dst long",
+    )
+    got = {r.node: r.layer for r in dag_layers(e, rounds=4).collect()}
+    assert got == {1: 0, 2: 1, 4: 2, 5: 3, 6: 0, 7: 1}

@@ -516,3 +516,42 @@ def test_stream_cms_counts_matches_batch_and_is_restart_safe(spark, tmp_path):
     assert sorted(map(tuple, again.collect())) == g
     with open(os.path.join(out, "_applied")) as fh:
         assert json.load(fh)["batch_id"] == applied
+
+
+def test_stream_hll_registers_matches_batch_and_is_restart_safe(
+    spark, tmp_path
+):
+    """The incrementally max-merged portable-HLL register table after a
+    real 3-micro-batch run equals the direct sketch over the full input
+    row-for-row (registers are a pure function of the value set), and a
+    no-new-files restart replays nothing."""
+    import json
+    import os
+
+    from biosd_feature_annotator_spark.operators.sketches import (
+        portable_hll_state,
+    )
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_hll_registers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    got = stream_hll_registers(
+        spark, f"{sf}/events.parquet", out, ck, p=8, n_files=3,
+    )
+    want = portable_hll_state(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        ["event_type"], "user_id", p=8,
+    )
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, want.collect())) and len(g) > 0
+
+    with open(os.path.join(out, "_applied")) as fh:
+        applied = json.load(fh)["batch_id"]
+    assert applied >= 2
+
+    again = stream_hll_registers(
+        spark, f"{sf}/events.parquet", out, ck, p=8, fresh=False,
+    )
+    assert sorted(map(tuple, again.collect())) == g
