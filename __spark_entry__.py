@@ -2712,6 +2712,64 @@ def q_kg_dag_layers(spark, sf):
     return dag_layers(edges, rounds=3)
 
 
+def q_events_ohlc(spark, sf):
+    """Candle rollup (funnel.ohlc_buckets): per (event_type, day) the
+    open/high/low/close/count of value, open/close pinned by the
+    (ts, event_id) total order — one bucket-keyed window pass plus one
+    combinable aggregation, no second join. The oracle replays both
+    row_number rankers and the conditional aggregates."""
+    from biosd_feature_annotator_spark.operators.funnel import ohlc_buckets
+
+    return ohlc_buckets(
+        _t(spark, sf, "events"), ["event_type"], "ts", "value",
+        "event_id", 86400,
+    )
+
+
+def q_events_response_latency(spark, sf):
+    """Stream-internal as-of pairing (funnel.response_latency): for
+    every purchase, seconds since the same user's most recent prior
+    signup — ONE user-keyed window (running last trigger epoch via a
+    conditional), no self-join; users with no prior signup report NULL
+    visibly. Epochs are non-decreasing in the window order, so the
+    oracle's running-max form is identical to last-ignore-nulls."""
+    from biosd_feature_annotator_spark.operators.funnel import (
+        response_latency,
+    )
+
+    return response_latency(_t(spark, sf, "events"), "signup", "purchase")
+
+
+def q_kg_integrity(spark, sf):
+    """Graph-hygiene report (graph.kg_integrity) over the derived
+    triple store of q_kg_rules: duplicate triples, role counts,
+    dangling-object share as floored millionths — the between-builds
+    shape check beside degree_profile. The oracle re-derives every
+    count from the same triple union."""
+    from biosd_feature_annotator_spark.operators.graph import kg_integrity
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") < 3000)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    ok = (F.col("o_orderkey") + F.lit(10_000_000)).cast("long")
+    ck = (F.col("c_custkey") + F.lit(1_000_000)).cast("long")
+    ock = (F.col("o_custkey") + F.lit(1_000_000)).cast("long")
+    nk = (F.col("n_nationkey") + F.lit(500_000)).cast("long")
+    cnk = (F.col("c_nationkey") + F.lit(500_000)).cast("long")
+    triples = (
+        o.select(ok.alias("subj"), F.lit("by_cust").alias("pred"),
+                 ock.alias("obj"))
+        .unionByName(c.select(ck.alias("subj"),
+                              F.lit("in_nation").alias("pred"),
+                              cnk.alias("obj")))
+        .unionByName(n.select(nk.alias("subj"),
+                              F.lit("in_region").alias("pred"),
+                              F.col("n_regionkey").cast("long")
+                              .alias("obj")))
+    )
+    return kg_integrity(triples)
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -5074,6 +5132,90 @@ R6_QUEUE_ORACLES = {
         )
         SELECT node, CAST(max(layer) AS BIGINT) AS layer
         FROM r GROUP BY 1
+    """,
+    "events_ohlc": """
+        WITH b AS (
+            SELECT event_type, e - (e % 86400) AS bucket, ts,
+                   event_id, value
+            FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS e
+                  FROM events)
+        ),
+        r AS (
+            SELECT event_type, bucket, value,
+                   row_number() OVER (
+                       PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rf,
+                   row_number() OVER (
+                       PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rl
+            FROM b
+        )
+        SELECT event_type, bucket,
+               max(CASE WHEN rf = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rl = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY 1, 2
+    """,
+    "events_response_latency": """
+        WITH e AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(ep - trig AS BIGINT) AS latency_sec
+        FROM (
+            SELECT user_id, event_id, event_type, ep,
+                   max(CASE WHEN event_type = 'signup' THEN ep END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS trig
+            FROM e
+        ) WHERE event_type = 'purchase'
+    """,
+    "kg_integrity": """
+        WITH t AS (
+            SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS s,
+                   'by_cust' AS p,
+                   CAST(o_custkey + 1000000 AS BIGINT) AS o
+            FROM orders WHERE o_orderkey < 3000
+            UNION ALL
+            SELECT CAST(c_custkey + 1000000 AS BIGINT), 'in_nation',
+                   CAST(c_nationkey + 500000 AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT CAST(n_nationkey + 500000 AS BIGINT), 'in_region',
+                   CAST(n_regionkey AS BIGINT)
+            FROM nation
+        ),
+        dt AS (SELECT DISTINCT s, p, o FROM t),
+        subs AS (SELECT DISTINCT s AS e FROM dt),
+        objs AS (SELECT DISTINCT o AS e FROM dt),
+        a AS (
+            SELECT
+                (SELECT count(*) FROM t) AS n_triples,
+                (SELECT count(*) FROM dt) AS nd,
+                (SELECT count(*) FROM subs) AS n_subjects,
+                (SELECT count(*) FROM objs) AS n_objects,
+                (SELECT count(*) FROM
+                    (SELECT e FROM subs UNION SELECT e FROM objs))
+                    AS n_entities,
+                (SELECT count(*) FROM objs
+                 WHERE e NOT IN (SELECT e FROM subs))
+                    AS n_dangling_objs,
+                (SELECT count(DISTINCT p) FROM dt) AS n_preds
+        )
+        SELECT CAST(n_triples AS BIGINT) AS n_triples,
+               CAST(n_triples - nd AS BIGINT) AS n_dup_triples,
+               CAST(n_subjects AS BIGINT) AS n_subjects,
+               CAST(n_objects AS BIGINT) AS n_objects,
+               CAST(n_entities AS BIGINT) AS n_entities,
+               CAST(n_dangling_objs AS BIGINT) AS n_dangling_objs,
+               CAST(n_preds AS BIGINT) AS n_preds,
+               CAST(CASE WHEN n_objects > 0 THEN
+                    (CAST(n_dangling_objs AS HUGEINT) * 1000000)
+                    // n_objects END AS BIGINT) AS dangling_micro
+        FROM a
     """,
 }
 

@@ -267,6 +267,9 @@ def main() -> None:
         ("events_session_paths", entrymod.q_events_session_paths),
         ("user_value_trend", entrymod.q_user_value_trend),
         ("kg_dag_layers", entrymod.q_kg_dag_layers),
+        ("events_ohlc", entrymod.q_events_ohlc),
+        ("events_response_latency", entrymod.q_events_response_latency),
+        ("kg_integrity", entrymod.q_kg_integrity),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

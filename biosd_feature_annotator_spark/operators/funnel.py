@@ -491,3 +491,94 @@ def session_paths(
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("path_len").cast("long").alias("path_len"),
     )
+
+
+def ohlc_buckets(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Time-series candle rollup: per (key, bucket) the Open (first
+    value), High, Low, Close (last value) plus count — the metrics
+    downsampling primitive (dashboards, anomaly baselines, storage
+    rollups a la RRD/Timescale continuous aggregates). First/last are
+    pinned by the (ts, order_col) total order, so ties at identical
+    timestamps are deterministic.
+
+    Scale shape: one (key, bucket)-partitioned window pass for the
+    first/last row_numbers (the only shuffle — same key as the final
+    group) and one map-side-combinable min/max/count aggregation; the
+    open/close values ride through the same aggregation as conditional
+    max over the rank-flagged rows, so there is no second join. Output
+    is buckets-sized."""
+    epoch = _epoch_floor(ts_col)
+    bucket = (epoch - F.pmod(epoch, F.lit(bucket_seconds))).alias("bucket")
+    base = events.select(
+        *key_cols, bucket, F.col(ts_col).alias("_ts"),
+        F.col(order_col).alias("_oid"), F.col(value_col).alias("_v"),
+    )
+    w = Window.partitionBy(*key_cols, "bucket")
+    asc = w.orderBy("_ts", "_oid")
+    desc = w.orderBy(F.desc("_ts"), F.desc("_oid"))
+    ranked = base.select(
+        *key_cols, "bucket", "_v",
+        F.row_number().over(asc).alias("_rf"),
+        F.row_number().over(desc).alias("_rl"),
+    )
+    return ranked.groupBy(*key_cols, "bucket").agg(
+        F.max(F.when(F.col("_rf") == 1, F.col("_v"))).alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max(F.when(F.col("_rl") == 1, F.col("_v"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def response_latency(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Request→response pairing inside one event stream: for every
+    `to_type` event, the seconds since the SAME user's most recent
+    PRIOR (or simultaneous, ties pinned by order_col) `from_type`
+    event — the behavioral latency metric ("signup → first purchase",
+    "prompt → tool call") that the dimension-table as-of joins don't
+    cover because both sides live in the stream. Events with no prior
+    trigger report NULL latency (visible, not dropped).
+
+    Scale shape: one user-keyed window pass — last_value of the
+    trigger epoch over an unbounded-preceding frame restricted to
+    trigger rows via a conditional — then a filter to response rows;
+    no self-join, no second shuffle. Hot users cost their event count
+    in ONE partition's sort, the same bound as sessionization."""
+    epoch = _epoch_floor(ts_col)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    trig_ep = F.last(
+        F.when(F.col(type_col) == from_type, epoch), ignorenulls=True
+    ).over(w)
+    out = events.select(
+        user_col,
+        F.col(order_col).alias("event_id"),
+        F.col(type_col).alias("_et"),
+        epoch.alias("_ep"),
+        trig_ep.alias("_trig"),
+    )
+    return (
+        out.where(F.col("_et") == to_type)
+        .select(
+            user_col, "event_id",
+            (F.col("_ep") - F.col("_trig")).alias("latency_sec"),
+        )
+    )

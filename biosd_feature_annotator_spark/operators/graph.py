@@ -1189,3 +1189,62 @@ def dag_layers(
             # twice-referenced layer frame needs materializing
             layer = layer.localCheckpoint(eager=True)
     return layer
+
+
+def kg_integrity(
+    triples: DataFrame,
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+) -> DataFrame:
+    """Graph-hygiene report for a materialized triple store, one row:
+    n_triples, n_dup_triples (exact duplicates — should be 0 after a
+    clean materialize), n_subjects, n_objects, n_entities (either
+    role), n_dangling_objs (objects never appearing as a subject —
+    leaf entities; a sudden jump means extraction started minting
+    entities nothing else describes), n_preds, plus
+    dangling_micro = n_dangling_objs·1e6 // n_objects. The relational
+    dq gate (check_constraints) covers column-level rules; this is the
+    graph-shape complement run between KG builds alongside
+    degree_profile.
+
+    Scale shape: one distinct over triples (the only data-sized
+    shuffle), role sets derived from it, one anti-join for dangling,
+    and single-row aggregates — every relation after the distinct is
+    entities-sized."""
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+        F.col(o_col).alias("o"),
+    )
+    dt = t.dropDuplicates()
+    subs = dt.select(F.col("s").alias("e")).dropDuplicates()
+    objs = dt.select(F.col("o").alias("e")).dropDuplicates()
+    dangling = objs.join(subs, "e", "left_anti")
+    counts = (
+        t.agg(F.count(F.lit(1)).alias("n_triples"))
+        .crossJoin(dt.agg(F.count(F.lit(1)).alias("_nd")))
+        .crossJoin(subs.agg(F.count(F.lit(1)).alias("n_subjects")))
+        .crossJoin(objs.agg(F.count(F.lit(1)).alias("n_objects")))
+        .crossJoin(
+            subs.unionByName(objs).dropDuplicates()
+            .agg(F.count(F.lit(1)).alias("n_entities"))
+        )
+        .crossJoin(dangling.agg(F.count(F.lit(1)).alias("n_dangling_objs")))
+        .crossJoin(
+            dt.select("p").dropDuplicates()
+            .agg(F.count(F.lit(1)).alias("n_preds"))
+        )
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n_dangling_objs").cast(dec) * F.lit(1_000_000).cast(dec)
+    den = F.col("n_objects").cast(dec)
+    return counts.select(
+        "n_triples",
+        (F.col("n_triples") - F.col("_nd")).alias("n_dup_triples"),
+        "n_subjects", "n_objects", "n_entities", "n_dangling_objs",
+        "n_preds",
+        F.when(
+            F.col("n_objects") > 0,
+            ((num - F.pmod(num, den)) / den).cast("long"),
+        ).alias("dangling_micro"),
+    )

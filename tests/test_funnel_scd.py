@@ -1141,3 +1141,47 @@ def test_groupwise_ols_hand_case(spark):
     assert (got["g"].n, got["g"].sum_x, got["g"].sum_y) == (3, 3, 9)
     assert got["h"].slope_micro is None
     assert got["h"].intercept_micro is None
+
+
+def test_ohlc_buckets_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.funnel import ohlc_buckets
+
+    rows = [
+        (1, "k", _ets(10), 5.0), (2, "k", _ets(20), 9.0),
+        (3, "k", _ets(30), 1.0), (4, "k", _ets(40), 7.0),
+        # tie at the same ts: event_id pins open/close
+        (6, "k", _ets(3700), 2.0), (5, "k", _ets(3700), 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts timestamp, value double"
+    )
+    got = {
+        r.bucket: r
+        for r in ohlc_buckets(df, ["k"], "ts", "value", "event_id", 3600)
+        .collect()
+    }
+    b0 = got[0]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.n) == (5.0, 9.0, 1.0, 7.0, 4)
+    b1 = got[3600]
+    assert (b1.open, b1.close) == (8.0, 2.0)   # id 5 first, id 6 last
+
+
+def test_response_latency_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.funnel import (
+        response_latency,
+    )
+
+    rows = [
+        (1, "u", _ets(0), "req"), (2, "u", _ets(30), "resp"),
+        (3, "u", _ets(100), "req"), (4, "u", _ets(100), "noise"),
+        (5, "u", _ets(160), "resp"),
+        (6, "v", _ets(10), "resp"),          # no prior req -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    got = {
+        r.event_id: r.latency_sec
+        for r in response_latency(df, "req", "resp").collect()
+    }
+    assert got == {2: 30, 5: 60, 6: None}

@@ -111,6 +111,9 @@ def duck():
     ("user_value_trend", entrymod.q_user_value_trend),
     ("stream_hll_users", entrymod.q_stream_hll_users),
     ("kg_dag_layers", entrymod.q_kg_dag_layers),
+    ("events_ohlc", entrymod.q_events_ohlc),
+    ("events_response_latency", entrymod.q_events_response_latency),
+    ("kg_integrity", entrymod.q_kg_integrity),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -160,7 +163,8 @@ def test_r6_queue_not_registered_this_round():
                 "events_portable_hll", "orders_profile",
                 "events_resample", "kg_weighted_paths",
                 "events_session_paths", "user_value_trend",
-                "stream_hll_users", "kg_dag_layers"} & set(q)
+                "stream_hll_users", "kg_dag_layers", "events_ohlc",
+                "events_response_latency", "kg_integrity"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

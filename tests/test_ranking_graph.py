@@ -940,3 +940,21 @@ def test_dag_layers_hand_case(spark):
     )
     got = {r.node: r.layer for r in dag_layers(e, rounds=4).collect()}
     assert got == {1: 0, 2: 1, 4: 2, 5: 3, 6: 0, 7: 1}
+
+
+def test_kg_integrity_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.graph import kg_integrity
+
+    t = spark.createDataFrame(
+        [
+            ("a", "p", "b"), ("a", "p", "b"),    # duplicate
+            ("b", "q", "c"), ("a", "q", "d"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    r = kg_integrity(t).collect()[0]
+    assert (r.n_triples, r.n_dup_triples) == (4, 1)
+    assert (r.n_subjects, r.n_objects, r.n_entities) == (2, 3, 4)
+    # c and d never appear as subjects
+    assert r.n_dangling_objs == 2 and r.n_preds == 2
+    assert r.dangling_micro == 666_666
