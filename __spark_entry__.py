@@ -2770,6 +2770,63 @@ def q_kg_integrity(spark, sf):
     return kg_integrity(triples)
 
 
+def q_part_alias_priors(spark, sf):
+    """Alias-prior table (link.alias_priors): P(brand | type-word) from
+    part descriptions — per (surface, entity): exact count, surface
+    totals, candidate count, deterministic rank, and the add-one
+    smoothed prior as floored millionths. The oracle replays the
+    count, both window aggregates, and the integer smoothing."""
+    from biosd_feature_annotator_spark.operators.link import alias_priors
+
+    p = _t(spark, sf, "part")
+    pairs = p.select(
+        F.explode(F.split(F.lower("p_type"), " ")).alias("surface"),
+        F.col("p_brand").alias("entity"),
+    )
+    return alias_priors(pairs, "surface", "entity")
+
+
+def q_kg_label_spread(spark, sf):
+    """Clamped-seed label spreading (graph.label_spreading): supplier
+    nodes carry their nation as ground truth; two rounds of
+    most-frequent-labeled-neighbor (ties to smallest label) type the
+    customers of the bipartite graph, seeds never flip. The oracle
+    unrolls both rounds: vote join, argmax window, seed clamp."""
+    from biosd_feature_annotator_spark.operators.graph import label_spreading
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 20)
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier").where(F.col("s_suppkey") <= 20)
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).cast("long")
+            .alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    seeds = s.select(
+        (F.col("s_suppkey") + F.lit(1_000_000)).cast("long").alias("node"),
+        F.col("s_nationkey").cast("long").alias("label"),
+    )
+    return label_spreading(edges, seeds, iters=2)
+
+
+def q_docs_source_entropy(spark, sf):
+    """Information-theoretic mixing profile
+    (plans/quality.categorical_entropy): per document source the
+    Shannon entropy of its language mix and KL(source ‖ corpus), each
+    as exact sums of per-level micro-quantized fixed-shape doubles
+    (the chi2/PMI kernel). The oracle replays cells, marginals, and
+    the identical per-cell rounding."""
+    from biosd_feature_annotator_spark.plans.quality import (
+        categorical_entropy,
+    )
+
+    return categorical_entropy(_t(spark, sf, "documents"), ["source"], "lang")
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -5216,6 +5273,118 @@ R6_QUEUE_ORACLES = {
                     (CAST(n_dangling_objs AS HUGEINT) * 1000000)
                     // n_objects END AS BIGINT) AS dangling_micro
         FROM a
+    """,
+    "part_alias_priors": """
+        WITH pairs AS (
+            SELECT unnest(string_split(lower(p_type), ' ')) AS surface,
+                   p_brand AS entity
+            FROM part
+        ),
+        cnt AS (
+            SELECT surface, entity, count(*) AS n
+            FROM pairs GROUP BY 1, 2
+        ),
+        enr AS (
+            SELECT surface, entity, n,
+                   sum(n) OVER (PARTITION BY surface) AS n_surface,
+                   count(*) OVER (PARTITION BY surface) AS n_candidates,
+                   row_number() OVER (
+                       PARTITION BY surface ORDER BY n DESC, entity ASC
+                   ) AS rank
+            FROM cnt
+        )
+        SELECT surface, entity, CAST(n AS BIGINT) AS n,
+               CAST(n_surface AS BIGINT) AS n_surface,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(rank AS BIGINT) AS rank,
+               CAST((CAST(n + 1 AS HUGEINT) * 1000000)
+                    // (n_surface + n_candidates)
+                    AS BIGINT) AS prior_micro
+        FROM enr
+    """,
+    "kg_label_spread": """
+        WITH raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 20
+        ),
+        sym AS (
+            SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+        ),
+        seeds AS (
+            SELECT CAST(s_suppkey + 1000000 AS BIGINT) AS node,
+                   CAST(s_nationkey AS BIGINT) AS label
+            FROM supplier WHERE s_suppkey <= 20
+        ),
+        v1 AS (
+            SELECT s.dst AS node, l.label, count(*) AS n
+            FROM seeds l JOIN sym s ON l.node = s.src GROUP BY 1, 2
+        ),
+        i1 AS (
+            SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+                FROM v1
+            ) WHERE rk = 1
+        ),
+        l1 AS (
+            SELECT node, label FROM seeds
+            UNION ALL
+            SELECT node, label FROM i1
+            WHERE node NOT IN (SELECT node FROM seeds)
+        ),
+        v2 AS (
+            SELECT s.dst AS node, l.label, count(*) AS n
+            FROM l1 l JOIN sym s ON l.node = s.src GROUP BY 1, 2
+        ),
+        i2 AS (
+            SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+                FROM v2
+            ) WHERE rk = 1
+        ),
+        l2 AS (
+            SELECT node, label FROM seeds
+            UNION ALL
+            SELECT node, label FROM i2
+            WHERE node NOT IN (SELECT node FROM seeds)
+        )
+        SELECT node, CAST(label AS BIGINT) AS label,
+               node IN (SELECT node FROM seeds) AS is_seed
+        FROM l2
+    """,
+    "docs_source_entropy": """
+        WITH cells AS (
+            SELECT source, lang AS lv, count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        gtot AS (
+            SELECT source, sum(c) AS n, count(*) AS n_levels
+            FROM cells GROUP BY 1
+        ),
+        lvl AS (SELECT lv, sum(c) AS lc FROM cells GROUP BY 1),
+        allt AS (SELECT sum(c) AS tot FROM cells),
+        contrib AS (
+            SELECT cells.source, gtot.n, gtot.n_levels,
+                   CAST(round(-(CAST(c AS DOUBLE) / n)
+                        * ln(CAST(c AS DOUBLE) / n)
+                        * 1000000.0) AS BIGINT) AS h,
+                   CAST(round((CAST(c AS DOUBLE) / n)
+                        * ln((CAST(c AS DOUBLE) / n)
+                             / (CAST(lc AS DOUBLE) / tot))
+                        * 1000000.0) AS BIGINT) AS kl
+            FROM cells
+            JOIN gtot ON cells.source = gtot.source
+            JOIN lvl ON cells.lv = lvl.lv
+            CROSS JOIN allt
+        )
+        SELECT source, CAST(n AS BIGINT) AS n,
+               CAST(n_levels AS BIGINT) AS n_levels,
+               CAST(sum(h) AS BIGINT) AS entropy_micro,
+               CAST(sum(kl) AS BIGINT) AS kl_micro
+        FROM contrib GROUP BY 1, 2, 3
     """,
 }
 

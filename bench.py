@@ -270,6 +270,9 @@ def main() -> None:
         ("events_ohlc", entrymod.q_events_ohlc),
         ("events_response_latency", entrymod.q_events_response_latency),
         ("kg_integrity", entrymod.q_kg_integrity),
+        ("part_alias_priors", entrymod.q_part_alias_priors),
+        ("kg_label_spread", entrymod.q_kg_label_spread),
+        ("docs_source_entropy", entrymod.q_docs_source_entropy),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

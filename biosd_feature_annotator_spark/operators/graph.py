@@ -1248,3 +1248,59 @@ def kg_integrity(
             ((num - F.pmod(num, den)) / den).cast("long"),
         ).alias("dangling_micro"),
     )
+
+
+def label_spreading(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    directed: bool = False,
+) -> DataFrame:
+    """Semi-supervised label spreading with CLAMPED seeds — the KG
+    type-inference primitive (a few entities carry curated types;
+    propagate them over the co-mention/similarity graph to type the
+    rest), distinct from label_propagation's community detection:
+    there every node seeds its own id and labels drift; here seeds
+    (node, label) are ground truth that never changes, and unlabeled
+    nodes take the most frequent label among their LABELED neighbors
+    (ties to the smallest label — the engine's pinned-tie discipline),
+    staying unlabeled until a labeled neighbor reaches them.
+
+    Returns (node, label, is_seed) for every node that has a label
+    after `iters` rounds. Per round: one equi-join of current labels
+    against the edge list, one (node, label) combinable count, one
+    per-node window argmax, then the clamp (seeds override via
+    anti-join + union). Fixed iterations, action-free loop."""
+    sym = edges.select("src", "dst")
+    if not directed:
+        sym = sym.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    from pyspark.sql import Window
+
+    s = seeds.select("node", "label").dropDuplicates(["node"])
+    labels = s
+    for _ in range(iters):
+        votes = (
+            labels.join(sym, labels.node == sym.src)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        wr = Window.partitionBy("node").orderBy(
+            F.desc("_n"), F.asc("label")
+        )
+        inferred = (
+            votes.withColumn("_rk", F.row_number().over(wr))
+            .where(F.col("_rk") == 1)
+            .select("node", "label")
+        )
+        labels = s.unionByName(
+            inferred.join(s.select("node"), "node", "left_anti")
+        ).localCheckpoint(eager=True)
+    return labels.join(
+        s.select("node").withColumn("_seed", F.lit(True)),
+        "node", "left",
+    ).select(
+        "node", "label",
+        F.coalesce("_seed", F.lit(False)).alias("is_seed"),
+    )

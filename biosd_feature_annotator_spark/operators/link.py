@@ -207,3 +207,50 @@ def assemble_triples(
     s = structural_triples(transcripts)
     extracted = t.unionByName(v).dropDuplicates(["subj", "pred", "obj"])
     return extracted.unionByName(s).select(*TRIPLE_COLS)
+
+
+def alias_priors(
+    pairs: DataFrame,
+    surface_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Alias-prior table P(entity | surface) from observed (surface,
+    entity) co-occurrences — the commonness prior every production
+    entity linker combines with context scores (anchor-text priors in
+    wikification): accumulate the engine's own link decisions (or any
+    labeled mention set) and the next campaign starts from corpus
+    statistics instead of a flat dictionary.
+
+    One row per observed (surface, entity): n (exact count), n_surface
+    (all observations of the surface), n_candidates (distinct entities
+    seen for it), rank (by n desc, entity asc — deterministic), and
+    the add-one smoothed prior as floored millionths:
+
+        prior_micro = (n + 1)·1e6 // (n_surface + n_candidates)
+
+    Smoothing keeps unseen-but-plausible candidates from being frozen
+    at exactly zero when the table is later interpolated.
+
+    Scale shape: one (surface, entity) combinable count — the only
+    data-sized shuffle — then surface-partitioned window aggregates
+    over the candidates-sized relation. A hot surface ("patient")
+    costs its candidate count, not its observation count."""
+    cnt = pairs.select(
+        F.col(surface_col).alias("surface"),
+        F.col(entity_col).alias("entity"),
+    ).groupBy("surface", "entity").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("surface")
+    wr = w.orderBy(F.desc("n"), F.asc("entity"))
+    dec = "decimal(38,0)"
+    enriched = cnt.select(
+        "surface", "entity", "n",
+        F.sum("n").over(w).alias("n_surface"),
+        F.count(F.lit(1)).over(w).alias("n_candidates"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+    num = (F.col("n") + F.lit(1)).cast(dec) * F.lit(1_000_000).cast(dec)
+    den = (F.col("n_surface") + F.col("n_candidates")).cast(dec)
+    return enriched.withColumn(
+        "prior_micro",
+        ((num - F.pmod(num, den)) / den).cast("long"),
+    )

@@ -1074,3 +1074,64 @@ def groupwise_ols(
         "slope_micro",
         intercept.alias("intercept_micro"),
     )
+
+
+def categorical_entropy(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical column plus KL
+    divergence from the GLOBAL distribution — the information-theoretic
+    drift/mixing profile beside tv_distance (bounded, symmetric) and
+    ks_distance (ordinal): entropy says how concentrated a source's
+    label mix is; KL(group ‖ global) says how far it sits from the
+    corpus it feeds, in nats, with the usual asymmetric emphasis on
+    categories the group over-represents.
+
+    One row per group: (group…, n, n_levels, entropy_micro, kl_micro).
+    Determinism: per-level contributions −p·ln p and p·ln(p/q) are each
+    ONE fixed double expression shape micro-quantized to a LONG, and
+    the per-group statistic is the exact integer sum of those longs
+    (the chi2/PMI kernel) — order- and partitioning-free, replayable
+    by the SQL oracle. Levels absent from a group contribute 0 to both
+    sums (lim p→0); q > 0 for every level by construction since the
+    global distribution includes every group's observations.
+
+    Scale shape: one (group, level) combinable count (the only
+    data-sized shuffle); marginals re-aggregated FROM the cells; the
+    final sum runs over the cells-sized relation."""
+    cells = df.groupBy(
+        *group_cols, F.col(value_col).alias("_lv")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    gtot = cells.groupBy(*group_cols).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("n_levels"),
+    )
+    lvl = cells.groupBy("_lv").agg(F.sum("_c").alias("_lc"))
+    allt = cells.agg(F.sum("_c").alias("_tot"))
+    p = F.col("_c") / F.col("_n")
+    q = F.col("_lc") / F.col("_tot")
+    contrib = (
+        cells.join(gtot, list(group_cols))
+        .join(F.broadcast(lvl), "_lv")
+        .crossJoin(F.broadcast(allt))
+        .select(
+            *group_cols, "_n", "n_levels",
+            F.round(-p * F.log(p) * F.lit(1_000_000.0))
+            .cast("long").alias("_h"),
+            F.round(p * F.log(p / q) * F.lit(1_000_000.0))
+            .cast("long").alias("_kl"),
+        )
+    )
+    return (
+        contrib.groupBy(*group_cols, "_n", "n_levels")
+        .agg(
+            F.sum("_h").alias("entropy_micro"),
+            F.sum("_kl").alias("kl_micro"),
+        )
+        .select(
+            *group_cols,
+            F.col("_n").cast("long").alias("n"),
+            F.col("n_levels").cast("long").alias("n_levels"),
+            "entropy_micro", "kl_micro",
+        )
+    )

@@ -1185,3 +1185,26 @@ def test_response_latency_hand_case(spark):
         for r in response_latency(df, "req", "resp").collect()
     }
     assert got == {2: 30, 5: 60, 6: None}
+
+
+def test_categorical_entropy_hand_case(spark):
+    import math
+
+    from biosd_feature_annotator_spark.plans.quality import (
+        categorical_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"),
+         ("g2", "a"), ("g2", "a"), ("g2", "a"), ("g2", "a")],
+        "g string, v string",
+    )
+    got = {
+        r.g: r for r in categorical_entropy(df, ["g"], "v").collect()
+    }
+    # g1 uniform over 2 levels -> ln 2; g2 degenerate -> 0
+    assert abs(got["g1"].entropy_micro - round(math.log(2) * 1e6)) <= 1
+    assert got["g2"].entropy_micro == 0
+    # global: a=6/8, b=2/8. KL(g2||global) = ln(8/6)
+    assert abs(got["g2"].kl_micro - round(math.log(8 / 6) * 1e6)) <= 1
+    assert (got["g1"].n, got["g1"].n_levels) == (4, 2)

@@ -171,3 +171,25 @@ def test_broadcast_disabled_via_negative_threshold_is_honored(spark, lexicon):
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
+
+
+def test_alias_priors_hand_case(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from biosd_feature_annotator_spark.operators.link import alias_priors
+
+    df = spark.createDataFrame(
+        [("mouse", "MUS"), ("mouse", "MUS"), ("mouse", "DEVICE"),
+         ("human", "HOMO")],
+        "surface string, entity string",
+    )
+    got = {
+        (r.surface, r.entity): r
+        for r in alias_priors(df, "surface", "entity").collect()
+    }
+    m = got[("mouse", "MUS")]
+    assert (m.n, m.n_surface, m.n_candidates, m.rank) == (2, 3, 2, 1)
+    assert m.prior_micro == 600_000          # (2+1)e6 // (3+2)
+    d = got[("mouse", "DEVICE")]
+    assert d.rank == 2 and d.prior_micro == 400_000
+    h = got[("human", "HOMO")]
+    assert h.prior_micro == 1_000_000        # (1+1)e6 // (1+1)

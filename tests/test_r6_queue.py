@@ -114,6 +114,9 @@ def duck():
     ("events_ohlc", entrymod.q_events_ohlc),
     ("events_response_latency", entrymod.q_events_response_latency),
     ("kg_integrity", entrymod.q_kg_integrity),
+    ("part_alias_priors", entrymod.q_part_alias_priors),
+    ("kg_label_spread", entrymod.q_kg_label_spread),
+    ("docs_source_entropy", entrymod.q_docs_source_entropy),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -164,7 +167,9 @@ def test_r6_queue_not_registered_this_round():
                 "events_resample", "kg_weighted_paths",
                 "events_session_paths", "user_value_trend",
                 "stream_hll_users", "kg_dag_layers", "events_ohlc",
-                "events_response_latency", "kg_integrity"} & set(q)
+                "events_response_latency", "kg_integrity",
+                "part_alias_priors", "kg_label_spread",
+                "docs_source_entropy"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -958,3 +958,24 @@ def test_kg_integrity_hand_case(spark):
     # c and d never appear as subjects
     assert r.n_dangling_objs == 2 and r.n_preds == 2
     assert r.dangling_micro == 666_666
+
+
+def test_label_spreading_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.graph import label_spreading
+
+    # chain A-1-2-B : seeds A='x', B='y'; node 1 sees x (round1) then
+    # keeps x (clamped seeds never flip); node 2 ties x/y -> smallest
+    e = spark.createDataFrame(
+        [("A", "1"), ("1", "2"), ("2", "B")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("A", "x"), ("B", "y")], "node string, label string"
+    )
+    got = {
+        r.node: (r.label, r.is_seed)
+        for r in label_spreading(e, seeds, iters=2).collect()
+    }
+    assert got["A"] == ("x", True) and got["B"] == ("y", True)
+    assert got["1"][0] == "x"
+    assert got["2"][0] == "x"      # tie between x and y -> label asc
+    assert got["1"][1] is False
