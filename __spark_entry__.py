@@ -2827,6 +2827,41 @@ def q_docs_source_entropy(spark, sf):
     return categorical_entropy(_t(spark, sf, "documents"), ["source"], "lang")
 
 
+def q_conv_stats_kg(spark, sf):
+    """Per-conversation transcript profile (context.conversation_stats)
+    over the frozen synth corpus: turn/role/tool-call counts, char
+    totals, time span, and the floored-micro mean inter-turn gap — one
+    conv-keyed combinable aggregation on the pipeline's own partition
+    key. The oracle recomputes every count and the integer mean."""
+    from biosd_feature_annotator_spark.operators.context import (
+        conversation_stats,
+    )
+
+    return conversation_stats(spark.read.parquet(_CORPUS))
+
+
+def q_conv_repetition_kg(spark, sf):
+    """Agent-loop detection (context.conv_repetition): per conversation
+    the share of turns that exactly repeat an earlier normalized turn
+    — the stuck-retry signal per-document repetition can't see. The
+    oracle replays the (conv, norm) occurrence window."""
+    from biosd_feature_annotator_spark.operators.context import (
+        conv_repetition,
+    )
+
+    return conv_repetition(spark.read.parquet(_CORPUS))
+
+
+def q_conv_tool_paths(spark, sf):
+    """Tool-chain journey mining (context.tool_paths): each conversation
+    reduced to its first three tool invocations as a path string,
+    counted per path; the tool IS NOT NULL filter reaches the scan.
+    The oracle replays the rank cut and ordered string_agg."""
+    from biosd_feature_annotator_spark.operators.context import tool_paths
+
+    return tool_paths(spark.read.parquet(_CORPUS), 3)
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -5385,6 +5420,87 @@ R6_QUEUE_ORACLES = {
                CAST(sum(h) AS BIGINT) AS entropy_micro,
                CAST(sum(kl) AS BIGINT) AS kl_micro
         FROM contrib GROUP BY 1, 2, 3
+    """,
+    "conv_stats_kg": f"""
+        WITH t AS (
+            SELECT conv_id, role, tool, length(text) AS chars,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM read_parquet('{_CORPUS}')
+        ),
+        a AS (
+            SELECT conv_id, count(*) AS n_turns,
+                   sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                       AS n_user,
+                   sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                       AS n_assistant,
+                   sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                       AS n_tool_role,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_tool_calls,
+                   sum(chars) AS n_chars,
+                   max(chars) AS max_turn_chars,
+                   max(ep) - min(ep) AS span_sec
+            FROM t GROUP BY 1
+        )
+        SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+               CAST(n_user AS BIGINT) AS n_user,
+               CAST(n_assistant AS BIGINT) AS n_assistant,
+               CAST(n_tool_role AS BIGINT) AS n_tool_role,
+               CAST(n_tool_calls AS BIGINT) AS n_tool_calls,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(max_turn_chars AS BIGINT) AS max_turn_chars,
+               CAST(span_sec AS BIGINT) AS span_sec,
+               CAST(CASE WHEN n_turns > 1 THEN
+                    (CAST(span_sec AS HUGEINT) * 1000000)
+                    // (n_turns - 1) END AS BIGINT) AS mean_gap_micro
+        FROM a
+    """,
+    "conv_repetition_kg": f"""
+        WITH m AS (
+            SELECT conv_id, turn_idx,
+                   trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS norm
+            FROM read_parquet('{_CORPUS}')
+        ),
+        r AS (
+            SELECT conv_id,
+                   row_number() OVER (
+                       PARTITION BY conv_id, norm ORDER BY turn_idx
+                   ) AS occ
+            FROM m
+        ),
+        a AS (
+            SELECT conv_id, count(*) AS n_turns,
+                   sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
+                       AS n_dup_turns
+            FROM r GROUP BY 1
+        )
+        SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+               CAST(n_dup_turns AS BIGINT) AS n_dup_turns,
+               CAST((CAST(n_dup_turns AS HUGEINT) * 1000000) // n_turns
+                    AS BIGINT) AS dup_micro
+        FROM a
+    """,
+    "conv_tool_paths": f"""
+        WITH calls AS (
+            SELECT conv_id, turn_idx, tool
+            FROM read_parquet('{_CORPUS}') WHERE tool IS NOT NULL
+        ),
+        r AS (
+            SELECT conv_id, tool,
+                   row_number() OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS rk
+            FROM calls
+        ),
+        p AS (
+            SELECT conv_id,
+                   string_agg(tool, '>' ORDER BY rk) AS path,
+                   count(*) AS plen
+            FROM r WHERE rk <= 3 GROUP BY 1
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_convs,
+               CAST(max(plen) AS BIGINT) AS path_len
+        FROM p GROUP BY 1
     """,
 }
 

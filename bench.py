@@ -273,6 +273,9 @@ def main() -> None:
         ("part_alias_priors", entrymod.q_part_alias_priors),
         ("kg_label_spread", entrymod.q_kg_label_spread),
         ("docs_source_entropy", entrymod.q_docs_source_entropy),
+        ("conv_stats_kg", entrymod.q_conv_stats_kg),
+        ("conv_repetition_kg", entrymod.q_conv_repetition_kg),
+        ("conv_tool_paths", entrymod.q_conv_tool_paths),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

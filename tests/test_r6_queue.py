@@ -117,6 +117,9 @@ def duck():
     ("part_alias_priors", entrymod.q_part_alias_priors),
     ("kg_label_spread", entrymod.q_kg_label_spread),
     ("docs_source_entropy", entrymod.q_docs_source_entropy),
+    ("conv_stats_kg", entrymod.q_conv_stats_kg),
+    ("conv_repetition_kg", entrymod.q_conv_repetition_kg),
+    ("conv_tool_paths", entrymod.q_conv_tool_paths),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -169,7 +172,8 @@ def test_r6_queue_not_registered_this_round():
                 "stream_hll_users", "kg_dag_layers", "events_ohlc",
                 "events_response_latency", "kg_integrity",
                 "part_alias_priors", "kg_label_spread",
-                "docs_source_entropy"} & set(q)
+                "docs_source_entropy", "conv_stats_kg",
+                "conv_repetition_kg", "conv_tool_paths"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
