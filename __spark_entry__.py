@@ -2862,6 +2862,71 @@ def q_conv_tool_paths(spark, sf):
     return tool_paths(spark.read.parquet(_CORPUS), 3)
 
 
+def q_kg_quotient(spark, sf):
+    """Community-level summary graph (graph.quotient_graph): the
+    customer–supplier edge list contracted to nations (each node
+    labeled by its nationkey) → the nation-to-nation trade graph with
+    canonical (comm_a ≤ comm_b) edge counts and self-loops — the
+    quotient that community analytics run on instead of the full edge
+    list. The oracle replays both label joins and the canonical
+    count."""
+    from biosd_feature_annotator_spark.operators.graph import quotient_graph
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 20)
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).cast("long")
+            .alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    labels = (
+        c.select(
+            F.col("c_custkey").cast("long").alias("node"),
+            F.col("c_nationkey").cast("long").alias("label"),
+        )
+        .unionByName(s.select(
+            (F.col("s_suppkey") + F.lit(1_000_000)).cast("long")
+            .alias("node"),
+            F.col("s_nationkey").cast("long").alias("label"),
+        ))
+    )
+    return quotient_graph(edges, labels)
+
+
+def q_events_crosscorr(spark, sf):
+    """Lagged cross-correlation (funnel.lagged_crosscorr): does
+    purchase volume follow error volume by k days — Pearson corr per
+    lag over the DENSE zero-filled day spine, micro-quantized from
+    exact integer moments in one fixed double shape. The oracle
+    replays the spine, the lag grid, and the identical kernel."""
+    from biosd_feature_annotator_spark.operators.funnel import (
+        lagged_crosscorr,
+    )
+
+    return lagged_crosscorr(
+        _t(spark, sf, "events"), "error", "purchase",
+        "ts", "event_type", 86400, max_lag=2,
+    )
+
+
+def q_docs_encoding(spark, sf):
+    """Encoding-damage gate (textstats.encoding_anomalies): per-doc
+    control-char / replacement-char / NUL counts and the floored
+    anomaly ratio — a pure projection, no shuffle. The oracle counts
+    the same character classes with regexp_extract_all."""
+    from biosd_feature_annotator_spark.operators.textstats import (
+        encoding_anomalies,
+    )
+
+    return encoding_anomalies(_t(spark, sf, "documents"))
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -5501,6 +5566,98 @@ R6_QUEUE_ORACLES = {
         SELECT path, CAST(count(*) AS BIGINT) AS n_convs,
                CAST(max(plen) AS BIGINT) AS path_len
         FROM p GROUP BY 1
+    """,
+    "kg_quotient": """
+        WITH raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey <= 20
+        ),
+        labels AS (
+            SELECT CAST(c_custkey AS BIGINT) AS node,
+                   CAST(c_nationkey AS BIGINT) AS label
+            FROM customer
+            UNION ALL
+            SELECT CAST(s_suppkey + 1000000 AS BIGINT),
+                   CAST(s_nationkey AS BIGINT)
+            FROM supplier
+        ),
+        j AS (
+            SELECT least(la.label, lb.label) AS comm_a,
+                   greatest(la.label, lb.label) AS comm_b
+            FROM raw
+            JOIN labels la ON raw.src = la.node
+            JOIN labels lb ON raw.dst = lb.node
+        )
+        SELECT comm_a, comm_b, CAST(count(*) AS BIGINT) AS n_edges
+        FROM j GROUP BY 1, 2
+    """,
+    "events_crosscorr": """
+        WITH per AS (
+            SELECT event_type AS et, e - (e % 86400) AS bucket,
+                   count(*) AS cnt
+            FROM (SELECT event_type,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS e
+                  FROM events
+                  WHERE event_type IN ('error', 'purchase'))
+            GROUP BY 1, 2
+        ),
+        b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM per),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, 86400)) AS bucket
+            FROM b
+        ),
+        lags AS (SELECT unnest(generate_series(-2, 2, 1)) AS lag),
+        grid AS (
+            SELECT l.lag,
+                   coalesce(a.cnt, 0) AS x, coalesce(c.cnt, 0) AS y
+            FROM spine s CROSS JOIN lags l
+            LEFT JOIN per a
+              ON a.et = 'error' AND a.bucket = s.bucket
+            LEFT JOIN per c
+              ON c.et = 'purchase'
+             AND c.bucket = s.bucket + l.lag * 86400
+        ),
+        m AS (
+            SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM grid GROUP BY 1
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0 THEN
+                    round(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE))
+                          * 1000000.0)
+                    END AS BIGINT) AS corr_micro
+        FROM m
+    """,
+    "docs_encoding": """
+        WITH c AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   len(regexp_extract_all(text,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]'))
+                       AS n_ctrl,
+                   len(regexp_extract_all(text, '�'))
+                       AS n_replacement,
+                   len(regexp_extract_all(text, '\\x00')) AS n_nul
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_ctrl AS BIGINT) AS n_ctrl,
+               CAST(n_replacement AS BIGINT) AS n_replacement,
+               CAST(n_nul AS BIGINT) AS n_nul,
+               CAST(CASE WHEN n_chars > 0 THEN
+                    (CAST(n_ctrl + n_replacement + n_nul AS HUGEINT)
+                     * 1000000) // n_chars END AS BIGINT)
+                   AS anomaly_micro
+        FROM c
     """,
 }
 

@@ -276,6 +276,9 @@ def main() -> None:
         ("conv_stats_kg", entrymod.q_conv_stats_kg),
         ("conv_repetition_kg", entrymod.q_conv_repetition_kg),
         ("conv_tool_paths", entrymod.q_conv_tool_paths),
+        ("kg_quotient", entrymod.q_kg_quotient),
+        ("events_crosscorr", entrymod.q_events_crosscorr),
+        ("docs_encoding", entrymod.q_docs_encoding),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

@@ -582,3 +582,99 @@ def response_latency(
             (F.col("_ep") - F.col("_trig")).alias("latency_sec"),
         )
     )
+
+
+def lagged_crosscorr(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket_seconds: int = 86400,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged cross-correlation between two event-type count series —
+    "does B's volume follow A's by k days?" (error spikes → retry
+    storms, tool outages → fallback usage). For each lag in
+    [−max_lag, max_lag], Pearson correlation of (count_A[t],
+    count_B[t+lag]) over the DENSE bucket spine between the data's
+    min and max (zero-filled — a missing day is a 0, not a dropped
+    observation; resample_counts' honesty rule), emitted as one fixed
+    double shape micro-quantized from EXACT integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy²). Returns (lag, n, corr_micro — NULL at
+    zero variance). Positive lag means B lags A.
+
+    Scale shape: one bucket count per series (combinable), a generated
+    spine (sequence + explode off one broadcast min/max row), a
+    lags-domain crossJoin of the SPINE (buckets×lags rows — days, not
+    events), two bucket-keyed left joins, and one per-lag single-row
+    moment aggregate."""
+    epoch = _epoch_floor(ts_col)
+    bucket = (epoch - F.pmod(epoch, F.lit(bucket_seconds))).alias("bucket")
+    base = events.where(
+        F.col(type_col).isin([type_a, type_b])
+    ).select(F.col(type_col).alias("_et"), bucket)
+    per = base.groupBy("_et", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = per.where(F.col("_et") == type_a).select(
+        F.col("bucket").alias("_ba"), F.col("cnt").alias("_x")
+    )
+    b = per.where(F.col("_et") == type_b).select(
+        F.col("bucket").alias("_bb"), F.col("cnt").alias("_y")
+    )
+    bounds = per.agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.lit(bucket_seconds))
+        ).alias("bucket")
+    )
+    lags = spine.sparkSession.range(
+        -max_lag, max_lag + 1
+    ).select(F.col("id").cast("long").alias("lag"))
+    grid = (
+        spine.crossJoin(F.broadcast(lags))
+        .join(a, F.col("bucket") == F.col("_ba"), "left")
+        .join(
+            b,
+            F.col("_bb")
+            == F.col("bucket") + F.col("lag") * F.lit(bucket_seconds),
+            "left",
+        )
+        .select(
+            "lag",
+            F.coalesce("_x", F.lit(0)).alias("x"),
+            F.coalesce("_y", F.lit(0)).alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = grid.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("x").cast(dec)).alias("_sx"),
+        F.sum(F.col("y").cast(dec)).alias("_sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("_sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("_syy"),
+    )
+    # one deterministic double shape from the exact moments (the
+    # degree_profile/chi2 kernel): corr = (nΣxy−ΣxΣy)/√(varx·vary)
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    vx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    vy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    return m.select(
+        "lag",
+        F.col("_n").cast("long").alias("n"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * vy) * F.lit(1_000_000.0))
+            .cast("long"),
+        ).alias("corr_micro"),
+    )

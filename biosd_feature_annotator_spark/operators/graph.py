@@ -1304,3 +1304,45 @@ def label_spreading(
         "node", "label",
         F.coalesce("_seed", F.lit(False)).alias("is_seed"),
     )
+
+
+def quotient_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    keep_self_loops: bool = True,
+) -> DataFrame:
+    """Community-level summary graph: contract every node to its
+    community label (from label_propagation / connected_components /
+    label_spreading) and count edges between communities →
+    (comm_a, comm_b, n_edges) with comm_a ≤ comm_b canonical order and
+    intra-community edges as self-loops (comm_a = comm_b) — the
+    quotient graph that makes community-level analytics (PageRank over
+    communities, inter-cluster flow, modularity drill-down) run on a
+    communities-sized relation instead of the full edge list. Edges
+    whose endpoint has no label are dropped (inner joins — labeling
+    completeness is the upstream contract; kg_integrity/dq audits it).
+
+    Scale shape: two node-keyed equi-joins (labels are nodes-sized) +
+    one combinable (comm_a, comm_b) count. Hub communities concentrate
+    COUNTS, not rows — the output is communities², bounded far below
+    the edge count."""
+    la = labels.select(
+        F.col("node").alias("_sa"), F.col("label").alias("_ca")
+    )
+    lb = labels.select(
+        F.col("node").alias("_sb"), F.col("label").alias("_cb")
+    )
+    j = (
+        edges.select("src", "dst")
+        .join(la, F.col("src") == F.col("_sa"))
+        .join(lb, F.col("dst") == F.col("_sb"))
+        .select(
+            F.least("_ca", "_cb").alias("comm_a"),
+            F.greatest("_ca", "_cb").alias("comm_b"),
+        )
+    )
+    if not keep_self_loops:
+        j = j.where(F.col("comm_a") != F.col("comm_b"))
+    return j.groupBy("comm_a", "comm_b").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )

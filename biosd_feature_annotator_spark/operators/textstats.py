@@ -529,3 +529,46 @@ def vocab_coverage(
         id_col, "n_tokens", "n_in_vocab",
         ((num - F.pmod(num, den)) / den).cast("long").alias("oov_micro"),
     )
+
+
+def encoding_anomalies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mojibake / encoding-damage gate: per document the count of
+    C0/C1 control characters (tab, CR, LF excluded — those are
+    formatting, not damage), U+FFFD replacement characters (the
+    smoking gun of a bad decode), and NUL bytes, plus
+    anomaly_micro = (n_ctrl + n_replacement + n_nul)·1e6 // n_chars —
+    the cheap first-pass filter a web-scale curation pipeline runs
+    before any model-based scoring (Gopher/C4-style rule families
+    all carry one). Zero-length docs report NULL ratio (visible).
+
+    Pure Catalyst: three regexp_count calls and integer arithmetic —
+    no UDF, scan-parallel, no shuffle at all (a projection)."""
+    n_chars = F.length(F.col(text_col))
+    ctrl = F.regexp_count(
+        F.col(text_col),
+        F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"),
+    )
+    repl = F.regexp_count(F.col(text_col), F.lit("�"))
+    nul = F.regexp_count(F.col(text_col), F.lit(r"\x00"))
+    dec = "decimal(38,0)"
+    out = docs.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        ctrl.cast("long").alias("n_ctrl"),
+        repl.cast("long").alias("n_replacement"),
+        nul.cast("long").alias("n_nul"),
+    )
+    num = (
+        (F.col("n_ctrl") + F.col("n_replacement") + F.col("n_nul"))
+        .cast(dec) * F.lit(1_000_000).cast(dec)
+    )
+    den = F.col("n_chars").cast(dec)
+    return out.withColumn(
+        "anomaly_micro",
+        F.when(
+            F.col("n_chars") > 0,
+            ((num - F.pmod(num, den)) / den).cast("long"),
+        ),
+    )

@@ -1208,3 +1208,27 @@ def test_categorical_entropy_hand_case(spark):
     # global: a=6/8, b=2/8. KL(g2||global) = ln(8/6)
     assert abs(got["g2"].kl_micro - round(math.log(8 / 6) * 1e6)) <= 1
     assert (got["g1"].n, got["g1"].n_levels) == (4, 2)
+
+
+def test_lagged_crosscorr_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.funnel import (
+        lagged_crosscorr,
+    )
+
+    day = 86400
+    rows = []
+    # A fires 2,1,3,1 on days 0-3; B mirrors A exactly one day later
+    for d, n in enumerate([2, 1, 3, 1]):
+        rows += [("a", _ets(d * day + i)) for i in range(n)]
+        rows += [("b", _ets((d + 1) * day + i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r.lag: r
+        for r in lagged_crosscorr(df, "a", "b", "ts", "event_type",
+                                  day, max_lag=1).collect()
+    }
+    # at lag +1 (B lags A by one day) the series align perfectly
+    assert got[1].corr_micro == 1_000_000
+    assert set(got) == {-1, 0, 1}
+    assert got[0].n == 5        # dense spine: days 0-4
+    assert got[0].corr_micro != 1_000_000

@@ -120,6 +120,9 @@ def duck():
     ("conv_stats_kg", entrymod.q_conv_stats_kg),
     ("conv_repetition_kg", entrymod.q_conv_repetition_kg),
     ("conv_tool_paths", entrymod.q_conv_tool_paths),
+    ("kg_quotient", entrymod.q_kg_quotient),
+    ("events_crosscorr", entrymod.q_events_crosscorr),
+    ("docs_encoding", entrymod.q_docs_encoding),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -173,7 +176,9 @@ def test_r6_queue_not_registered_this_round():
                 "events_response_latency", "kg_integrity",
                 "part_alias_priors", "kg_label_spread",
                 "docs_source_entropy", "conv_stats_kg",
-                "conv_repetition_kg", "conv_tool_paths"} & set(q)
+                "conv_repetition_kg", "conv_tool_paths",
+                "kg_quotient", "events_crosscorr",
+                "docs_encoding"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

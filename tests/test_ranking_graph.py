@@ -979,3 +979,27 @@ def test_label_spreading_hand_case(spark):
     assert got["1"][0] == "x"
     assert got["2"][0] == "x"      # tie between x and y -> label asc
     assert got["1"][1] is False
+
+
+def test_quotient_graph_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.graph import quotient_graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (9, 1)],
+        "src long, dst long",
+    )
+    # communities: {1,2,3}=A, {4,5}=B; node 9 unlabeled -> edge dropped
+    lab = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B")],
+        "node long, label string",
+    )
+    got = {
+        (r.comm_a, r.comm_b): r.n_edges
+        for r in quotient_graph(e, lab).collect()
+    }
+    assert got == {("A", "A"): 2, ("A", "B"): 1, ("B", "B"): 1}
+    noloop = {
+        (r.comm_a, r.comm_b): r.n_edges
+        for r in quotient_graph(e, lab, keep_self_loops=False).collect()
+    }
+    assert noloop == {("A", "B"): 1}

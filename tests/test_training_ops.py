@@ -1065,3 +1065,21 @@ def test_confusion_report_hand_case(spark):
     # degenerate: nothing predicted positive -> NULL precision
     r2 = confusion_report(df, "label", "score", 2.0).collect()[0]
     assert r2.precision_micro is None and r2.recall_micro == 0
+
+
+def test_encoding_anomalies_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.textstats import (
+        encoding_anomalies,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "clean text\nwith newline"),
+         (2, "bad\x01\x02 bytes � here"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in encoding_anomalies(df).collect()}
+    assert got[1].n_ctrl == 0 and got[1].anomaly_micro == 0
+    assert (got[2].n_ctrl, got[2].n_replacement) == (2, 1)
+    assert got[2].anomaly_micro == 3 * 1_000_000 // got[2].n_chars
+    assert got[3].anomaly_micro is None
