@@ -2927,6 +2927,57 @@ def q_docs_encoding(spark, sf):
     return encoding_anomalies(_t(spark, sf, "documents"))
 
 
+def q_kmv_user_overlap(spark, sf):
+    """Sketch-only set overlap (sketches.kmv_jaccard): Jaccard of the
+    error-users and purchase-users sets from their bottom-256 KMV
+    states alone — the intersection estimate HLL cannot provide. Every
+    number is md5/rank/count integer arithmetic, so the oracle replays
+    the sketches AND the estimate exactly."""
+    from biosd_feature_annotator_spark.operators.sketches import (
+        kmv_jaccard,
+        kmv_state,
+    )
+
+    e = _t(spark, sf, "events")
+    a = kmv_state(e.where(F.col("event_type") == "error"),
+                  [], "user_id", 256)
+    b = kmv_state(e.where(F.col("event_type") == "purchase"),
+                  [], "user_id", 256)
+    return kmv_jaccard(a, b, 256)
+
+
+def q_kmv_type_users(spark, sf):
+    """KMV distinct estimates (sketches.kmv_distinct_estimate): per
+    event type the bottom-64 sketch's user-count estimate —
+    ⌊63·2^60 / h_64⌋ when the sketch is full, the exact count when it
+    isn't. Integer floor division end to end; the oracle replays the
+    rank cut and the estimator."""
+    from biosd_feature_annotator_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_state,
+    )
+
+    e = _t(spark, sf, "events")
+    st = kmv_state(e, ["event_type"], "user_id", 64)
+    return kmv_distinct_estimate(st, ["event_type"], 64)
+
+
+def q_funnel_windowed(spark, sf):
+    """Conversion-window funnel (funnel.funnel_depths_windowed): the
+    greedy signup→view→purchase chain where each step must land within
+    one day of the previous match — windowFunnel's gap bound on this
+    engine's deterministic chain. The oracle replays the chained
+    min-epoch CTEs with the same strict-after + within-gap bounds."""
+    from biosd_feature_annotator_spark.operators.funnel import (
+        funnel_depths_windowed,
+    )
+
+    return funnel_depths_windowed(
+        _t(spark, sf, "events"),
+        ["signup", "view", "purchase"], 86400,
+    )
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -5658,6 +5709,107 @@ R6_QUEUE_ORACLES = {
                      * 1000000) // n_chars END AS BIGINT)
                    AS anomaly_micro
         FROM c
+    """,
+    "kmv_user_overlap": """
+        WITH ha AS (
+            SELECT DISTINCT CAST('0x' || substr(
+                md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM events WHERE event_type = 'error'
+        ),
+        sa AS (
+            SELECT h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS r FROM ha
+            ) WHERE r <= 256
+        ),
+        hb AS (
+            SELECT DISTINCT CAST('0x' || substr(
+                md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM events WHERE event_type = 'purchase'
+        ),
+        sb AS (
+            SELECT h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS r FROM hb
+            ) WHERE r <= 256
+        ),
+        u AS (SELECT h FROM sa UNION SELECT h FROM sb),
+        bot AS (
+            SELECT h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS r FROM u
+            ) WHERE r <= 256
+        ),
+        a AS (
+            SELECT count(*) AS k_used,
+                   sum(CASE WHEN h IN (SELECT h FROM sa)
+                            AND h IN (SELECT h FROM sb)
+                       THEN 1 ELSE 0 END) AS n_common
+            FROM bot
+        )
+        SELECT CAST(k_used AS BIGINT) AS k_used,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(CASE WHEN k_used > 0 THEN
+                    (CAST(n_common AS HUGEINT) * 1000000) // k_used
+                    END AS BIGINT) AS jaccard_micro
+        FROM a
+    """,
+    "kmv_type_users": """
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substr(
+                       md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h
+            FROM events
+        ),
+        st AS (
+            SELECT event_type, h FROM (
+                SELECT event_type, h, row_number() OVER (
+                    PARTITION BY event_type ORDER BY h) AS r
+                FROM h
+            ) WHERE r <= 64
+        ),
+        a AS (
+            SELECT event_type, count(*) AS n_state, max(h) AS hk
+            FROM st GROUP BY 1
+        )
+        SELECT event_type, CAST(n_state AS BIGINT) AS n_state,
+               CAST(CASE WHEN n_state < 64 THEN n_state
+                    ELSE CAST(72633589052915318784 AS HUGEINT) // hk
+                    END AS BIGINT) AS n_est
+        FROM a
+    """,
+    "funnel_windowed": """
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events
+        ),
+        users AS (SELECT DISTINCT user_id FROM ev),
+        s1 AS (
+            SELECT user_id, min(ep) AS e1 FROM ev
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT ev.user_id, min(ep) AS e2
+            FROM ev JOIN s1 ON ev.user_id = s1.user_id
+            WHERE event_type = 'view'
+              AND ep > e1 AND ep <= e1 + 86400
+            GROUP BY 1
+        ),
+        s3 AS (
+            SELECT ev.user_id, min(ep) AS e3
+            FROM ev JOIN s2 ON ev.user_id = s2.user_id
+            WHERE event_type = 'purchase'
+              AND ep > e2 AND ep <= e2 + 86400
+            GROUP BY 1
+        )
+        SELECT u.user_id,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS depth
+        FROM users u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
     """,
 }
 

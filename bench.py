@@ -279,6 +279,9 @@ def main() -> None:
         ("kg_quotient", entrymod.q_kg_quotient),
         ("events_crosscorr", entrymod.q_events_crosscorr),
         ("docs_encoding", entrymod.q_docs_encoding),
+        ("kmv_user_overlap", entrymod.q_kmv_user_overlap),
+        ("kmv_type_users", entrymod.q_kmv_type_users),
+        ("funnel_windowed", entrymod.q_funnel_windowed),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

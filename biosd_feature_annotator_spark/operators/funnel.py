@@ -678,3 +678,69 @@ def lagged_crosscorr(
             .cast("long"),
         ).alias("corr_micro"),
     )
+
+
+def funnel_depths_windowed(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """funnel_depths with a conversion window — ClickHouse
+    windowFunnel's gap bound applied to this engine's greedy
+    earliest-match chain: step i+1 must occur strictly after the
+    matched step i AND within max_gap_seconds of it, otherwise the
+    chain stops at depth i ("signed up, but didn't purchase within
+    a day"). Greedy semantics kept deliberately (the chain matches
+    each step at its earliest admissible event) so the oracle replay
+    stays the same chained min-CTE with one extra bound; this is a
+    LOWER bound on the optimal-restart windowFunnel depth, and the
+    documented, deterministic contract here.
+
+    Returns (user_col, depth). Same scale shape as funnel_depths —
+    one user-keyed shuffle, step-typed events only, Catalyst fold with
+    integer epoch state (no timestamp interval arithmetic in the
+    loop)."""
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list of event types")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    epoch = _epoch_floor(ts_col)
+    ev = F.when(
+        F.col(type_col).isin(list(steps)),
+        F.struct(
+            epoch.alias("ep"),
+            F.col(order_col).alias("oid"),
+            F.col(type_col).alias("et"),
+        ),
+    )
+    per_user = events.groupBy(F.col(user_col)).agg(
+        F.sort_array(F.collect_list(ev)).alias("evs")
+    )
+    state = F.struct(
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("long").alias("last_ep"),
+    )
+    gap = F.lit(max_gap_seconds)
+    fold = F.aggregate(
+        F.col("evs"),
+        state,
+        lambda s, x: F.when(
+            (s.depth < F.lit(k))
+            & (x.et == F.try_element_at(steps_arr, s.depth + F.lit(1)))
+            & (
+                (s.depth == F.lit(0))
+                | ((x.ep > s.last_ep) & (x.ep - s.last_ep <= gap))
+            ),
+            F.struct(
+                (s.depth + F.lit(1)).alias("depth"),
+                x.ep.alias("last_ep"),
+            ),
+        ).otherwise(s),
+    )
+    return per_user.select(
+        user_col, fold.getField("depth").cast("long").alias("depth")
+    )

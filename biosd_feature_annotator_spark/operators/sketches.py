@@ -577,3 +577,118 @@ def portable_hll_estimate(
         (F.lit(m) - F.col("_n_set")).cast("long").alias("v_zero"),
         ((num - F.pmod(num, den)) / den).cast("long").alias("n_est"),
     )
+
+
+def kmv_state(
+    df: DataFrame, key_cols: list[str], value_col: str, k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch: per key the k SMALLEST
+    distinct md5-long hashes of the value — the member of the sketch
+    family that supports set INTERSECTION estimates (kmv_jaccard),
+    which HLL fundamentally cannot (inclusion-exclusion on HLLs
+    explodes the error). State = (keys…, h, r) with r the 1-based rank
+    of h within the key.
+
+    Fully engine-portable (the md5-long kernel) and value-oracled like
+    portable_hll. Merge = union → distinct → re-rank ≤ k
+    (merge_kmv_states): bottom-k of a union is the bottom-k of the
+    unioned bottom-k's, so incremental maintenance is exact.
+
+    Scale shape: one (key, h) distinct (map-side combinable — dedup
+    collapses before the shuffle) + one per-key window cut to k rows;
+    state ≤ k rows per key forever."""
+    h = hash64(F.col(value_col), hasher="md5")
+    d = df.select(*key_cols, h.alias("h")).dropDuplicates(
+        [*key_cols, "h"]
+    )
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (
+        d.withColumn("r", F.row_number().over(w).cast("long"))
+        .where(F.col("r") <= k)
+    )
+
+
+def merge_kmv_states(k: int, *states: DataFrame) -> DataFrame:
+    from functools import reduce as _reduce
+
+    u = _reduce(DataFrame.unionByName, states)
+    keys = [c for c in u.columns if c not in ("h", "r")]
+    d = u.select(*keys, "h").dropDuplicates([*keys, "h"])
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        d.withColumn("r", F.row_number().over(w).cast("long"))
+        .where(F.col("r") <= k)
+    )
+
+
+def kmv_distinct_estimate(
+    state: DataFrame, key_cols: list[str], k: int = 64,
+) -> DataFrame:
+    """Distinct-count estimate from a KMV state, exact-integer: per key
+    (n_state, n_est) where a key holding FEWER than k hashes reports
+    its exact distinct count (the sketch saw everything), and a full
+    sketch reports the classic unbiased ⌊(k−1)·2^60 / h_k⌋ with h_k
+    the k-th minimum over the 60-bit md5 hash space — integer floor
+    division, no float, oracle-replayable to the last digit."""
+    from decimal import Decimal
+
+    agg = state.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_state"),
+        F.max("h").alias("_hk"),
+    )
+    dec = "decimal(38,0)"
+    # (k-1)·2^60 exceeds int64 — carry it as a DECIMAL literal
+    num = F.lit(Decimal((k - 1) * (1 << 60))).cast(dec)
+    den = F.col("_hk").cast(dec)
+    return agg.select(
+        *key_cols, "n_state",
+        F.when(F.col("n_state") < k, F.col("n_state"))
+        .otherwise(((num - F.pmod(num, den)) / den).cast("long"))
+        .alias("n_est"),
+    )
+
+
+def kmv_jaccard(
+    state_a: DataFrame, state_b: DataFrame, k: int = 64,
+) -> DataFrame:
+    """Jaccard similarity of two sets from their KMV states alone —
+    the sketch-only set-overlap estimate (dedup-rate between two
+    corpus snapshots, entity-set drift between KG runs) computed
+    without touching either raw set: take the k smallest hashes of
+    the UNION of the two states (an unbiased uniform sample of the
+    union), count how many sit in BOTH states, and
+
+        jaccard_micro = n_common·1e6 // k_used
+        (k_used = min(k, |union hashes|) — when the union fits the
+        sketch entirely the estimate is EXACT)
+
+    One row: (k_used, n_common, jaccard_micro). Everything is integer
+    min/rank/count arithmetic over ≤ 2k rows."""
+    a = state_a.select("h").dropDuplicates()
+    b = state_b.select("h").dropDuplicates()
+    u = a.unionByName(b).dropDuplicates()
+    w = Window.orderBy("h")
+    bot = u.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    marked = (
+        bot.join(a.withColumn("_ina", F.lit(1)), "h", "left")
+        .join(b.withColumn("_inb", F.lit(1)), "h", "left")
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(
+            F.when(
+                F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_common"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n_common").cast(dec) * F.lit(1_000_000).cast(dec)
+    den = F.col("k_used").cast(dec)
+    return agg.select(
+        F.col("k_used").cast("long").alias("k_used"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.when(
+            F.col("k_used") > 0,
+            ((num - F.pmod(num, den)) / den).cast("long"),
+        ).alias("jaccard_micro"),
+    )

@@ -1232,3 +1232,32 @@ def test_lagged_crosscorr_hand_case(spark):
     assert set(got) == {-1, 0, 1}
     assert got[0].n == 5        # dense spine: days 0-4
     assert got[0].corr_micro != 1_000_000
+
+
+def test_funnel_depths_windowed_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.funnel import (
+        funnel_depths_windowed,
+    )
+
+    rows = [
+        # u completes within gaps; v's purchase comes too late
+        (1, "u", _ets(0), "signup"), (2, "u", _ets(50), "view"),
+        (3, "u", _ets(100), "purchase"),
+        (4, "v", _ets(0), "signup"), (5, "v", _ets(50), "view"),
+        (6, "v", _ets(5000), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    steps = ["signup", "view", "purchase"]
+    got = {
+        r.user_id: r.depth
+        for r in funnel_depths_windowed(df, steps, 200).collect()
+    }
+    assert got == {"u": 3, "v": 2}
+    # unwindowed equivalent: huge gap admits v's late purchase
+    loose = {
+        r.user_id: r.depth
+        for r in funnel_depths_windowed(df, steps, 10_000).collect()
+    }
+    assert loose == {"u": 3, "v": 3}

@@ -123,6 +123,9 @@ def duck():
     ("kg_quotient", entrymod.q_kg_quotient),
     ("events_crosscorr", entrymod.q_events_crosscorr),
     ("docs_encoding", entrymod.q_docs_encoding),
+    ("kmv_user_overlap", entrymod.q_kmv_user_overlap),
+    ("kmv_type_users", entrymod.q_kmv_type_users),
+    ("funnel_windowed", entrymod.q_funnel_windowed),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -178,7 +181,8 @@ def test_r6_queue_not_registered_this_round():
                 "docs_source_entropy", "conv_stats_kg",
                 "conv_repetition_kg", "conv_tool_paths",
                 "kg_quotient", "events_crosscorr",
-                "docs_encoding"} & set(q)
+                "docs_encoding", "kmv_user_overlap",
+                "kmv_type_users", "funnel_windowed"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -339,3 +339,57 @@ def test_portable_hll_rho_special_cases(spark):
     # duplicates collapse; rho bounded by W+1 = 57 for p=4
     assert len(st) <= 2
     assert all(1 <= r.rho <= 57 for r in st)
+
+
+def test_kmv_merge_estimate_and_jaccard(spark):
+    from biosd_feature_annotator_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_jaccard,
+        kmv_state,
+        merge_kmv_states,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 2).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    k = 64
+    direct = kmv_state(df, ["g"], "v", k)
+    halves = [
+        kmv_state(df.where(F.col("id") < 1500), ["g"], "v", k),
+        kmv_state(df.where(F.col("id") >= 1500), ["g"], "v", k),
+    ]
+    merged = merge_kmv_states(k, *halves)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    est = {
+        r.g: r
+        for r in kmv_distinct_estimate(direct, ["g"], k).collect()
+    }
+    for g in (0, 1):   # 1500 distinct each; rsd ~ 1/sqrt(k-1) ~ 13%
+        assert r_ok(est[g].n_est, 1500, 0.4)
+    # small set: exact
+    small = kmv_state(
+        spark.createDataFrame([("a",), ("b",), ("a",)], "v string"),
+        [], "v", k,
+    )
+    srow = kmv_distinct_estimate(small, [], k).collect()[0]
+    assert (srow.n_state, srow.n_est) == (2, 2)
+
+    # jaccard: sets {0..999} and {500..1499} -> true J = 1/3
+    sa = kmv_state(df.where((F.col("g") == 0)), [], "v", 512)
+    a_ids = spark.range(0, 1000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v"))
+    b_ids = spark.range(500, 1500).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v"))
+    ja = kmv_jaccard(
+        kmv_state(a_ids, [], "v", 256),
+        kmv_state(b_ids, [], "v", 256), 256,
+    ).collect()[0]
+    assert ja.k_used == 256
+    assert r_ok(ja.jaccard_micro, 333_333, 0.35)
+
+
+def r_ok(got, want, tol):
+    return abs(got - want) <= want * tol
