@@ -2978,6 +2978,46 @@ def q_funnel_windowed(spark, sf):
     )
 
 
+def q_events_seasonality(spark, sf):
+    """Weekly seasonality matrix (funnel.seasonality_profile): counts
+    per (day-of-week, hour) with floored-micro share and
+    lift-vs-uniform — dow/hour from pure integer epoch arithmetic
+    ((epoch div 86400 + 3) mod 7; Monday = 0), never a locale-bound
+    date function, so both engines agree by construction."""
+    from biosd_feature_annotator_spark.operators.funnel import (
+        seasonality_profile,
+    )
+
+    return seasonality_profile(_t(spark, sf, "events"))
+
+
+def q_events_retention(spark, sf):
+    """DK retention (funnel.rolling_retention): per activity day the
+    share of its users also active exactly 1 and 7 days later — one
+    distinct (user, day) presence shuffle, then presence-sized offset
+    self-joins. The oracle replays presence, both offsets, and the
+    floored ratio."""
+    from biosd_feature_annotator_spark.operators.funnel import (
+        rolling_retention,
+    )
+
+    return rolling_retention(_t(spark, sf, "events"), [1, 7])
+
+
+def q_docs_vocab_growth(spark, sf):
+    """Heaps-law vocabulary growth (textstats.vocab_growth): per
+    100-doc bucket the token count, first-appearance type count, and
+    cumulative types/tokens — cumulative distinct as a running sum of
+    first appearances (per-type state = min bucket). The oracle
+    replays tokenization, min-bucket first appearances, and both
+    running sums."""
+    from biosd_feature_annotator_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    return vocab_growth(_t(spark, sf, "documents"), bucket=100)
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -5810,6 +5850,76 @@ R6_QUEUE_ORACLES = {
         LEFT JOIN s1 ON u.user_id = s1.user_id
         LEFT JOIN s2 ON u.user_id = s2.user_id
         LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+    "events_seasonality": """
+        WITH cells AS (
+            SELECT ((e // 86400 + 3) % 7) AS dow,
+                   (e % 86400) // 3600 AS hour,
+                   count(*) AS n
+            FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e
+                  FROM events)
+            GROUP BY 1, 2
+        ),
+        t AS (SELECT sum(n) AS tot FROM cells)
+        SELECT CAST(dow AS BIGINT) AS dow,
+               CAST(hour AS BIGINT) AS hour,
+               CAST(n AS BIGINT) AS n,
+               CAST((CAST(n AS HUGEINT) * 1000000) // tot
+                    AS BIGINT) AS share_micro,
+               CAST((CAST(n AS HUGEINT) * 168 * 1000000) // tot
+                    AS BIGINT) AS lift_micro
+        FROM cells CROSS JOIN t
+    """,
+    "events_retention": """
+        WITH pres AS (
+            SELECT DISTINCT user_id AS u, e - (e % 86400) AS day
+            FROM (SELECT user_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS e
+                  FROM events)
+        ),
+        ks AS (SELECT unnest([1, 7]) AS k),
+        j AS (
+            SELECT p.day, ks.k,
+                   count(*) AS n_active,
+                   sum(CASE WHEN f.u IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_retained
+            FROM pres p CROSS JOIN ks
+            LEFT JOIN pres f
+              ON f.u = p.u AND f.day = p.day + ks.k * 86400
+            GROUP BY 1, 2
+        )
+        SELECT day, CAST(k AS BIGINT) AS k,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(n_retained AS BIGINT) AS n_retained,
+               CAST((CAST(n_retained AS HUGEINT) * 1000000) // n_active
+                    AS BIGINT) AS retention_micro
+        FROM j
+    """,
+    "docs_vocab_growth": """
+        WITH toks AS (
+            SELECT doc_id // 100 AS b, t AS tok FROM (
+                SELECT doc_id, unnest(string_split(trim(lower(
+                    regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+                FROM documents
+            ) WHERE length(t) > 0
+        ),
+        per AS (SELECT b, count(*) AS n_tokens FROM toks GROUP BY 1),
+        fst AS (
+            SELECT b, count(*) AS new_types FROM (
+                SELECT tok, min(b) AS b FROM toks GROUP BY 1
+            ) GROUP BY 1
+        )
+        SELECT p.b AS bucket, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(f.new_types, 0) AS BIGINT) AS new_types,
+               CAST(sum(coalesce(f.new_types, 0)) OVER (
+                   ORDER BY p.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_types,
+               CAST(sum(p.n_tokens) OVER (
+                   ORDER BY p.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM per p LEFT JOIN fst f ON p.b = f.b
     """,
 }
 

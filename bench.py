@@ -282,6 +282,9 @@ def main() -> None:
         ("kmv_user_overlap", entrymod.q_kmv_user_overlap),
         ("kmv_type_users", entrymod.q_kmv_type_users),
         ("funnel_windowed", entrymod.q_funnel_windowed),
+        ("events_seasonality", entrymod.q_events_seasonality),
+        ("events_retention", entrymod.q_events_retention),
+        ("docs_vocab_growth", entrymod.q_docs_vocab_growth),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

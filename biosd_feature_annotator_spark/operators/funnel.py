@@ -744,3 +744,96 @@ def funnel_depths_windowed(
     return per_user.select(
         user_col, fold.getField("depth").cast("long").alias("depth")
     )
+
+
+def seasonality_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly seasonality matrix: event counts per (day-of-week, hour)
+    cell with each cell's lift against the uniform 1/168 baseline —
+    the traffic-shape baseline an anomaly detector (rate_bursts)
+    calibrates against, and the scheduling input for load-shaped
+    backfills. dow is computed as (epoch div 86400 + 3) mod 7
+    (1970-01-01 was a Thursday → 3 with Monday = 0) and hour as
+    (epoch mod 86400) div 3600 — pure integer epoch arithmetic,
+    timezone-free and engine-identical, never an engine's locale-bound
+    date function.
+
+    Returns one row per observed cell: (dow, hour, n, share_micro,
+    lift_micro = n·168·1e6 // total — 1e6 means exactly uniform).
+    One map-side-combinable cell count + a broadcast single-row total;
+    output ≤ 168 rows."""
+    base = events.select(_epoch_floor(ts_col).alias("_ep"))
+    cells = base.select(
+        F.pmod(F.expr("_ep div 86400") + F.lit(3), F.lit(7)).alias("dow"),
+        F.expr("pmod(_ep, 86400) div 3600").alias("hour"),
+    ).groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("_t"))
+    dec = "decimal(38,0)"
+    share_num = F.col("n").cast(dec) * F.lit(1_000_000).cast(dec)
+    lift_num = (
+        F.col("n").cast(dec) * F.lit(168).cast(dec)
+        * F.lit(1_000_000).cast(dec)
+    )
+    den = F.col("_t").cast(dec)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow", "hour", "n",
+        ((share_num - F.pmod(share_num, den)) / den).cast("long")
+        .alias("share_micro"),
+        ((lift_num - F.pmod(lift_num, den)) / den).cast("long")
+        .alias("lift_micro"),
+    )
+
+
+def rolling_retention(
+    events: DataFrame,
+    k_days: list[int],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic DK retention: for every activity day d and each k in
+    k_days, the share of that day's active users who were ALSO active
+    exactly on day d+k — the D1/D7/D30 dashboard numbers (the
+    bounded-offset companion of retention_cohorts' full matrix).
+    Returns (day, k, n_active, n_retained, retention_micro).
+
+    Scale shape: ONE distinct (user, day) presence shuffle of the
+    data; everything after runs on the presence relation — a
+    self-equi-join on (user, day + k) per k (k_days is a literal
+    domain, unioned via a broadcast lags frame), then a combinable
+    (day, k) count. A power user collapses to one presence row per
+    day before any join."""
+    epoch = _epoch_floor(ts_col)
+    day = (epoch - F.pmod(epoch, F.lit(86400))).alias("day")
+    pres = events.select(
+        F.col(key_col).alias("_u"), day
+    ).dropDuplicates()
+    ks = events.sparkSession.createDataFrame(
+        [(int(k),) for k in k_days], "k long"
+    )
+    future = pres.select(
+        F.col("_u").alias("_u2"), F.col("day").alias("_d2")
+    )
+    j = (
+        pres.crossJoin(F.broadcast(ks))
+        .join(
+            future,
+            (F.col("_u") == F.col("_u2"))
+            & (F.col("_d2") == F.col("day") + F.col("k") * F.lit(86400)),
+            "left",
+        )
+        .groupBy("day", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("_u2").isNotNull(), 1).otherwise(0))
+            .alias("n_retained"),
+        )
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n_retained").cast(dec) * F.lit(1_000_000).cast(dec)
+    den = F.col("n_active").cast(dec)
+    return j.withColumn(
+        "retention_micro",
+        ((num - F.pmod(num, den)) / den).cast("long"),
+    )

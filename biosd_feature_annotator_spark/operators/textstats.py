@@ -572,3 +572,51 @@ def encoding_anomalies(
             ((num - F.pmod(num, den)) / den).cast("long"),
         ),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket: int = 100,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: reading the corpus in id_col
+    order, how fast does the type (distinct-token) count grow against
+    the token count — the report that says whether a tokenizer's
+    vocabulary budget will saturate or keep bleeding OOVs as the
+    corpus scales. Docs are grouped into buckets of `bucket` ids;
+    per bucket: n_tokens (occurrences), new_types (tokens whose FIRST
+    corpus appearance is in this bucket), cum_types, cum_tokens.
+
+    The scale trick is cumulative_distinct's: cumulative types =
+    running sum of first-appearance counts, so the only per-type state
+    is min(bucket) — one row per vocabulary type — and the running
+    windows operate on the buckets-sized relation. One token explode,
+    two combinable aggregations, two unpartitioned windows over
+    buckets."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        # integer div, not float floor(x/b) — the repo's epoch-floor rule
+        F.expr(f"{id_col} div {bucket}").cast("long").alias("b"),
+        F.explode(F.split(norm_text_col(F.col(text_col)), " "))
+        .alias("_tok"),
+    ).where(F.length("_tok") > 0)
+    per = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first = (
+        toks.groupBy("_tok").agg(F.min("b").alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.join(first, "b", "left")
+        .select(
+            F.col("b").alias("bucket"),
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .withColumn("cum_types", F.sum("new_types").over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )

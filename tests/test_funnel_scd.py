@@ -1261,3 +1261,46 @@ def test_funnel_depths_windowed_hand_case(spark):
         for r in funnel_depths_windowed(df, steps, 10_000).collect()
     }
     assert loose == {"u": 3, "v": 3}
+
+
+def test_seasonality_profile_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.funnel import (
+        seasonality_profile,
+    )
+
+    # 1970-01-01 is a Thursday (dow 3 with Monday=0)
+    df = spark.createDataFrame(
+        [("e", _ets(30)), ("e", _ets(40)),            # Thu 00h x2
+         ("e", _ets(3 * 86400 + 5 * 3600)),           # Sun 05h
+         ("e", _ets(4 * 86400))],                     # Mon 00h
+        "k string, ts timestamp",
+    )
+    got = {
+        (r.dow, r.hour): r for r in seasonality_profile(df).collect()
+    }
+    assert got[(3, 0)].n == 2 and got[(6, 5)].n == 1 and got[(0, 0)].n == 1
+    assert got[(3, 0)].share_micro == 500_000
+    assert got[(3, 0)].lift_micro == 2 * 168 * 1_000_000 // 4
+
+
+def test_rolling_retention_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.funnel import (
+        rolling_retention,
+    )
+
+    day = 86400
+    df = spark.createDataFrame(
+        [("u1", _ets(10)), ("u2", _ets(20)),
+         ("u1", _ets(day + 5)),                # u1 returns D1
+         ("u1", _ets(7 * day)), ("u2", _ets(7 * day))],  # both on D7
+        "user_id string, ts timestamp",
+    )
+    got = {
+        (r.day, r.k): r
+        for r in rolling_retention(df, [1, 7]).collect()
+    }
+    d0d1 = got[(0, 1)]
+    assert (d0d1.n_active, d0d1.n_retained) == (2, 1)
+    assert d0d1.retention_micro == 500_000
+    assert got[(0, 7)].n_retained == 2
+    assert got[(day, 1)].n_retained == 0

@@ -126,6 +126,9 @@ def duck():
     ("kmv_user_overlap", entrymod.q_kmv_user_overlap),
     ("kmv_type_users", entrymod.q_kmv_type_users),
     ("funnel_windowed", entrymod.q_funnel_windowed),
+    ("events_seasonality", entrymod.q_events_seasonality),
+    ("events_retention", entrymod.q_events_retention),
+    ("docs_vocab_growth", entrymod.q_docs_vocab_growth),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -182,7 +185,9 @@ def test_r6_queue_not_registered_this_round():
                 "conv_repetition_kg", "conv_tool_paths",
                 "kg_quotient", "events_crosscorr",
                 "docs_encoding", "kmv_user_overlap",
-                "kmv_type_users", "funnel_windowed"} & set(q)
+                "kmv_type_users", "funnel_windowed",
+                "events_seasonality", "events_retention",
+                "docs_vocab_growth"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST

@@ -1083,3 +1083,20 @@ def test_encoding_anomalies_hand_case(spark):
     assert (got[2].n_ctrl, got[2].n_replacement) == (2, 1)
     assert got[2].anomaly_micro == 3 * 1_000_000 // got[2].n_chars
     assert got[3].anomaly_micro is None
+
+
+def test_vocab_growth_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"),            # bucket 0: types a,b,c
+         (100, "c d")],                       # bucket 1: only d is new
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, vocab_growth(df, bucket=100).collect()))
+    assert got == [
+        (0, 5, 3, 3, 5),        # 5 tokens, 3 new types
+        (1, 2, 1, 4, 7),        # d is new; cum 4 types / 7 tokens
+    ]
