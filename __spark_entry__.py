@@ -3018,6 +3018,57 @@ def q_docs_vocab_growth(spark, sf):
     return vocab_growth(_t(spark, sf, "documents"), bucket=100)
 
 
+def q_conv_role_transitions(spark, sf):
+    """Role-sequence Markov matrix: funnel.event_transitions applied to
+    the transcript payload (conv_id as the sequence key, role as the
+    state, turn_idx as the tie-pin) — dialogue-structure drift between
+    corpus snapshots ('tool turns stopped following assistant turns')
+    surfaces here. Same operator, different relation: composability is
+    the point."""
+    from biosd_feature_annotator_spark.operators.funnel import (
+        event_transitions,
+    )
+
+    return event_transitions(
+        spark.read.parquet(_CORPUS),
+        user_col="conv_id", type_col="role",
+        ts_col="ts", order_col="turn_idx",
+    )
+
+
+def q_conv_role_funnel(spark, sf):
+    """Dialogue-shape funnel: funnel_depths over roles — did the
+    conversation reach user → assistant → tool in temporal order
+    (greedy earliest-match chain, the flagship funnel semantics on the
+    payload table). The oracle replays the chained min-epoch CTEs per
+    conversation."""
+    from biosd_feature_annotator_spark.operators.funnel import funnel_depths
+
+    d = funnel_depths(
+        spark.read.parquet(_CORPUS),
+        ["user", "assistant", "tool"],
+        user_col="conv_id", type_col="role", order_col="turn_idx",
+    )
+    return d.select("conv_id", "depth")
+
+
+def q_conv_response_latency(spark, sf):
+    """Assistant response delay: funnel.response_latency inside each
+    conversation (from user turn to the next assistant turn) — the
+    per-turn latency relation a serving dashboard aggregates; turns
+    with no prior user turn report NULL visibly."""
+    from biosd_feature_annotator_spark.operators.funnel import (
+        response_latency,
+    )
+
+    out = response_latency(
+        spark.read.parquet(_CORPUS), "user", "assistant",
+        user_col="conv_id", ts_col="ts", type_col="role",
+        order_col="turn_idx",
+    )
+    return out.withColumnRenamed("event_id", "turn_idx")
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -5920,6 +5971,71 @@ R6_QUEUE_ORACLES = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS cum_tokens
         FROM per p LEFT JOIN fst f ON p.b = f.b
+    """,
+    "conv_role_transitions": f"""
+        WITH pairs AS (
+            SELECT role AS from_type,
+                   lead(role) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx
+                   ) AS to_type
+            FROM read_parquet('{_CORPUS}')
+        ),
+        cnt AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               CAST((n * 1000000) // sum(n) OVER (
+                   PARTITION BY from_type) AS BIGINT) AS p_micro
+        FROM cnt
+    """,
+    "conv_role_funnel": f"""
+        WITH ev AS (
+            SELECT conv_id, role,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep, ts, turn_idx
+            FROM read_parquet('{_CORPUS}')
+        ),
+        convs AS (SELECT DISTINCT conv_id FROM ev),
+        s1 AS (
+            SELECT conv_id, min(ts) AS t1 FROM ev
+            WHERE role = 'user' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT ev.conv_id, min(ts) AS t2
+            FROM ev JOIN s1 ON ev.conv_id = s1.conv_id
+            WHERE role = 'assistant' AND ts > t1 GROUP BY 1
+        ),
+        s3 AS (
+            SELECT ev.conv_id, min(ts) AS t3
+            FROM ev JOIN s2 ON ev.conv_id = s2.conv_id
+            WHERE role = 'tool' AND ts > t2 GROUP BY 1
+        )
+        SELECT c.conv_id,
+               CAST(CASE WHEN s3.conv_id IS NOT NULL THEN 3
+                         WHEN s2.conv_id IS NOT NULL THEN 2
+                         WHEN s1.conv_id IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS depth
+        FROM convs c
+        LEFT JOIN s1 ON c.conv_id = s1.conv_id
+        LEFT JOIN s2 ON c.conv_id = s2.conv_id
+        LEFT JOIN s3 ON c.conv_id = s3.conv_id
+    """,
+    "conv_response_latency": f"""
+        WITH e AS (
+            SELECT conv_id, turn_idx, role, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM read_parquet('{_CORPUS}')
+        )
+        SELECT conv_id, turn_idx,
+               CAST(ep - trig AS BIGINT) AS latency_sec
+        FROM (
+            SELECT conv_id, turn_idx, role, ep,
+                   max(CASE WHEN role = 'user' THEN ep END)
+                       OVER (PARTITION BY conv_id
+                             ORDER BY ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS trig
+            FROM e
+        ) WHERE role = 'assistant'
     """,
 }
 

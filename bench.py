@@ -285,6 +285,9 @@ def main() -> None:
         ("events_seasonality", entrymod.q_events_seasonality),
         ("events_retention", entrymod.q_events_retention),
         ("docs_vocab_growth", entrymod.q_docs_vocab_growth),
+        ("conv_role_transitions", entrymod.q_conv_role_transitions),
+        ("conv_role_funnel", entrymod.q_conv_role_funnel),
+        ("conv_response_latency", entrymod.q_conv_response_latency),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

@@ -129,6 +129,9 @@ def duck():
     ("events_seasonality", entrymod.q_events_seasonality),
     ("events_retention", entrymod.q_events_retention),
     ("docs_vocab_growth", entrymod.q_docs_vocab_growth),
+    ("conv_role_transitions", entrymod.q_conv_role_transitions),
+    ("conv_role_funnel", entrymod.q_conv_role_funnel),
+    ("conv_response_latency", entrymod.q_conv_response_latency),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -187,7 +190,9 @@ def test_r6_queue_not_registered_this_round():
                 "docs_encoding", "kmv_user_overlap",
                 "kmv_type_users", "funnel_windowed",
                 "events_seasonality", "events_retention",
-                "docs_vocab_growth"} & set(q)
+                "docs_vocab_growth", "conv_role_transitions",
+                "conv_role_funnel",
+                "conv_response_latency"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
