@@ -3069,6 +3069,55 @@ def q_conv_response_latency(spark, sf):
     return out.withColumnRenamed("event_id", "turn_idx")
 
 
+def q_customer_cdc_state(spark, sf):
+    """CDC upsert-delete materialization (scd.apply_cdc_log): a change
+    log derived from orders (F→update, O→insert, P→delete of the
+    customer's balance-cents) applied to the customer snapshot —
+    last op per key in (date, orderkey) order wins, deletes drop the
+    key, untouched rows pass through. The oracle replays the per-key
+    argmax window and the anti-join + union."""
+    from biosd_feature_annotator_spark.operators.scd import apply_cdc_log
+
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    snap = c.select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+    ops = o.select(
+        F.col("o_custkey").cast("long").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", "U")
+        .when(F.col("o_orderstatus") == "O", "I")
+        .otherwise("D").alias("op"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return apply_cdc_log(
+        snap, ops, ["k"], ["v"], seq_cols=["ts", "seq"]
+    )
+
+
+def q_emb_int8(spark, sf):
+    """Per-vector int8 quantization (similarity.int8_quantize): scale,
+    codes (joined to a string for the hash compare), and exact-shape
+    reconstruction diagnostics — the 4× storage rung below PQ. The
+    oracle replays scale, every rounded code, and both error
+    aggregates with the identical fixed double shapes."""
+    from biosd_feature_annotator_spark.operators.similarity import (
+        int8_quantize,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    out = int8_quantize(e)
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
+        .alias("codes_csv"),
+        "scale", "mse_micro", "max_err_micro",
+    )
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -6036,6 +6085,75 @@ R6_QUEUE_ORACLES = {
                              ROWS UNBOUNDED PRECEDING) AS trig
             FROM e
         ) WHERE role = 'assistant'
+    """,
+    "customer_cdc_state": """
+        WITH snap AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS v
+            FROM customer
+        ),
+        ops AS (
+            SELECT CAST(o_custkey AS BIGINT) AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                   CASE WHEN o_orderstatus = 'F' THEN 'U'
+                        WHEN o_orderstatus = 'O' THEN 'I'
+                        ELSE 'D' END AS op,
+                   o_orderdate AS ts, o_orderkey AS seq
+            FROM orders
+        ),
+        last AS (
+            SELECT k, v, op FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY k
+                    ORDER BY ts DESC, seq DESC, op DESC) AS rk
+                FROM ops
+            ) WHERE rk = 1
+        )
+        SELECT s.k, s.v FROM snap s
+        WHERE s.k NOT IN (SELECT k FROM last)
+        UNION ALL
+        SELECT k, v FROM last WHERE op <> 'D'
+    """,
+    "emb_int8": """
+        WITH demb AS (
+            -- force DOUBLE up front: the source column is FLOAT[] and
+            -- DuckDB would otherwise run the whole chain in float32
+            -- while Spark's double literals promote everything
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS embedding
+            FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x)))
+                       AS scale
+            FROM demb
+        ),
+        coded AS (
+            SELECT vec_id, embedding, scale,
+                   CASE WHEN scale > 0 THEN
+                       list_transform(embedding,
+                           x -> CAST(round(x * 127.0 / scale) AS INT))
+                   ELSE list_transform(embedding, x -> 0) END AS codes
+            FROM base
+        ),
+        err AS (
+            SELECT vec_id, scale, codes,
+                   list_transform(
+                       list_zip(embedding, codes),
+                       p -> p[1] - p[2] * scale / 127.0) AS e,
+                   len(embedding) AS n
+            FROM coded
+        )
+        SELECT vec_id,
+               array_to_string(codes, ',') AS codes_csv,
+               scale,
+               CAST(round(list_sum(list_transform(e, x -> x * x))
+                    / n * 1000000.0) AS BIGINT) AS mse_micro,
+               CAST(round(list_max(list_transform(e, x -> abs(x)))
+                    * 1000000.0) AS BIGINT) AS max_err_micro
+        FROM err
     """,
 }
 

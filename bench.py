@@ -288,6 +288,8 @@ def main() -> None:
         ("conv_role_transitions", entrymod.q_conv_role_transitions),
         ("conv_role_funnel", entrymod.q_conv_role_funnel),
         ("conv_response_latency", entrymod.q_conv_response_latency),
+        ("customer_cdc_state", entrymod.q_customer_cdc_state),
+        ("emb_int8", entrymod.q_emb_int8),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

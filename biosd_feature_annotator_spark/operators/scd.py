@@ -478,3 +478,51 @@ def decayed_sum(
             F.sum("_t").alias("decayed_micro"),
         )
     )
+
+
+def apply_cdc_log(
+    snapshot: DataFrame,
+    ops: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    op_col: str = "op",
+    seq_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a change-data-capture operation log to a snapshot — the
+    Hudi/Delta-style upsert-delete materializer (scd2_apply keeps
+    HISTORY; this produces the current-state table a CDC mirror
+    maintains). `ops` carries key_cols, value_cols, op_col ∈
+    {'I','U','D'} (insert and update are both upserts — the usual CDC
+    relaxation, so a replayed log converges), and seq_cols — the total
+    order within a key (ts, LSN, …). Semantics: for every key, the
+    LAST op in seq order wins; D deletes the key, I/U set value_cols.
+    Keys untouched by the log pass through verbatim.
+
+    Scale shape: one key-partitioned window over the OPS (ops-sized,
+    not snapshot-sized — the log is the small side of a CDC cycle),
+    then one key-keyed anti-join (drop snapshot rows the log touched)
+    + union of the log's surviving upserts. No full-table rewrite
+    logic here — at the storage layer this frame feeds the
+    dynamic-partition overwrite the materializer already owns.
+
+    Seq ties are the caller's contract (seq_cols must totally order a
+    key's ops); a deterministic tie-break on op_col is appended so
+    equal-seq replays are at least stable, but relying on it means the
+    upstream CDC extractor is broken."""
+    from pyspark.sql import Window
+
+    seq = list(seq_cols or ["ts"])
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in seq], F.desc(op_col)
+    )
+    last = (
+        ops.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+    )
+    upserts = last.where(F.col(op_col) != "D").select(
+        *key_cols, *value_cols
+    )
+    untouched = snapshot.select(*key_cols, *value_cols).join(
+        last.select(*key_cols), key_cols, "left_anti"
+    )
+    return untouched.unionByName(upserts)

@@ -1017,3 +1017,58 @@ def gram_matrix(
         .agg(F.sum("_prod").alias("_g"))
         .select("i", "j", F.col("_g").cast("long").alias("g"))
     )
+
+
+def int8_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the production storage
+    staple for embedding tables (4× smaller than float32 before PQ's
+    lossier 32×; the usual first rung of the compression ladder this
+    module's PQ/IVF-PQ sit above). Per vector: scale = max |v_i|,
+    codes_i = round(v_i·127 / scale) ∈ [−127, 127], plus the exact
+    reconstruction diagnostics a rollout gate needs:
+
+        mse_micro = round(mean((v_i − codes_i·scale/127)²) · 1e6)
+        max_err_micro = round(max |v_i − codes_i·scale/127| · 1e6)
+
+    All array algebra (transform / aggregate), zero UDFs; codes are
+    integers so downstream dot products can run in exact integer
+    arithmetic per vector pair (the gram_matrix/centroid discipline).
+    Zero vectors (scale = 0) emit all-zero codes and zero error. The
+    rounding shapes are single fixed double expressions, so the SQL
+    oracle replays every code and both diagnostics."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.when(F.col("_scale") > 0, F.transform(
+        v, lambda x: F.round(x * F.lit(127.0) / F.col("_scale"))
+        .cast("int"),
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    base = emb.select(
+        F.col(id_col), v.alias(vec_col), scale.alias("_scale")
+    ).withColumn("codes", codes)
+    err = F.zip_with(
+        F.col(vec_col), F.col("codes"),
+        lambda x, c: x - c * F.col("_scale") / F.lit(127.0),
+    )
+    sq = F.aggregate(
+        F.col("_err"), F.lit(0.0), lambda a, e: a + e * e
+    )
+    mx = F.aggregate(
+        F.col("_err"), F.lit(0.0),
+        lambda a, e: F.greatest(a, F.abs(e)),
+    )
+    n = F.size(F.col(vec_col))
+    return (
+        base.withColumn("_err", err)
+        .select(
+            id_col, "codes",
+            F.col("_scale").alias("scale"),
+            F.round(sq / n * F.lit(1_000_000.0)).cast("long")
+            .alias("mse_micro"),
+            F.round(mx * F.lit(1_000_000.0)).cast("long")
+            .alias("max_err_micro"),
+        )
+    )

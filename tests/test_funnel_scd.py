@@ -1304,3 +1304,26 @@ def test_rolling_retention_hand_case(spark):
     assert d0d1.retention_micro == 500_000
     assert got[(0, 7)].n_retained == 2
     assert got[(day, 1)].n_retained == 0
+
+
+def test_apply_cdc_log_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.scd import apply_cdc_log
+
+    snap = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v long"
+    )
+    ops = spark.createDataFrame(
+        [
+            ("a", 10, "U", 1), ("a", 99, "U", 2),   # last wins: 99
+            ("b", 0, "D", 1),                       # deleted
+            ("d", 7, "I", 1),                       # new key
+            ("e", 5, "I", 1), ("e", 0, "D", 2),     # insert then delete
+        ],
+        "k string, v long, op string, ts long",
+    )
+    got = dict(
+        (r.k, r.v)
+        for r in apply_cdc_log(snap, ops, ["k"], ["v"],
+                               seq_cols=["ts"]).collect()
+    )
+    assert got == {"a": 99, "c": 3, "d": 7}

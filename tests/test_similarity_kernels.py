@@ -191,3 +191,23 @@ def test_time_weighted_avg_hand_case(spark):
     assert got["a"].twa_micro == 91_000_000
     assert got["b"].wsum == -11 and got["b"].dur_total == 4
     assert got["b"].twa_micro == -2_750_000
+
+
+def test_int8_quantize_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.similarity import (
+        int8_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in int8_quantize(df).collect()}
+    r1 = got[1]
+    assert r1.scale == 1.0
+    assert list(r1.codes) == [127, -64, 32]   # round(-63.5) -> -64 in both engines
+    # reconstruction error bounded by scale/(2*127)
+    assert r1.max_err_micro <= 1_000_000 // 127
+    z = got[2]
+    assert list(z.codes) == [0, 0, 0]
+    assert z.mse_micro == 0 and z.max_err_micro == 0 and z.scale == 0.0
