@@ -3118,6 +3118,31 @@ def q_emb_int8(spark, sf):
     )
 
 
+def q_kg_comention(spark, sf):
+    """End-to-end extraction → graph induction in ONE checked query:
+    the flagship pipeline's term triples (q_transcripts_kg, the full
+    mention/link path over the frozen corpus) reduced to distinct
+    (conv, entity) presence, then conv-keyed entity pairs counted —
+    the co-mention edge list the graph family (PMI, CC, communities)
+    consumes. The oracle nests the flagship's complete SQL
+    re-derivation as a subquery and replays the pairing, so a hash
+    match witnesses the whole chain."""
+    t = q_transcripts_kg(spark, sf)
+    ents = (
+        t.where(F.col("obj_kind") == "term")
+        .select("conv_id", F.col("obj").alias("ent"))
+        .dropDuplicates()
+    )
+    a = ents.select("conv_id", F.col("ent").alias("ent_a"))
+    b = ents.select("conv_id", F.col("ent").alias("ent_b"))
+    return (
+        a.join(b, "conv_id")
+        .where(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+    )
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -7581,6 +7606,27 @@ def _kg_khop_sql(k: int = 2, seed: str = "NCBITaxon_9606") -> str:
         SELECT node, CAST(min(hop) AS BIGINT) AS hop
         FROM reach GROUP BY node
     """
+
+
+def _register_kg_comention_oracle() -> None:
+    """kg_comention's oracle nests the flagship SQL, which is generated
+    by _transcripts_kg_sql below the R6_QUEUE_ORACLES literal — so this
+    entry is registered here, after the generator exists."""
+    R6_QUEUE_ORACLES["kg_comention"] = f"""
+        WITH ents AS (
+            SELECT DISTINCT conv_id, obj AS ent
+            FROM ({_transcripts_kg_sql()}) t
+            WHERE obj_kind = 'term'
+        )
+        SELECT a.ent AS ent_a, b.ent AS ent_b,
+               CAST(count(*) AS BIGINT) AS n_convs
+        FROM ents a JOIN ents b
+          ON a.conv_id = b.conv_id AND a.ent < b.ent
+        GROUP BY 1, 2
+    """
+
+
+_register_kg_comention_oracle()
 
 
 def _kg_pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:

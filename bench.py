@@ -290,6 +290,7 @@ def main() -> None:
         ("conv_response_latency", entrymod.q_conv_response_latency),
         ("customer_cdc_state", entrymod.q_customer_cdc_state),
         ("emb_int8", entrymod.q_emb_int8),
+        ("kg_comention", entrymod.q_kg_comention),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 
