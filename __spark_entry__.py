@@ -3147,6 +3147,23 @@ def q_kg_comention(spark, sf):
     )
 
 
+def q_lineitem_weighted_median(spark, sf):
+    """Exact grouped weighted median (plans/quality.weighted_median):
+    per return flag, the quantity-weighted median of extended-price
+    cents — lower-median semantics via the integer cross-multiply
+    2·cum ≥ total, engine-exact. The oracle replays the sorted
+    cumulative-weight window and the min-qualifying-value pick."""
+    from biosd_feature_annotator_spark.plans.quality import weighted_median
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(li, ["l_returnflag"], "price_c", "qty")
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -6142,6 +6159,26 @@ R6_QUEUE_ORACLES = {
         WHERE s.k NOT IN (SELECT k FROM last)
         UNION ALL
         SELECT k, v FROM last WHERE op <> 'D'
+    """,
+    "lineitem_weighted_median": """
+        WITH base AS (
+            SELECT l_returnflag AS k,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+        ),
+        c AS (
+            SELECT k, v,
+                   sum(w) OVER (PARTITION BY k ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(w) OVER (PARTITION BY k) AS tot,
+                   count(*) OVER (PARTITION BY k) AS n
+            FROM base
+        )
+        SELECT k AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(tot) AS BIGINT) AS w_total,
+               min(CASE WHEN 2 * cum >= tot THEN v END) AS median
+        FROM c GROUP BY 1
     """,
     "emb_int8": """
         WITH demb AS (

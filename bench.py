@@ -291,6 +291,7 @@ def main() -> None:
         ("customer_cdc_state", entrymod.q_customer_cdc_state),
         ("emb_int8", entrymod.q_emb_int8),
         ("kg_comention", entrymod.q_kg_comention),
+        ("lineitem_weighted_median", entrymod.q_lineitem_weighted_median),
     ):
         extras[f"{queued}_sec"] = timed_min(lambda f=fn: f(spark, SF_DIR))
 

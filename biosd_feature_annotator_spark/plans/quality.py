@@ -1135,3 +1135,65 @@ def categorical_entropy(
             "entropy_micro", "kl_micro",
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact per-key (weighted) median — the robust central tendency a
+    mean-based rollup can't give when a key's values carry outliers or
+    adversarial claims (the numeric companion of truth_discovery:
+    weight numeric claims by source reliability and take the weighted
+    median instead of a vote). Returns (keys…, n, w_total, median) with
+    median = the SMALLEST value whose cumulative weight reaches half
+    the total — the standard lower weighted median, deterministic and
+    engine-exact via the integer cross-multiply 2·cum ≥ w_total
+    (weights must be non-negative integers; pass None for the
+    unweighted median where every row weighs 1).
+
+    Tied values are safe despite the ROWS cumulative frame: per-row
+    cum depends on the arbitrary order within a tied run, but the
+    pick only asks whether ANY row of the run crosses the half-total
+    — a property of the run's total weight position, not its internal
+    order — so the emitted median is identical on every partitioning
+    and in both engines.
+
+    Scale shape: one key-partitioned window pass over the (key, value)
+    relation sorted by value (the inherent order-statistic cost — the
+    grid sketch family is the approximation that avoids it; this is
+    the exact complement for key groups that fit a partition), then
+    one per-key min aggregate. A pathologically hot key costs its row
+    count in one partition's sort — cap upstream or switch to
+    grid_quantile_state when that bound breaks."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None else F.lit(1).cast("long")
+    )
+    base = df.select(
+        *key_cols, F.col(value_col).alias("_v"), w.alias("_w")
+    )
+    win = Window.partitionBy(*key_cols).orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(*key_cols)
+    c = base.select(
+        *key_cols, "_v",
+        F.sum("_w").over(win).alias("_cum"),
+        F.sum("_w").over(wall).alias("_tot"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    return (
+        c.groupBy(*key_cols)
+        .agg(
+            F.max("_n").cast("long").alias("n"),
+            F.max("_tot").cast("long").alias("w_total"),
+            F.min(
+                F.when(
+                    F.lit(2) * F.col("_cum") >= F.col("_tot"), F.col("_v")
+                )
+            ).alias("median"),
+        )
+    )

@@ -1327,3 +1327,23 @@ def test_apply_cdc_log_hand_case(spark):
                                seq_cols=["ts"]).collect()
     )
     assert got == {"a": 99, "c": 3, "d": 7}
+
+
+def test_weighted_median_hand_case(spark):
+    from biosd_feature_annotator_spark.plans.quality import weighted_median
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 100, 1), ("a", 3, 1),     # odd: median 3
+         ("b", 5, 1), ("b", 7, 1),                    # even: lower = 5
+         ("c", 10, 1), ("c", 1000, 9)],               # weight drags up
+        "k string, v long, w long",
+    )
+    unw = {
+        r.k: r for r in weighted_median(df, ["k"], "v").collect()
+    }
+    assert unw["a"].median == 3 and unw["a"].n == 3
+    assert unw["b"].median == 5        # lower median at the tie
+    wtd = {
+        r.k: r for r in weighted_median(df, ["k"], "v", "w").collect()
+    }
+    assert wtd["c"].median == 1000 and wtd["c"].w_total == 10

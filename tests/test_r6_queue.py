@@ -135,6 +135,7 @@ def duck():
     ("customer_cdc_state", entrymod.q_customer_cdc_state),
     ("emb_int8", entrymod.q_emb_int8),
     ("kg_comention", entrymod.q_kg_comention),
+    ("lineitem_weighted_median", entrymod.q_lineitem_weighted_median),
 ])
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
@@ -195,8 +196,8 @@ def test_r6_queue_not_registered_this_round():
                 "events_seasonality", "events_retention",
                 "docs_vocab_growth", "conv_role_transitions",
                 "conv_role_funnel", "conv_response_latency",
-                "customer_cdc_state", "emb_int8",
-                "kg_comention"} & set(q)
+                "customer_cdc_state", "emb_int8", "kg_comention",
+                "lineitem_weighted_median"} & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
