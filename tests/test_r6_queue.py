@@ -34,7 +34,7 @@ def duck():
     return con
 
 
-@pytest.mark.parametrize("name,fn", [
+QUEUE = [
     ("zorder_events", entrymod.q_zorder_events),
     ("kg_label_prop", entrymod.q_kg_label_prop),
     ("fuzzy_customer_pairs", entrymod.q_fuzzy_customer_pairs),
@@ -136,7 +136,10 @@ def duck():
     ("emb_int8", entrymod.q_emb_int8),
     ("kg_comention", entrymod.q_kg_comention),
     ("lineitem_weighted_median", entrymod.q_lineitem_weighted_median),
-])
+]
+
+
+@pytest.mark.parametrize("name,fn", QUEUE)
 def test_r6_queue_query_matches_oracle(spark, duck, name, fn):
     spd = fn(spark, SF).toPandas()
     opd = duck.sql(entrymod.R6_QUEUE_ORACLES[name]).df()
@@ -150,54 +153,9 @@ def test_r6_queue_not_registered_this_round():
     # the 50-slot window invariant: registering these in r5 would push
     # round-3-stale queries out of the driver's check window
     q = entrymod.queries()
-    assert not {"zorder_events", "kg_label_prop", "fuzzy_customer_pairs",
-                "pit_user_values", "dq_orders_report",
-                "docs_prefix_jaccard", "quantile_sketch_orders",
-                "weighted_sample_docs", "retention_cohorts_events",
-                "langid_trained_docs", "fs_customer_pairs",
-                "cc_incremental", "doc_chunks", "cms_token_counts",
-                "doc_pmi_edges", "doc_containment", "tfidf_cosine_pairs",
-                "kg_ppr", "doc_shards", "stream_cc_assign",
-                "docs_chi2_assoc", "kg_apply_diff", "kg_neighbor_sim",
-                "kg_kcore", "kg_hits", "events_interval_conflicts",
-                "orders_robust_outliers", "snb_customer_pairs",
-                "kg_negative_edges", "stream_cms_state", "cms_join_size",
-                "kg_degree_profile", "event_transitions",
-                "kg_random_walks", "events_interval_coalesce",
-                "events_coverage_gaps", "kg_clustering_coef",
-                "kg_skipgram_pairs", "eval_topk_rankers",
-                "kg_modularity", "docs_rater_kappa",
-                "mutual_best_pairs",
-                "events_time_weighted_avg",
-                "emb_auc_scores", "emb_calibration",
-                "emb_gram_matrix", "docs_label_gini",
-                "docs_source_drift",
-                "events_decayed_score", "orders_ks_drift",
-                "events_regression_eval", "orders_mannwhitney",
-                "customer_cluster_ari", "orders_fd_profile",
-                "events_rate_bursts", "events_cum_distinct",
-                "lineitem_assoc_rules", "kg_closure",
-                "orders_truth_fusion", "kg_rules",
-                "docs_phrase_search", "kg_landmarks",
-                "docs_rrf_fusion", "docs_vocab_coverage",
-                "orders_confusion", "events_rolling_uniques",
-                "customer_k_anonymity", "orders_quantile_bins",
-                "events_portable_hll", "orders_profile",
-                "events_resample", "kg_weighted_paths",
-                "events_session_paths", "user_value_trend",
-                "stream_hll_users", "kg_dag_layers", "events_ohlc",
-                "events_response_latency", "kg_integrity",
-                "part_alias_priors", "kg_label_spread",
-                "docs_source_entropy", "conv_stats_kg",
-                "conv_repetition_kg", "conv_tool_paths",
-                "kg_quotient", "events_crosscorr",
-                "docs_encoding", "kmv_user_overlap",
-                "kmv_type_users", "funnel_windowed",
-                "events_seasonality", "events_retention",
-                "docs_vocab_growth", "conv_role_transitions",
-                "conv_role_funnel", "conv_response_latency",
-                "customer_cdc_state", "emb_int8", "kg_comention",
-                "lineitem_weighted_median"} & set(q)
+    queued = {name for name, _ in QUEUE}
+    # single source of truth: the parametrize list IS the queue
+    assert not queued & set(q)
     green = entrymod._driver_green_rounds()
     first50 = list(q)[:50]
     assert all(green.get(n, 0) <= 3 or n in entrymod._PINNED_FIRST
