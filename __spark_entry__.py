@@ -3164,6 +3164,48 @@ def q_lineitem_weighted_median(spark, sf):
     return weighted_median(li, ["l_returnflag"], "price_c", "qty")
 
 
+def q_schema_match(spark, sf):
+    """Schema matching via KMV sketches (sketches.kmv_jaccard_pairs):
+    every orders column × every lineitem column scored by estimated
+    value-set overlap from bottom-128 sketches alone — join-key
+    discovery with zero schema knowledge (o_orderkey ↔ l_orderkey
+    surfaces as the dominant pair; the whole computation is
+    columns²·2k sketch rows regardless of table size). The oracle
+    replays the per-column sketches, the tag-and-union, and the
+    per-pair bottom-k estimator."""
+    from functools import reduce as _reduce
+
+    from biosd_feature_annotator_spark.operators.sketches import (
+        kmv_jaccard_pairs,
+        kmv_state,
+    )
+
+    def colvals(df, cols, key):
+        frames = [
+            df.select(
+                F.lit(c).alias(key), F.col(c).cast("string").alias("v")
+            )
+            for c in cols
+        ]
+        return _reduce(DataFrame.unionByName, frames)
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    va = colvals(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"], "col_a",
+    )
+    vb = colvals(
+        li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"],
+        "col_b",
+    )
+    k = 128
+    return kmv_jaccard_pairs(
+        kmv_state(va, ["col_a"], "v", k),
+        kmv_state(vb, ["col_b"], "v", k), k,
+    )
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -6179,6 +6221,79 @@ R6_QUEUE_ORACLES = {
                CAST(max(tot) AS BIGINT) AS w_total,
                min(CASE WHEN 2 * cum >= tot THEN v END) AS median
         FROM c GROUP BY 1
+    """,
+    "schema_match": """
+        WITH va AS (
+            SELECT 'o_orderkey' AS ka,
+                   CAST(o_orderkey AS VARCHAR) AS v FROM orders
+            UNION ALL SELECT 'o_custkey',
+                   CAST(o_custkey AS VARCHAR) FROM orders
+            UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+            UNION ALL SELECT 'o_orderpriority', o_orderpriority
+                      FROM orders
+        ),
+        vb AS (
+            SELECT 'l_orderkey' AS kb,
+                   CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+            UNION ALL SELECT 'l_partkey',
+                   CAST(l_partkey AS VARCHAR) FROM lineitem
+            UNION ALL SELECT 'l_suppkey',
+                   CAST(l_suppkey AS VARCHAR) FROM lineitem
+            UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+        ),
+        ha AS (
+            SELECT DISTINCT ka,
+                   CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
+            FROM va
+        ),
+        sa AS (
+            SELECT ka, h FROM (
+                SELECT ka, h, row_number() OVER (
+                    PARTITION BY ka ORDER BY h) AS r FROM ha
+            ) WHERE r <= 128
+        ),
+        hb AS (
+            SELECT DISTINCT kb,
+                   CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
+            FROM vb
+        ),
+        sb AS (
+            SELECT kb, h FROM (
+                SELECT kb, h, row_number() OVER (
+                    PARTITION BY kb ORDER BY h) AS r FROM hb
+            ) WHERE r <= 128
+        ),
+        pairs AS (
+            SELECT ka, kb FROM (SELECT DISTINCT ka FROM sa)
+            CROSS JOIN (SELECT DISTINCT kb FROM sb)
+        ),
+        tagged AS (
+            SELECT ka, kb, h, max(a) AS a, max(b) AS b FROM (
+                SELECT p.ka, p.kb, sa.h, 1 AS a, 0 AS b
+                FROM pairs p JOIN sa ON p.ka = sa.ka
+                UNION ALL
+                SELECT p.ka, p.kb, sb.h, 0, 1
+                FROM pairs p JOIN sb ON p.kb = sb.kb
+            ) GROUP BY 1, 2, 3
+        ),
+        bot AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY ka, kb ORDER BY h) AS r FROM tagged
+            ) WHERE r <= 128
+        ),
+        agg AS (
+            SELECT ka, kb, count(*) AS k_used,
+                   sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                       AS n_common
+            FROM bot GROUP BY 1, 2
+        )
+        SELECT ka AS col_a, kb AS col_b,
+               CAST(k_used AS BIGINT) AS k_used,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST((CAST(n_common AS HUGEINT) * 1000000) // k_used
+                    AS BIGINT) AS jaccard_micro
+        FROM agg
     """,
     "emb_int8": """
         WITH demb AS (

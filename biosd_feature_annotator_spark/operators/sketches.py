@@ -692,3 +692,75 @@ def kmv_jaccard(
             ((num - F.pmod(num, den)) / den).cast("long"),
         ).alias("jaccard_micro"),
     )
+
+
+def kmv_jaccard_pairs(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    k: int = 64,
+    key_a: str = "col_a",
+    key_b: str = "col_b",
+) -> DataFrame:
+    """All-pairs KMV Jaccard between two KEYED sketch families —
+    kmv_jaccard generalized from one pair of sets to the full
+    cross-product of two keyed collections, in one plan. The flagship
+    use is SCHEMA MATCHING for data integration: sketch every column
+    of two tables (unpivot → kmv_state keyed by column name) and this
+    returns, per (col_a, col_b), the estimated value-set overlap — the
+    join-key discovery report (o_orderkey ↔ l_orderkey surfaces at
+    Jaccard ≈ |orders|/|lineitem-distinct| with no schema knowledge).
+
+    Scale shape: the pair domain is |keys_a|·|keys_b| (columns², not
+    values²) and every pair's evidence is ≤ 2k sketch rows — the whole
+    computation is sketches-sized regardless of table size. One union
+    of the two state relations tagged by side, a per-pair rank window
+    over ≤ 2k rows, and a combinable count. Same estimator as
+    kmv_jaccard: bottom-k of the union is a uniform union sample;
+    n_common within it over k_used, floored millionths, EXACT when the
+    union fits the sketch."""
+    a = state_a.select(
+        F.col(key_a).alias("ka"), F.col("h").alias("h")
+    ).dropDuplicates()
+    b = state_b.select(
+        F.col(key_b).alias("kb"), F.col("h").alias("h")
+    ).dropDuplicates()
+    pairs = (
+        a.select("ka").dropDuplicates()
+        .crossJoin(b.select("kb").dropDuplicates())
+    )
+    # tag-and-union: each pair's evidence rows carry side flags, the
+    # groupBy collapses a hash present on both sides into one row
+    tagged = (
+        pairs.join(a, "ka").select(
+            "ka", "kb", "h", F.lit(1).alias("_a"), F.lit(0).alias("_b")
+        )
+        .unionByName(
+            pairs.join(b, "kb").select(
+                "ka", "kb", "h",
+                F.lit(0).alias("_a"), F.lit(1).alias("_b"),
+            )
+        )
+        .groupBy("ka", "kb", "h")
+        .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
+    )
+    w = Window.partitionBy("ka", "kb").orderBy("h")
+    bot = tagged.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= k
+    )
+    agg = bot.groupBy("ka", "kb").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(
+            F.when((F.col("_a") == 1) & (F.col("_b") == 1), 1)
+            .otherwise(0)
+        ).alias("n_common"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n_common").cast(dec) * F.lit(1_000_000).cast(dec)
+    den = F.col("k_used").cast(dec)
+    return agg.select(
+        F.col("ka").alias(key_a), F.col("kb").alias(key_b),
+        F.col("k_used").cast("long").alias("k_used"),
+        F.col("n_common").cast("long").alias("n_common"),
+        ((num - F.pmod(num, den)) / den).cast("long")
+        .alias("jaccard_micro"),
+    )

@@ -136,6 +136,7 @@ QUEUE = [
     ("emb_int8", entrymod.q_emb_int8),
     ("kg_comention", entrymod.q_kg_comention),
     ("lineitem_weighted_median", entrymod.q_lineitem_weighted_median),
+    ("schema_match", entrymod.q_schema_match),
 ]
 
 

@@ -393,3 +393,33 @@ def test_kmv_merge_estimate_and_jaccard(spark):
 
 def r_ok(got, want, tol):
     return abs(got - want) <= want * tol
+
+
+def test_kmv_jaccard_pairs_hand_case(spark):
+    from biosd_feature_annotator_spark.operators.sketches import (
+        kmv_jaccard_pairs,
+        kmv_state,
+    )
+
+    a = spark.createDataFrame(
+        [("x", f"v{i}") for i in range(100)]
+        + [("y", f"w{i}") for i in range(50)],
+        "col_a string, val string",
+    )
+    b = spark.createDataFrame(
+        [("p", f"v{i}") for i in range(100)]        # identical to x
+        + [("q", f"z{i}") for i in range(40)],      # disjoint
+        "col_b string, val string",
+    )
+    k = 256
+    sa = kmv_state(a, ["col_a"], "val", k)
+    sb = kmv_state(b, ["col_b"], "val", k)
+    got = {
+        (r.col_a, r.col_b): r
+        for r in kmv_jaccard_pairs(sa, sb, k).collect()
+    }
+    assert set(got) == {("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")}
+    # x vs p: identical sets, union fits the sketch -> EXACT 1e6
+    assert got[("x", "p")].jaccard_micro == 1_000_000
+    assert got[("x", "q")].jaccard_micro == 0
+    assert got[("y", "p")].n_common == 0
