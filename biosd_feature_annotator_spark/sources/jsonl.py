@@ -153,13 +153,28 @@ class JsonlTranscriptWriter(DataSourceWriter):
         )
         final = os.path.join(self.path, f"part-{pid:05d}-{self.job_token}.jsonl")
         n = 0
-        with open(staged, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                o = {k: getattr(row, k) for k in _FIELDS}
-                if o["ts"] is not None:
-                    o["ts"] = o["ts"].isoformat()
-                fh.write(json.dumps(o) + "\n")
-                n += 1
+        try:
+            with open(staged, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    o = {k: getattr(row, k) for k in _FIELDS}
+                    if o["ts"] is not None:
+                        o["ts"] = o["ts"].isoformat()
+                    fh.write(json.dumps(o) + "\n")
+                    n += 1
+        except BaseException:
+            # the task owns its staging on ITS failure path: the driver's
+            # abort() sweep runs once, and a task that raises AFTER that
+            # sweep (first-failure kills the job while siblings are still
+            # opening/writing) would otherwise strand a fresh .tmp nobody
+            # ever reclaims — the race a full-suite run hits ~50% of the
+            # time. Self-cleanup makes every failure path owned regardless
+            # of abort timing; hard kills are covered by commit()'s TTL
+            # backstop.
+            try:
+                os.remove(staged)
+            except OSError:
+                pass
+            raise
         return JsonlCommitMessage(staged=staged, final=final, n_rows=n)
 
     def _staged_glob(self) -> str:
@@ -168,6 +183,8 @@ class JsonlTranscriptWriter(DataSourceWriter):
         return os.path.join(self.path, f".part-*-{self.job_token}-*.jsonl.tmp")
 
     def commit(self, messages):
+        import time
+
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "*.jsonl")):
                 os.remove(old)
@@ -176,6 +193,19 @@ class JsonlTranscriptWriter(DataSourceWriter):
                 os.replace(m.staged, m.final)
         for leftover in glob.glob(self._staged_glob()):
             os.remove(leftover)
+        # TTL backstop for staging a hard-killed FOREIGN job could not
+        # clean itself (tasks self-clean on soft failure, abort() sweeps
+        # this job's token): any .tmp untouched for an hour belongs to no
+        # live job — same aging rule as the stream scratch sweep.
+        now = time.time()
+        for stale in glob.glob(
+            os.path.join(self.path, ".part-*.jsonl.tmp")
+        ):
+            try:
+                if now - os.stat(stale).st_mtime > 3600:
+                    os.remove(stale)
+            except OSError:
+                pass
 
     def abort(self, messages):
         for leftover in glob.glob(self._staged_glob()):
