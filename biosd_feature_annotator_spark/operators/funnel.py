@@ -1,13 +1,21 @@
-"""Ordered-funnel analysis over an event stream.
+"""Event-stream analytics: funnels and the time-series family.
 
-The classic product-analytics primitive (ClickHouse ``windowFunnel``,
-Snowplow funnels): given an ordered list of step event-types, compute
-per user the deepest step reached where step *i+1* must occur strictly
-after the matched step *i* (greedy earliest-match semantics — step 1
-matches the user's earliest step-1 event, step 2 the earliest step-2
-event after that, and so on; this greedy chain is exactly the
-``min(ts) > previous`` fixpoint, which is what the DuckDB oracle
-re-derives with one chained CTE per step).
+Grew from ordered-funnel analysis into the engine's event-analytics
+home: funnels (plain + conversion-window), retention (cohort matrix +
+DK rolling), Markov transitions, session/tool path mining, burst
+detection, exact cumulative-distinct growth accounting, dense
+resampling, OHLC rollups, in-stream response latency, lagged
+cross-correlation, and weekly seasonality. Shared disciplines: the
+tz-independent true-floor epoch (_epoch_floor), quantize-then-window
+(aggregate to buckets FIRST, window over the buckets-sized relation),
+and floored-millionths integer ratios.
+
+The founding primitive (ClickHouse ``windowFunnel``, Snowplow
+funnels): given an ordered list of step event-types, compute per user
+the deepest step reached where step *i+1* must occur strictly after
+the matched step *i* (greedy earliest-match semantics — the greedy
+chain is exactly the ``min(ts) > previous`` fixpoint, which is what
+the DuckDB oracle re-derives with one chained CTE per step).
 
 Scale shape (100 TB): ONE shuffle, keyed by user. The per-user state
 the aggregate carries is only the *step-typed* events (non-step events

@@ -1,5 +1,9 @@
-"""Mergeable sketch states: grid quantiles, HLL distinct counts, and
-SpaceSaving heavy hitters.
+"""Mergeable sketch states: grid quantiles, HLL distinct counts
+(DataSketches AND an engine-portable md5 variant whose estimate a SQL
+oracle replays bit-for-bit), SpaceSaving heavy hitters, CountMin
+frequencies, KMV bottom-k (the set-INTERSECTION-capable member, with
+all-pairs Jaccard powering sketch-based schema matching), plus
+quantile-cut feature binning and trailing-window rolling uniques.
 
 Percentiles, cardinalities and frequent items are not algebraic: unlike
 SUM/COUNT (plans/materialize.py's agg_state_merge), you cannot keep one
