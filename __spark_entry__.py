@@ -3206,6 +3206,29 @@ def q_schema_match(spark, sf):
     )
 
 
+def q_stream_kmv_users(spark, sf):
+    """STREAMING incremental KMV maintenance
+    (streaming/incremental.stream_kmv_state): events arrive as a real
+    3-micro-batch availableNow stream; each batch's bottom-64 sketch
+    union-reranks into the materialized state under the family's
+    verify-then-swap discipline. Bottom-k of a union equals the
+    bottom-k of unioned bottom-k's, so the committed state is
+    independent of the batch split — the oracle rebuilds the sketch
+    directly from ALL events, earned here through the streaming
+    loop."""
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_kmv_state,
+    )
+
+    base = _stream_base("stream_kmv")
+    got = stream_kmv_state(
+        spark, os.path.join(sf, "events.parquet"),
+        os.path.join(base, "out"), os.path.join(base, "ckpt"),
+        key_col="event_type", value_col="user_id", k=64, n_files=3,
+    )
+    return got.select("event_type", "h", "r")
+
+
 R6_QUEUE_ORACLES = {
     "orders_mannwhitney": """
         WITH s AS (
@@ -6294,6 +6317,20 @@ R6_QUEUE_ORACLES = {
                CAST((CAST(n_common AS HUGEINT) * 1000000) // k_used
                     AS BIGINT) AS jaccard_micro
         FROM agg
+    """,
+    "stream_kmv_users": """
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substr(
+                       md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h
+            FROM events
+        )
+        SELECT event_type, h, CAST(r AS BIGINT) AS r FROM (
+            SELECT event_type, h, row_number() OVER (
+                PARTITION BY event_type ORDER BY h) AS r
+            FROM h
+        ) WHERE r <= 64
     """,
     "emb_int8": """
         WITH demb AS (

@@ -943,3 +943,85 @@ def stream_hll_registers(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def stream_kmv_state(
+    spark: SparkSession, events_path: str, out_path: str, checkpoint: str,
+    key_col: str = "event_type", value_col: str = "user_id", k: int = 64,
+    n_files: int = 3, fresh: bool = True,
+) -> DataFrame:
+    """Incrementally maintained KMV bottom-k sketch over a stream — the
+    final member of the incremental-state family (quantiles, CC,
+    CountMin, portable-HLL registers, now bottom-k): each micro-batch
+    sketches its own rows (operators/sketches.kmv_state) and merges by
+    union → distinct → re-rank ≤ k, which is EXACT (bottom-k of a
+    union is the bottom-k of the unioned bottom-k's), so the
+    maintained state is row-identical to the direct sketch over all
+    history — and, being md5 ranks, fully SQL-oracle-able. Keeping KMV
+    maintained (not just HLL) is what preserves streaming
+    set-INTERSECTION capability: kmv_jaccard over two maintained
+    states answers "overlap between today's and last month's users"
+    without rescanning either period.
+
+    Exactly-once via the family's shared verify-then-swap discipline
+    (marker + rename commit, crash-window recovery, batch-id skip)."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.sketches import kmv_state, merge_kmv_states
+
+    bak = out_path.rstrip("/") + ".bak"
+    tmp = out_path.rstrip("/") + ".tmp"
+    if fresh:
+        for pth in (out_path, checkpoint, bak, tmp):
+            shutil.rmtree(pth, ignore_errors=True)
+        events_path = _stage_single_file(events_path, checkpoint, n_files=n_files)
+    elif os.path.isfile(events_path):
+        events_path = os.path.join(os.path.dirname(checkpoint.rstrip("/")), "in")
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    marker = os.path.join(out_path, "_applied")
+
+    def recover() -> None:
+        if os.path.isdir(bak):
+            if os.path.isdir(out_path):
+                shutil.rmtree(bak)
+            else:
+                os.rename(bak, out_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    recover()
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        recover()
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return
+        delta = kmv_state(batch_df, [key_col], value_col, k=k)
+        if os.path.isdir(out_path):
+            prev = batch_df.sparkSession.read.parquet(out_path)
+            merged = merge_kmv_states(k, prev, delta)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        if os.path.isdir(out_path):
+            os.rename(out_path, bak)
+        os.rename(tmp, out_path)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

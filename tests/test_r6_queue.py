@@ -137,6 +137,7 @@ QUEUE = [
     ("kg_comention", entrymod.q_kg_comention),
     ("lineitem_weighted_median", entrymod.q_lineitem_weighted_median),
     ("schema_match", entrymod.q_schema_match),
+    ("stream_kmv_users", entrymod.q_stream_kmv_users),
 ]
 
 

@@ -555,3 +555,40 @@ def test_stream_hll_registers_matches_batch_and_is_restart_safe(
         spark, f"{sf}/events.parquet", out, ck, p=8, fresh=False,
     )
     assert sorted(map(tuple, again.collect())) == g
+
+
+def test_stream_kmv_state_matches_batch_and_is_restart_safe(
+    spark, tmp_path
+):
+    """The incrementally union-reranked KMV state after a real
+    3-micro-batch run equals the direct bottom-k sketch over the full
+    input row-for-row (bottom-k of a union = bottom-k of unioned
+    bottom-k's), and a no-new-files restart replays nothing."""
+    import json
+    import os
+
+    from biosd_feature_annotator_spark.operators.sketches import kmv_state
+    from biosd_feature_annotator_spark.streaming.incremental import (
+        stream_kmv_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    got = stream_kmv_state(
+        spark, f"{sf}/events.parquet", out, ck, k=32, n_files=3,
+    )
+    want = kmv_state(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        ["event_type"], "user_id", k=32,
+    )
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, want.collect())) and len(g) > 0
+
+    with open(os.path.join(out, "_applied")) as fh:
+        applied = json.load(fh)["batch_id"]
+    assert applied >= 2
+
+    again = stream_kmv_state(
+        spark, f"{sf}/events.parquet", out, ck, k=32, fresh=False,
+    )
+    assert sorted(map(tuple, again.collect())) == g
