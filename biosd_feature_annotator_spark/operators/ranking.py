@@ -439,13 +439,16 @@ def phrase_search(
 
     The classic positional-postings intersection, as joins: build the
     (id, pos, token) relation ONLY for the phrase's k distinct tokens
-    (the isin filter sits under the posexplode and the scan, so at 100
-    TB the parquet reader prunes to candidate rows and the index
-    materialized is k postings lists, never the full corpus index),
-    then k-1 equi-joins on (id, pos - i = start) — each join aligns
-    token i to offset i from a candidate start. Catalyst reorders
-    nothing here: the chain is already selective-first because every
-    side is pre-filtered to one token's postings. Output is
+    — the isin filter evaluates immediately above the posexplode
+    (pre-shuffle, scan-adjacent; it canNOT push through the explode to
+    the parquet reader, so the text column is read once — honest
+    limit of expression-derived predicates), and the relation is
+    PERSISTED because it feeds one join side per token: without the
+    persist Catalyst re-scans the corpus once per phrase token (plans
+    are trees — measured three FileScans for a 3-token phrase). Then
+    k-1 equi-joins on (id, pos - i = start) align token i to offset i
+    from a candidate start; every side is pre-filtered to one token's
+    postings, so the chain is selective-first. Output is
     occurrences-sized.
 
     A phrase with repeated tokens works unchanged: posexplode emits
@@ -453,16 +456,19 @@ def phrase_search(
     toks = phrase.split()
     if not toks:
         raise ValueError("phrase must contain at least one token")
+    from ..cache import scoped_persist
+
     norm = F.split(
         F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))),
         " ",
     )
-    post = (
+    post = scoped_persist(
         docs.select(
             F.col(id_col).alias("id"),
             F.posexplode(norm).alias("pos", "token"),
         )
-        .where(F.col("token").isin(list(set(toks))))
+        .where(F.col("token").isin(list(set(toks)))),
+        "ranking.phrase.postings",
     )
     out = (
         post.where(F.col("token") == toks[0])
