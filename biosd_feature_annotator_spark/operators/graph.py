@@ -918,13 +918,20 @@ def transitive_closure(
     a revisited pair generates no new delta row. checkpoint_rounds cuts
     lineage for deep hierarchies (same rationale as khop/pagerank).
     """
+    from ..cache import scoped_persist
+
     base = (
         edges.select("src", "dst").dropDuplicates()
         .withColumn("depth", F.lit(1).cast("long"))
     )
-    e2 = edges.select(
-        F.col("src").alias("_mid"), F.col("dst").alias("_dst")
-    ).dropDuplicates()
+    # the edge list joins every round — persist or each round re-derives
+    # the distinct (and everything upstream of `edges`)
+    e2 = scoped_persist(
+        edges.select(
+            F.col("src").alias("_mid"), F.col("dst").alias("_dst")
+        ).dropDuplicates(),
+        "graph.closure.edges",
+    )
     closure = base
     delta = base.select("src", "dst")
     for i in range(2, max_depth + 1):
@@ -971,10 +978,17 @@ def rule_confidence(
     against the triple store for head matching — each a plain shuffle
     join with map-side-combinable counts on top. The all-UNION oracle
     replays every step."""
-    t = triples.select(
-        F.col(s_col).alias("s"), F.col(p_col).alias("p"),
-        F.col(o_col).alias("o"),
-    ).dropDuplicates()
+    from ..cache import scoped_persist
+
+    # the distinct triple store feeds THREE join sides (both body legs
+    # and the head match) — the triangle_counts persist discipline
+    t = scoped_persist(
+        triples.select(
+            F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+            F.col(o_col).alias("o"),
+        ).dropDuplicates(),
+        "graph.rules.triples",
+    )
     t1 = t.select(
         F.col("p").alias("body_p"), F.col("s").alias("x"),
         F.col("o").alias("z"),
@@ -1031,11 +1045,15 @@ def landmark_distances(
     per-round join — one edge-list pass per round total, not per
     landmark. The anti-join on (landmark, node) enforces min-dist and
     keeps each round's join input proportional to the new frontier."""
+    from ..cache import scoped_persist
+
     sym = edges.select("src", "dst")
     if not directed:
         sym = sym.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+    # the (symmetrized) edge list joins every round — persist once
+    sym = scoped_persist(sym, "graph.landmarks.sym")
     seeds = landmarks.select(F.col("node").alias("landmark")).dropDuplicates()
     reached = seeds.select(
         "landmark", F.col("landmark").alias("node")
@@ -1093,8 +1111,14 @@ def weighted_sssp(
     times. The eager checkpoints materialize two nodes-sized frames
     per round; measured at sf0.1 they turn a 12 s 3-round run into
     sub-second rounds. Only disable for rounds ≤ 2 micro-graphs."""
-    e = edges.select(
-        "src", "dst", F.col(weight_col).cast("long").alias("_w")
+    from ..cache import scoped_persist
+
+    # the weighted edge list joins every round — persist once
+    e = scoped_persist(
+        edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("_w")
+        ),
+        "graph.sssp.edges",
     )
     dist = (
         seeds.select("node").dropDuplicates()
@@ -1154,7 +1178,13 @@ def dag_layers(
     references layer twice, doubling the plan tree per round (no
     common-subtree sharing in Catalyst) — measured 50 s → sub-second
     rounds at sf0.1 with the per-round eager cuts."""
-    e = edges.select("src", "dst").dropDuplicates()
+    from ..cache import scoped_persist
+
+    # the deduped edge list feeds the source derivation (twice) and a
+    # join every round — persist once
+    e = scoped_persist(
+        edges.select("src", "dst").dropDuplicates(), "graph.layers.edges"
+    )
     nodes_src = e.select(F.col("src").alias("node")).dropDuplicates()
     nodes_dst = e.select(F.col("dst").alias("node")).dropDuplicates()
     layer = (
@@ -1212,11 +1242,18 @@ def kg_integrity(
     shuffle), role sets derived from it, one anti-join for dangling,
     and single-row aggregates — every relation after the distinct is
     entities-sized."""
-    t = triples.select(
-        F.col(s_col).alias("s"), F.col(p_col).alias("p"),
-        F.col(o_col).alias("o"),
+    from ..cache import scoped_persist
+
+    t = scoped_persist(
+        triples.select(
+            F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+            F.col(o_col).alias("o"),
+        ),
+        "graph.integrity.t",
     )
-    dt = t.dropDuplicates()
+    # the distinct feeds role sets, the pred count, and the dup count —
+    # five derivations without the persist
+    dt = scoped_persist(t.dropDuplicates(), "graph.integrity.dt")
     subs = dt.select(F.col("s").alias("e")).dropDuplicates()
     objs = dt.select(F.col("o").alias("e")).dropDuplicates()
     dangling = objs.join(subs, "e", "left_anti")
@@ -1271,14 +1308,21 @@ def label_spreading(
     against the edge list, one (node, label) combinable count, one
     per-node window argmax, then the clamp (seeds override via
     anti-join + union). Fixed iterations, action-free loop."""
+    from pyspark.sql import Window
+
+    from ..cache import scoped_persist
+
     sym = edges.select("src", "dst")
     if not directed:
         sym = sym.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    from pyspark.sql import Window
-
-    s = seeds.select("node", "label").dropDuplicates(["node"])
+    # the edge list joins every round; the seed frame clamps every round
+    sym = scoped_persist(sym, "graph.spreading.sym")
+    s = scoped_persist(
+        seeds.select("node", "label").dropDuplicates(["node"]),
+        "graph.spreading.seeds",
+    )
     labels = s
     for _ in range(iters):
         votes = (
@@ -1326,6 +1370,13 @@ def quotient_graph(
     one combinable (comm_a, comm_b) count. Hub communities concentrate
     COUNTS, not rows — the output is communities², bounded far below
     the edge count."""
+    from ..cache import scoped_persist
+
+    # the label table feeds BOTH endpoint joins — persist the projection
+    # so an expensive upstream (LPA, CC) runs once
+    labels = scoped_persist(
+        labels.select("node", "label"), "graph.quotient.labels"
+    )
     la = labels.select(
         F.col("node").alias("_sa"), F.col("label").alias("_ca")
     )
