@@ -528,18 +528,11 @@ def truth_discovery(
     ordinary hash join on a bounded-cardinality key."""
     from pyspark.sql import Window
 
-    from ..cache import scoped_persist
-
-    # the deduped claims feed round-1 votes, the reliability join, and
-    # round-2 votes — three derivations without the persist
-    c = scoped_persist(
-        claims.select(
-            F.col(source_col).alias("source"),
-            F.col(subject_col).alias("subject"),
-            F.col(value_col).alias("value"),
-        ).dropDuplicates(),
-        "canonicalize.truth.claims",
-    )
+    c = claims.select(
+        F.col(source_col).alias("source"),
+        F.col(subject_col).alias("subject"),
+        F.col(value_col).alias("value"),
+    ).dropDuplicates()
 
     votes1 = c.groupBy("subject", "value").agg(
         F.count(F.lit(1)).alias("n")

@@ -368,25 +368,17 @@ def cumulative_distinct(
     the bounded bucket domain (days/hours, not rows; the repo's
     quantize-then-window discipline). Compare the HLL sketch family
     for the approximate/mergeable variant; this is the exact one."""
-    from ..cache import scoped_persist
-
     epoch = _epoch_floor(ts_col)
     # true-floor bucket start (pmod, not float division/truncation):
     # correct for pre-epoch timestamps too — the repo's epoch-floor rule
     bucket = (epoch - F.pmod(epoch, F.lit(bucket_seconds))).alias("bucket")
-    # the projection feeds BOTH aggregations; without a persist Catalyst
-    # re-scans the input per branch (plans are trees)
-    kb = scoped_persist(
-        df.select(F.col(key_col).alias("_k"), bucket),
-        "funnel.cumdist.kb",
-    )
     dau = (
-        kb
+        df.select(F.col(key_col).alias("_k"), bucket)
         .groupBy("bucket")
         .agg(F.count_distinct("_k").alias("dau"))
     )
     first = (
-        kb
+        df.select(F.col(key_col).alias("_k"), bucket)
         .groupBy("_k")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
@@ -428,17 +420,10 @@ def resample_counts(
     — guard upstream if the data's time span could make that
     pathological (a single partition explodes the array; repartition
     the spine by bucket range for very long spans)."""
-    from ..cache import scoped_persist
-
     epoch = _epoch_floor(ts_col)
     bucket = (epoch - F.pmod(epoch, F.lit(bucket_seconds))).alias("bucket")
-    # per feeds the min/max bounds AND the spine join — persisted
-    # (buckets-sized) so the data scan runs once
-    per = scoped_persist(
-        df.select(bucket).groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ),
-        "funnel.resample.per",
+    per = df.select(bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     bounds = per.agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
@@ -637,15 +622,8 @@ def lagged_crosscorr(
     base = events.where(
         F.col(type_col).isin([type_a, type_b])
     ).select(F.col(type_col).alias("_et"), bucket)
-    from ..cache import scoped_persist
-
-    # per feeds series a, series b, AND the bounds aggregate — three
-    # re-derivations (three event scans) without the persist
-    per = scoped_persist(
-        base.groupBy("_et", "bucket").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ),
-        "funnel.crosscorr.per",
+    per = base.groupBy("_et", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     a = per.where(F.col("_et") == type_a).select(
         F.col("bucket").alias("_ba"), F.col("cnt").alias("_x")
@@ -794,19 +772,11 @@ def seasonality_profile(
     lift_micro = n·168·1e6 // total — 1e6 means exactly uniform).
     One map-side-combinable cell count + a broadcast single-row total;
     output ≤ 168 rows."""
-    from ..cache import scoped_persist
-
     base = events.select(_epoch_floor(ts_col).alias("_ep"))
-    # cells feeds the grand-total aggregate AND the final projection —
-    # persisted (≤ 168 rows) so the event scan runs once, not twice
-    cells = scoped_persist(
-        base.select(
-            F.pmod(F.expr("_ep div 86400") + F.lit(3), F.lit(7))
-            .alias("dow"),
-            F.expr("pmod(_ep, 86400) div 3600").alias("hour"),
-        ).groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n")),
-        "funnel.seasonality.cells",
-    )
+    cells = base.select(
+        F.pmod(F.expr("_ep div 86400") + F.lit(3), F.lit(7)).alias("dow"),
+        F.expr("pmod(_ep, 86400) div 3600").alias("hour"),
+    ).groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
     tot = cells.agg(F.sum("n").alias("_t"))
     dec = "decimal(38,0)"
     share_num = F.col("n").cast(dec) * F.lit(1_000_000).cast(dec)
@@ -842,16 +812,11 @@ def rolling_retention(
     domain, unioned via a broadcast lags frame), then a combinable
     (day, k) count. A power user collapses to one presence row per
     day before any join."""
-    from ..cache import scoped_persist
-
     epoch = _epoch_floor(ts_col)
     day = (epoch - F.pmod(epoch, F.lit(86400))).alias("day")
-    # the presence relation is BOTH self-join sides — persist or the
-    # distinct (and the event scan under it) runs twice
-    pres = scoped_persist(
-        events.select(F.col(key_col).alias("_u"), day).dropDuplicates(),
-        "funnel.retention.presence",
-    )
+    pres = events.select(
+        F.col(key_col).alias("_u"), day
+    ).dropDuplicates()
     ks = events.sparkSession.createDataFrame(
         [(int(k),) for k in k_days], "k long"
     )

@@ -918,20 +918,18 @@ def transitive_closure(
     a revisited pair generates no new delta row. checkpoint_rounds cuts
     lineage for deep hierarchies (same rationale as khop/pagerank).
     """
-    from ..cache import scoped_persist
-
     base = (
         edges.select("src", "dst").dropDuplicates()
         .withColumn("depth", F.lit(1).cast("long"))
     )
-    # the edge list joins every round — persist or each round re-derives
-    # the distinct (and everything upstream of `edges`)
-    e2 = scoped_persist(
-        edges.select(
-            F.col("src").alias("_mid"), F.col("dst").alias("_dst")
-        ).dropDuplicates(),
-        "graph.closure.edges",
-    )
+    # the edge list joins every round and is re-derived per round —
+    # MEASURED cheaper than persisting at bench scale (caching hides
+    # size stats from the join planner and pays a refill per
+    # invocation); persist `edges` upstream when its own derivation is
+    # expensive
+    e2 = edges.select(
+        F.col("src").alias("_mid"), F.col("dst").alias("_dst")
+    ).dropDuplicates()
     closure = base
     delta = base.select("src", "dst")
     for i in range(2, max_depth + 1):
@@ -1045,15 +1043,14 @@ def landmark_distances(
     per-round join — one edge-list pass per round total, not per
     landmark. The anti-join on (landmark, node) enforces min-dist and
     keeps each round's join input proportional to the new frontier."""
-    from ..cache import scoped_persist
-
     sym = edges.select("src", "dst")
     if not directed:
         sym = sym.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    # the (symmetrized) edge list joins every round — persist once
-    sym = scoped_persist(sym, "graph.landmarks.sym")
+    # re-derived per round by design (the khop discipline): measured
+    # cheaper than a persist, which hides size stats from the join
+    # planner; persist `edges` upstream for an expensive input
     seeds = landmarks.select(F.col("node").alias("landmark")).dropDuplicates()
     reached = seeds.select(
         "landmark", F.col("landmark").alias("node")
@@ -1178,13 +1175,10 @@ def dag_layers(
     references layer twice, doubling the plan tree per round (no
     common-subtree sharing in Catalyst) — measured 50 s → sub-second
     rounds at sf0.1 with the per-round eager cuts."""
-    from ..cache import scoped_persist
-
-    # the deduped edge list feeds the source derivation (twice) and a
-    # join every round — persist once
-    e = scoped_persist(
-        edges.select("src", "dst").dropDuplicates(), "graph.layers.edges"
-    )
+    # re-derived per reference by design — measured cheaper than a
+    # persist at bench scale (see landmark_distances); persist `edges`
+    # upstream for an expensive input
+    e = edges.select("src", "dst").dropDuplicates()
     nodes_src = e.select(F.col("src").alias("node")).dropDuplicates()
     nodes_dst = e.select(F.col("dst").alias("node")).dropDuplicates()
     layer = (
@@ -1242,18 +1236,14 @@ def kg_integrity(
     shuffle), role sets derived from it, one anti-join for dangling,
     and single-row aggregates — every relation after the distinct is
     entities-sized."""
-    from ..cache import scoped_persist
-
-    t = scoped_persist(
-        triples.select(
-            F.col(s_col).alias("s"), F.col(p_col).alias("p"),
-            F.col(o_col).alias("o"),
-        ),
-        "graph.integrity.t",
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+        F.col(o_col).alias("o"),
     )
-    # the distinct feeds role sets, the pred count, and the dup count —
-    # five derivations without the persist
-    dt = scoped_persist(t.dropDuplicates(), "graph.integrity.dt")
+    # the distinct is re-derived per role set by design — measured
+    # cheaper than persisting at bench scale; persist `triples`
+    # upstream when the store's own derivation is expensive
+    dt = t.dropDuplicates()
     subs = dt.select(F.col("s").alias("e")).dropDuplicates()
     objs = dt.select(F.col("o").alias("e")).dropDuplicates()
     dangling = objs.join(subs, "e", "left_anti")
@@ -1310,19 +1300,12 @@ def label_spreading(
     anti-join + union). Fixed iterations, action-free loop."""
     from pyspark.sql import Window
 
-    from ..cache import scoped_persist
-
     sym = edges.select("src", "dst")
     if not directed:
         sym = sym.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    # the edge list joins every round; the seed frame clamps every round
-    sym = scoped_persist(sym, "graph.spreading.sym")
-    s = scoped_persist(
-        seeds.select("node", "label").dropDuplicates(["node"]),
-        "graph.spreading.seeds",
-    )
+    s = seeds.select("node", "label").dropDuplicates(["node"])
     labels = s
     for _ in range(iters):
         votes = (

@@ -515,14 +515,9 @@ def apply_cdc_log(
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.desc(c) for c in seq], F.desc(op_col)
     )
-    from ..cache import scoped_persist
-
-    # the last-op relation feeds the upsert projection AND the
-    # anti-join — persist (ops-sized, the small side of a CDC cycle)
-    last = scoped_persist(
+    last = (
         ops.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1),
-        "scd.cdc.last",
+        .where(F.col("_rk") == 1)
     )
     upserts = last.where(F.col(op_col) != "D").select(
         *key_cols, *value_cols

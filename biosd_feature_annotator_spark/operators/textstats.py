@@ -596,19 +596,12 @@ def vocab_growth(
     buckets."""
     from pyspark.sql import Window
 
-    from ..cache import scoped_persist
-
-    # the token explode feeds the per-bucket count AND the
-    # first-appearance aggregation — persist or the corpus tokenizes twice
-    toks = scoped_persist(
-        docs.select(
-            # integer div, not float floor(x/b) — the epoch-floor rule
-            F.expr(f"{id_col} div {bucket}").cast("long").alias("b"),
-            F.explode(F.split(norm_text_col(F.col(text_col)), " "))
-            .alias("_tok"),
-        ).where(F.length("_tok") > 0),
-        "textstats.vocabgrowth.toks",
-    )
+    toks = docs.select(
+        # integer div, not float floor(x/b) — the repo's epoch-floor rule
+        F.expr(f"{id_col} div {bucket}").cast("long").alias("b"),
+        F.explode(F.split(norm_text_col(F.col(text_col)), " "))
+        .alias("_tok"),
+    ).where(F.length("_tok") > 0)
     per = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_tokens"))
     first = (
         toks.groupBy("_tok").agg(F.min("b").alias("b"))
