@@ -144,3 +144,115 @@ def test_kmv_exact_below_k_and_closure_matches_bfs(spark):
                 expected_pairs.add((s, node))
     # completeness both ways: the closure emits exactly the BFS pairs
     assert set(got) == expected_pairs and len(got) > 0
+
+
+def test_truth_discovery_matches_python_replay(spark):
+    from biosd_feature_annotator_spark.operators.canonicalize import (
+        truth_discovery,
+    )
+
+    rng = random.Random(19)
+    rows = list({
+        (f"s{rng.randrange(8)}", f"sub{rng.randrange(30)}",
+         f"v{rng.randrange(4)}")
+        for _ in range(400)
+    })
+    df = spark.createDataFrame(rows, "src string, subj string, val string")
+    got = {
+        r.subject: (r.value, r.n_votes, r.weight_micro)
+        for r in truth_discovery(df, "src", "subj", "val").collect()
+    }
+
+    votes1 = defaultdict(lambda: defaultdict(int))
+    for s, sub, v in rows:
+        votes1[sub][v] += 1
+    cons1 = {
+        sub: min(vv.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for sub, vv in votes1.items()
+    }
+    per = defaultdict(lambda: [0, 0])  # source -> [matched, total]
+    for s, sub, v in rows:
+        per[s][1] += 1
+        if cons1[sub] == v:
+            per[s][0] += 1
+    rel = {
+        s: (m + 1) * 1_000_000 // (t + 2) for s, (m, t) in per.items()
+    }
+    votes2 = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for s, sub, v in rows:
+        votes2[sub][v][0] += 1
+        votes2[sub][v][1] += rel[s]
+    for sub, vv in votes2.items():
+        val, (n, w) = min(
+            vv.items(), key=lambda kv: (-kv[1][1], kv[0])
+        )
+        assert got[sub] == (val, n, w), sub
+
+
+def test_apply_cdc_log_matches_python_replay(spark):
+    from biosd_feature_annotator_spark.operators.scd import apply_cdc_log
+
+    rng = random.Random(23)
+    snap = [(f"k{i}", i * 10) for i in range(30)]
+    ops = []
+    for t in range(120):
+        ops.append((
+            f"k{rng.randrange(40)}", rng.randrange(1000),
+            rng.choice(["I", "U", "D"]), t,
+        ))
+    sdf = spark.createDataFrame(snap, "k string, v long")
+    odf = spark.createDataFrame(ops, "k string, v long, op string, ts long")
+    got = dict(
+        (r.k, r.v)
+        for r in apply_cdc_log(sdf, odf, ["k"], ["v"],
+                               seq_cols=["ts"]).collect()
+    )
+    state = dict(snap)
+    last = {}
+    for k, v, op, t in ops:
+        if k not in last or t > last[k][0]:
+            last[k] = (t, v, op)
+    for k, (t, v, op) in last.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
+
+
+def test_landmark_distances_match_python_bfs(spark):
+    from biosd_feature_annotator_spark.operators.graph import (
+        landmark_distances,
+    )
+
+    rng = random.Random(29)
+    edges = sorted({
+        (rng.randrange(0, 25), rng.randrange(0, 25)) for _ in range(60)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    lms = [0, 1, 2]
+    lmf = spark.createDataFrame([(x,) for x in lms], "node long")
+    got = {
+        (r.landmark, r.node): r.dist
+        for r in landmark_distances(edf, lmf, max_dist=4).collect()
+    }
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for lm in lms:
+        dist = {lm: 0}
+        frontier = [lm]
+        for d in range(1, 5):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for node, d in dist.items():
+            expected[(lm, node)] = d
+    assert got == expected
