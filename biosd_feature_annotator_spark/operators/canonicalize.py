@@ -100,23 +100,62 @@ def connected_components(
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # self-loop keeps isolated endpoints and seeds comp = own id
-    comp = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-    )
-    sym = sym.localCheckpoint(eager=True)
-    comp = comp.localCheckpoint(eager=True)
-    n_rounds = fixed_rounds if fixed_rounds is not None else max_iter
-    for r in range(n_rounds):
-        # push each node's current comp to its neighbors, take min incl. self
-        pushed = (
-            sym.join(comp, sym.src == comp.node)
-            .select(F.col("dst").alias("node"), "comp")
-            .unionByName(comp.select("node", "comp"))
+    if fixed_rounds is not None and fixed_rounds <= 0:
+        # degenerate: zero propagation rounds — identity labels
+        return (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
         )
-        new_comp = salted_min(pushed, "node", "comp", n_salt)
+    sym = sym.localCheckpoint(eager=True)
+    general = fixed_rounds is None
+    ctype = dict(sym.dtypes)["src"]
+    n_rounds = fixed_rounds if fixed_rounds is not None else max_iter
+    comp = None
+    for r in range(n_rounds):
+        if r == 0:
+            # FUSED round 1 (r6 optimization): with the identity seed
+            # comp(v)=v the first push+min round equals
+            # min(self, min over neighbors), computable as ONE
+            # aggregation over sym (every node appears as src in the
+            # symmetric relation) — this replaces the seed distinct,
+            # the seed checkpoint AND the round-1 join. A plain
+            # groupBy-min is used instead of salted_min throughout:
+            # Spark's partial (map-side) aggregation already IS the
+            # two-phase salted min — each map task emits one row per
+            # key, so a hot star center receives at most #map-tasks
+            # rows at the reducer (the physical partition is the salt;
+            # n_salt is kept for API compatibility).
+            agg = sym.groupBy(F.col("src").alias("node")).agg(
+                F.min("dst").alias("_m")
+            )
+            new_comp = agg.select(
+                "node",
+                F.least(F.col("node"), F.col("_m")).alias("comp"),
+                *([(F.col("_m") < F.col("node")).alias("_chg")]
+                  if general else []),
+            )
+        else:
+            # push each node's current comp to its neighbors, take min
+            # incl. self; the self branch carries the old label so the
+            # strict-decrease flag falls out of the same aggregation.
+            pushed = (
+                sym.join(comp, sym.src == comp.node)
+                .select(F.col("dst").alias("node"), "comp",
+                        F.lit(None).cast(ctype).alias("_old"))
+                .unionByName(
+                    comp.select("node", "comp",
+                                F.col("comp").alias("_old"))
+                )
+            )
+            agg = pushed.groupBy("node").agg(
+                F.min("comp").alias("comp"), F.min("_old").alias("_old")
+            )
+            new_comp = agg.select(
+                "node", "comp",
+                *([(F.col("comp") < F.col("_old")).alias("_chg")]
+                  if general else []),
+            )
         # pointer jumping (path compression): comp(v) ← comp(comp(v)).
         # Neighbor-min alone moves the min one hop per round (O(diameter));
         # with jumping each round roughly halves pointer depth → O(log n)
@@ -125,29 +164,42 @@ def connected_components(
         # identity for any graph whose declared round budget converged —
         # the star-forest case), and the self-join would double-compute
         # the un-checkpointed round, so it is skipped on the final round.
-        if fixed_rounds is None or r < n_rounds - 1:
+        if general or r < n_rounds - 1:
+            # both self-join sides share the round aggregation's shuffle
+            # via ReuseExchange (same subtree, same partitioning), so the
+            # min step is computed once per round without an explicit
+            # persist — measured: a persist here SERIALIZES the two join
+            # branches on cache materialization locks (7.5-15 s vs 4-5 s
+            # per CC call at bench scale).
             x, y = new_comp.alias("x"), new_comp.alias("y")
-            new_comp = (
+            jumped = (
                 x.join(y, F.col("x.comp") == F.col("y.node"), "left")
                 .select(
                     F.col("x.node").alias("node"),
                     F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
+                    *([F.col("x._chg").alias("_chg")] if general else []),
                 )
             )
-        if fixed_rounds is None:
-            new_comp = new_comp.localCheckpoint(eager=True)
-            changed = (
-                new_comp.alias("n")
-                .join(comp.alias("o"), "node")
-                .where(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
-            comp = new_comp
+        else:
+            jumped = new_comp
+        if general:
+            jumped = jumped.localCheckpoint(eager=True)
+            # fixpoint probe, FUSED into the round aggregation (r6):
+            # labels are monotone non-increasing under both the push-min
+            # and the jump, so "some label strictly decreased in the min
+            # step" (_chg) is equivalent to the old post-jump frame
+            # comparison — min-step identity implies every label already
+            # equals its component minimum (a stable assignment is
+            # constant per component and bounded by the min node's own
+            # monotone label), hence the jump is the identity too. The
+            # probe is a short-circuit scan of the checkpointed frame
+            # instead of a join job per round.
+            changed = jumped.where(F.col("_chg")).limit(1).count()
+            comp = jumped.select("node", "comp")
             if changed == 0:
                 break
         else:
-            comp = new_comp
+            comp = jumped
     return comp
 
 
