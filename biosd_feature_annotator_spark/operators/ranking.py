@@ -191,12 +191,11 @@ def cooccurrence_pmi(
     aggregates are map-side combinable, and the final df lookups join a
     vocabulary-sized relation. `doc` is the join key, so term skew
     cannot concentrate a partition."""
-    from ..cache import scoped_persist
-
-    toks_all = scoped_persist(
-        _terms(docs, id_col, text_col, min_term_len).distinct(),
-        "ranking.pmi.toks",
-    )
+    # NOT persisted (r6, measured): every consumer hangs off one action
+    # and shares the identical distinct exchange via ReuseExchange; the
+    # explicit persist paid cache materialization for work Catalyst
+    # already dedups (same lesson as association_rules).
+    toks_all = _terms(docs, id_col, text_col, min_term_len).distinct()
     n = toks_all.agg(F.count_distinct("doc").alias("n_docs"))
     dfreq = toks_all.groupBy("term").agg(F.count("*").alias("df"))
     if max_df is not None:
@@ -210,7 +209,7 @@ def cooccurrence_pmi(
         a.join(b, "doc")
         .where(F.col("term_a") < F.col("term_b"))
         .groupBy("term_a", "term_b")
-        .agg(F.count("*").alias("co"))
+        .agg(F.count(F.lit(1)).alias("co"))
         .where(F.col("co") >= min_pair_count)
     )
     da = dfreq.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
@@ -351,31 +350,34 @@ def association_rules(
     means positively associated; lift is symmetric, confidence is the
     directional part.
 
-    Scale shape: one distinct shuffle for presence (persisted — it
+    Scale shape: one distinct shuffle for presence (NOT persisted — it
     feeds the N aggregate, the item-support aggregate, and both
-    self-join sides), then the same basket-keyed self-join as
+    self-join sides, but all consumers hang off one action and share
+    the identical distinct exchange via ReuseExchange; both an explicit
+    persist and a collect_set/local-pair-expansion rewrite measured
+    slower at r6), then the same basket-keyed pair self-join as
     cooccurrence_pmi — quadratic per basket in DISTINCT items, the
-    inherent pairwise cost, with min_item_support pruning items
-    BEFORE pairing (the Apriori antimonotonicity: a pair can never
-    out-support its rarer item). Supports are vocabulary-sized and
-    broadcast to the pair relation; basket is the join key, so item
-    skew cannot concentrate a partition."""
-    from ..cache import scoped_persist
-
-    presence = scoped_persist(
-        baskets.select(
-            F.col(basket_col).alias("basket"),
-            F.col(item_col).alias("item"),
-        ).distinct(),
-        "ranking.assoc.presence",
-    )
+    inherent pairwise cost, with min_item_support pruning items BEFORE
+    pairing (the Apriori antimonotonicity: a pair can never out-support
+    its rarer item) — skipped outright when min_item_support <= 1,
+    where the prune is provably a no-op (every present item has
+    supp >= 1). Supports are vocabulary-sized and broadcast to the pair
+    relation; basket is the join key, so item skew cannot concentrate a
+    partition."""
+    presence = baskets.select(
+        F.col(basket_col).alias("basket"),
+        F.col(item_col).alias("item"),
+    ).distinct()
     n = presence.agg(F.count_distinct("basket").alias("n_baskets"))
     support = (
         presence.groupBy("item")
         .agg(F.count(F.lit(1)).alias("supp"))
         .where(F.col("supp") >= min_item_support)
     )
-    kept = presence.join(support.select("item"), "item", "left_semi")
+    if min_item_support > 1:
+        kept = presence.join(support.select("item"), "item", "left_semi")
+    else:
+        kept = presence
     a = kept.select("basket", F.col("item").alias("item_a"))
     b = kept.select("basket", F.col("item").alias("item_b"))
     pairs = (

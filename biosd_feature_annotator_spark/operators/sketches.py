@@ -598,16 +598,32 @@ def kmv_state(
     (merge_kmv_states): bottom-k of a union is the bottom-k of the
     unioned bottom-k's, so incremental maintenance is exact.
 
-    Scale shape: one (key, h) distinct (map-side combinable — dedup
-    collapses before the shuffle) + one per-key window cut to k rows;
-    state ≤ k rows per key forever."""
+    Scale shape (r6): the old single per-key window sorted EVERY
+    distinct hash of a key in one task (a handful of keys ⇒ a handful
+    of straggler tasks). Bottom-k of a union equals the bottom-k of
+    unioned per-part bottom-k's (the merge_kmv_states property), so the
+    cut is two-level: salt each hash by pmod(h, S) with S the session
+    shuffle parallelism (scale-adaptive, not a local constant), build
+    per-(key, salt) sorted distinct sets in ONE grouped shuffle
+    (collect_set partial-aggregates map-side — the separate distinct
+    exchange is gone), slice each to k, then rank the ≤ S·k surviving
+    candidates per key in a second, candidate-sized window. No task
+    ever sorts more than ~|distinct|/S + S·k hashes."""
+    spark = df.sparkSession
+    try:
+        n_salt = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        n_salt = 64
     h = hash64(F.col(value_col), hasher="md5")
-    d = df.select(*key_cols, h.alias("h")).dropDuplicates(
-        [*key_cols, "h"]
+    local = (
+        df.select(*key_cols, h.alias("h"))
+        .groupBy(*key_cols, F.pmod(F.col("h"), F.lit(n_salt)).alias("_salt"))
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs"))
+        .select(*key_cols, F.explode("_hs").alias("h"))
     )
     w = Window.partitionBy(*key_cols).orderBy("h")
     return (
-        d.withColumn("r", F.row_number().over(w).cast("long"))
+        local.withColumn("r", F.row_number().over(w).cast("long"))
         .where(F.col("r") <= k)
     )
 
