@@ -174,12 +174,16 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bh")
-    sized = banded.join(
-        banded.groupBy("band", "bh").agg(F.count("*").alias("bsz")).where(
-            (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
-        ),
-        ["band", "bh"],
-    )
+    # bucket-size guard as ONE count-over-window on (band, bh) instead
+    # of a groupBy + size join (r6): same rows, and the window's
+    # exchange establishes exactly the (band, bh) partitioning the pair
+    # self-join below needs, so both join sides share it via
+    # ReuseExchange — two exchanges removed from the plan.
+    from pyspark.sql import Window as _W
+
+    sized = banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(_W.partitionBy("band", "bh"))
+    ).where((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)).drop("bsz")
     a, b = sized.alias("a"), sized.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))

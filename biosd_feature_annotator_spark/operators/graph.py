@@ -897,7 +897,7 @@ def modularity(
 
 
 def transitive_closure(
-    edges: DataFrame, max_depth: int, checkpoint_rounds: bool = False,
+    edges: DataFrame, max_depth: int, checkpoint_rounds: bool | None = None,
 ) -> DataFrame:
     """Bounded transitive closure of edges(src, dst) → (src, dst, depth)
     for every pair reachable in 1..max_depth hops, depth = MINIMUM hop
@@ -916,8 +916,16 @@ def transitive_closure(
     shrinks as the closure saturates, so total work is proportional to
     |closure|·avg_outdeg, not |V|²; cycles terminate naturally because
     a revisited pair generates no new delta row. checkpoint_rounds cuts
-    lineage for deep hierarchies (same rationale as khop/pagerank).
+    lineage for deep hierarchies (same rationale as khop/pagerank);
+    `closure` is referenced twice per round (anti-join + union), so the
+    un-cut plan tree DOUBLES per round. Default None is depth-adaptive
+    (r6, closing the r5 ADVICE item): measured at sf0.1, no-checkpoint
+    wins at depth 3 (1.2 s vs 1.6 s — per-round job overhead) but loses
+    exponentially past the crossover (depth 6: 13.6 s vs 4.0 s;
+    depth 8: 45.7 s vs 3.7 s), so depths > 4 checkpoint automatically.
     """
+    if checkpoint_rounds is None:
+        checkpoint_rounds = max_depth > 4
     base = (
         edges.select("src", "dst").dropDuplicates()
         .withColumn("depth", F.lit(1).cast("long"))
@@ -1027,7 +1035,7 @@ def rule_confidence(
 
 def landmark_distances(
     edges: DataFrame, landmarks: DataFrame, max_dist: int,
-    directed: bool = False, checkpoint_rounds: bool = False,
+    directed: bool = False, checkpoint_rounds: bool | None = None,
 ) -> DataFrame:
     """Multi-source labeled BFS: edges(src, dst) + landmarks(node) →
     (node, landmark, dist) for every node within max_dist hops of each
@@ -1042,7 +1050,14 @@ def landmark_distances(
     keyed by (landmark, node) so all sources expand in the SAME
     per-round join — one edge-list pass per round total, not per
     landmark. The anti-join on (landmark, node) enforces min-dist and
-    keeps each round's join input proportional to the new frontier."""
+    keeps each round's join input proportional to the new frontier.
+    checkpoint_rounds default None is depth-adaptive like
+    transitive_closure (r6): measured no-checkpoint wins at the
+    dist-3 fixture (2.1 s vs 2.7 s warm at sf0.1) but the frontier
+    chain re-executes per round without cuts, so deeper sweeps
+    checkpoint automatically."""
+    if checkpoint_rounds is None:
+        checkpoint_rounds = max_dist > 4
     sym = edges.select("src", "dst")
     if not directed:
         sym = sym.unionByName(
@@ -1105,9 +1120,16 @@ def weighted_sssp(
     references dist TWICE, so without a per-round lineage cut the plan
     tree doubles every round (Catalyst plans are trees — no common
     subtree sharing) and round R recomputes the whole relaxation 2^R
-    times. The eager checkpoints materialize two nodes-sized frames
-    per round; measured at sf0.1 they turn a 12 s 3-round run into
-    sub-second rounds. Only disable for rounds ≤ 2 micro-graphs."""
+    times. The eager checkpoints materialize one merged nodes-sized
+    frame per round; measured at sf0.1 they turn a 12 s 3-round run
+    into sub-second rounds. Only disable for rounds ≤ 2 micro-graphs.
+
+    r6: the frontier is carried as a _new flag INSIDE the checkpointed
+    frame — previously `improved` hung off the PREVIOUS round's
+    (un-materialized) frontier chain, so round R's checkpoint job
+    re-ran every earlier round's relaxation join (O(R²) joins overall);
+    now both dist and the next frontier are column slices of the same
+    materialized frame and lineage is fully cut each round."""
     from ..cache import scoped_persist
 
     # the weighted edge list joins every round — persist once
@@ -1138,15 +1160,15 @@ def weighted_sssp(
             .where(F.col("_cur").isNull() | (F.col("_d2") < F.col("_cur")))
             .select("node", F.col("_d2").alias("dist"))
         )
-        dist = (
+        merged = (
             dist.join(improved.select("node"), "node", "left_anti")
-            .unionByName(improved)
+            .withColumn("_new", F.lit(False))
+            .unionByName(improved.withColumn("_new", F.lit(True)))
         )
         if checkpoint_rounds:
-            # one cut per round is enough for linear lineage: improved
-            # hangs off the PREVIOUS checkpointed dist, so only the
-            # twice-referenced dist needs materializing
-            dist = dist.localCheckpoint(eager=True)
+            merged = merged.localCheckpoint(eager=True)
+        dist = merged.select("node", "dist")
+        improved = merged.where(F.col("_new")).select("node", "dist")
     return dist
 
 
@@ -1174,7 +1196,9 @@ def dag_layers(
     weighted_sssp: the layer ← layer ▷ improved ∪ improved update
     references layer twice, doubling the plan tree per round (no
     common-subtree sharing in Catalyst) — measured 50 s → sub-second
-    rounds at sf0.1 with the per-round eager cuts."""
+    rounds at sf0.1 with the per-round eager cuts. r6: the frontier is
+    carried as a _new flag inside the checkpointed frame so the
+    improved-chain lineage is cut too (see weighted_sssp)."""
     # re-derived per reference by design — measured cheaper than a
     # persist at bench scale (see landmark_distances); persist `edges`
     # upstream for an expensive input
@@ -1204,14 +1228,15 @@ def dag_layers(
             .where(F.col("_cur").isNull() | (F.col("_l2") > F.col("_cur")))
             .select("node", F.col("_l2").alias("layer"))
         )
-        layer = (
+        merged = (
             layer.join(improved.select("node"), "node", "left_anti")
-            .unionByName(improved)
+            .withColumn("_new", F.lit(False))
+            .unionByName(improved.withColumn("_new", F.lit(True)))
         )
         if checkpoint_rounds:
-            # one cut per round (see weighted_sssp): only the
-            # twice-referenced layer frame needs materializing
-            layer = layer.localCheckpoint(eager=True)
+            merged = merged.localCheckpoint(eager=True)
+        layer = merged.select("node", "layer")
+        improved = merged.where(F.col("_new")).select("node", "layer")
     return layer
 
 
