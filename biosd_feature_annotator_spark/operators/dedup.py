@@ -371,20 +371,15 @@ def prefix_jaccard_pairs(
     from fractions import Fraction
 
     from pyspark.sql import Window
-
-    from ..cache import scoped_persist
-
     frac = Fraction(threshold).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
 
-    # the shingle relation feeds FOUR plan branches (df counts, the
-    # rank window, and both verify sides); without a persist each
-    # branch re-tokenizes the corpus — at 100 TB that is 4 full scans.
-    # scoped_persist keeps at most one live cache across invocations.
-    sh = scoped_persist(
-        word_shingles(df, id_col, text_col, n, hasher=hasher),
-        "dedup.prefix_jaccard.sh",
-    )
+    # NOT persisted (r6, measured 2.4-3.0 s -> 1.9-2.2 s at sf0.1):
+    # all four branches (df counts, the rank window, both verify
+    # sides) end in word_shingles' identical dropDuplicates exchange,
+    # which ReuseExchange computes once — the persist paid a cache
+    # round-trip for nothing and hid size stats from the join planner.
+    sh = word_shingles(df, id_col, text_col, n, hasher=hasher)
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
     by_doc = Window.partitionBy("doc")
     ranked = sh.join(dfreq, "sh").select(
@@ -465,16 +460,12 @@ def containment_pairs(
     from fractions import Fraction
 
     from pyspark.sql import Window
-
-    from ..cache import scoped_persist
-
     frac = Fraction(threshold).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
 
-    sh = scoped_persist(
-        word_shingles(df, id_col, text_col, n, hasher=hasher),
-        "dedup.containment.sh",
-    )
+    # NOT persisted (r6, measured 2.5-2.7 s -> 1.7-2.1 s at sf0.1):
+    # same ReuseExchange argument as prefix_jaccard_pairs above.
+    sh = word_shingles(df, id_col, text_col, n, hasher=hasher)
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
     by_doc = Window.partitionBy("doc")
     ranked = sh.join(dfreq, "sh").select(

@@ -119,21 +119,19 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     - per-node counts = explode the 3 corners + one map-side-combinable
       count.
     """
-    from ..cache import scoped_persist
-
-    e = scoped_persist(
+    # NOT persisted (r6, measured 3.6 s -> 1.46 s on the MinHash-graph
+    # bench fixture): the three join sides all end in the identical
+    # canonicalize+dropDuplicates exchange, which ReuseExchange
+    # computes once — even an expensive upstream (the full MinHash
+    # candidate generation here) runs a single time without the cache
+    # round-trip, and the planner keeps real size stats.
+    e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
             F.greatest(F.col(a), F.col(b)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"]),
-        # the edge list feeds THREE join sides; without a persist Spark
-        # re-derives it (and everything upstream — e.g. a full MinHash
-        # candidate generation) once per side. scoped_persist
-        # (MEMORY_AND_DISK): spills at 100 TB instead of OOMing, and a
-        # re-invocation releases the previous run's cache.
-        "graph.triangles.edges",
+        .dropDuplicates(["u", "v"])
     )
     wedge = (
         e.alias("e1")
@@ -984,17 +982,13 @@ def rule_confidence(
     against the triple store for head matching — each a plain shuffle
     join with map-side-combinable counts on top. The all-UNION oracle
     replays every step."""
-    from ..cache import scoped_persist
-
-    # the distinct triple store feeds THREE join sides (both body legs
-    # and the head match) — the triangle_counts persist discipline
-    t = scoped_persist(
-        triples.select(
-            F.col(s_col).alias("s"), F.col(p_col).alias("p"),
-            F.col(o_col).alias("o"),
-        ).dropDuplicates(),
-        "graph.rules.triples",
-    )
+    # NOT persisted (r6, measured 1.86 s -> 1.42 s at sf0.1): the three
+    # join sides share the identical dropDuplicates exchange via
+    # ReuseExchange (the triangle_counts argument).
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+        F.col(o_col).alias("o"),
+    ).dropDuplicates()
     t1 = t.select(
         F.col("p").alias("body_p"), F.col("s").alias("x"),
         F.col("o").alias("z"),

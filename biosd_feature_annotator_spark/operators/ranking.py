@@ -44,20 +44,12 @@ def tfidf_top_terms(
     score = tf * (ln((N + 1) / (df + 1)) + 1), ranked per doc by
     (score desc, term asc). Returns (id_col, term, tf, df, score) with
     score rounded to 4 decimals for engine-portable comparison."""
-    from ..cache import scoped_persist
-
     toks = _terms(docs, id_col, text_col, min_term_len)
-    # the tf table feeds both the score join and the df aggregate;
-    # persisted so the corpus is tokenized once (a pushed-down filter
-    # rewrites the branches unequally, so exchange reuse alone can't
-    # dedup them). scoped_persist (MEMORY_AND_DISK): at most one live
-    # cached tf table per session — a re-invocation drops the previous
-    # run's cache instead of accumulating pinned plans or being silently
-    # served by CacheManager plan-equality.
-    tf = scoped_persist(
-        toks.groupBy("doc", "term").agg(F.count("*").alias("tf")),
-        "ranking.tfidf.tf",
-    )
+    # NOT persisted (r6, measured 0.84 s -> 0.72 s at sf0.1): the score
+    # join and the df aggregate share the (doc, term) aggregation's
+    # exchange via ReuseExchange, and the persist hid size stats from
+    # the join planner besides paying cache materialization.
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
@@ -102,8 +94,6 @@ def bm25_scores(
     contributions are summed in query_terms order via conditional
     aggregates — each folds exactly one row, so the double addition
     order is fixed and engine-portable."""
-    from ..cache import scoped_persist
-
     if not query_terms:
         # zero aggregate expressions would make groupBy().agg() raise an
         # AnalysisException; an empty query scores nothing by definition
@@ -111,17 +101,16 @@ def bm25_scores(
             F.col(id_col), F.lit(0.0).alias("bm25")
         ).where(F.lit(False))
 
-    # every branch (dl, stats, tf, df) derives from ONE persisted
-    # (doc, term) aggregate, so the corpus is tokenized and scanned a
-    # single time instead of once per statistic (exchange reuse alone
-    # can't dedup the branches: the query-term filter pushes down into
-    # one of them and makes the subtrees unequal). scoped_persist: one
-    # live cached tf table max; re-invocation drops the previous cache.
-    tf_all = scoped_persist(
+    # NOT persisted (r6, measured 1.07 s -> 0.89 s at sf0.1): the
+    # query-term filter pushes below the aggregate on the tf branch, so
+    # at worst the corpus is tokenized twice (one full pass for
+    # dl/stats, one term-filtered pass for tf/df) — cheaper than a
+    # corpus-sized cache write + four cache reads, and the planner
+    # keeps real size stats for the joins.
+    tf_all = (
         _terms(docs, id_col, text_col, min_term_len)
         .groupBy("doc", "term")
-        .agg(F.count("*").alias("tf")),
-        "ranking.bm25.tf",
+        .agg(F.count("*").alias("tf"))
     )
     dl = tf_all.groupBy("doc").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
@@ -268,18 +257,17 @@ def tfidf_cosine_pairs(
     `quant` bounds: unit components ≤ quant ⇒ per-term products
     ≤ quant², and ~1e3 shared terms stay well inside int64."""
     from fractions import Fraction
-
-    from ..cache import scoped_persist
-
     frac = Fraction(threshold).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
     q0 = quant // 100  # raw-weight grid: keeps wq0^2 sums inside int64
 
-    tf = scoped_persist(
+    # NOT persisted (r6, measured 1.72 s -> 1.47 s with both this and
+    # the w persist removed): the branches share the aggregation
+    # exchanges via ReuseExchange.
+    tf = (
         _terms(docs, id_col, text_col, min_term_len)
         .groupBy("doc", "term")
-        .agg(F.count("*").alias("tf")),
-        "ranking.cos.tf",
+        .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -296,7 +284,6 @@ def tfidf_cosine_pairs(
             ).cast("long").alias("wq0"),
         )
     )
-    w = scoped_persist(w, "ranking.cos.w")
     norms = w.groupBy("doc").agg(F.sum(F.col("wq0") * F.col("wq0")).alias("ss"))
     unit = (
         w.join(norms, "doc")
@@ -458,20 +445,20 @@ def phrase_search(
     toks = phrase.split()
     if not toks:
         raise ValueError("phrase must contain at least one token")
-    from ..cache import scoped_persist
-
     norm = F.split(
         F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))),
         " ",
     )
-    post = scoped_persist(
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(norm).alias("pos", "token"),
-        )
-        .where(F.col("token").isin(list(set(toks)))),
-        "ranking.phrase.postings",
-    )
+    # NOT persisted (r6, measured 0.38 s -> 0.23 s at sf0.1): the
+    # per-token join sides are filtered slices of one posting relation;
+    # Catalyst pushes each token's filter into its own scan branch and
+    # the scans stay column-pruned, which measured cheaper than a cache
+    # round-trip (the r2 three-FileScan reading predates the isin
+    # pre-filter above).
+    post = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(norm).alias("pos", "token"),
+    ).where(F.col("token").isin(list(set(toks))))
     out = (
         post.where(F.col("token") == toks[0])
         .select("id", F.col("pos").cast("long").alias("start_pos"))

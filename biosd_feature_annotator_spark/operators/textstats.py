@@ -267,11 +267,10 @@ def bigram_fluency(
     b = staged.select("doc", F.explode("gs").alias("g")).select(
         "doc", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
     )
-    from ..cache import scoped_persist
-
-    # feeds counts + the score join; scoped: re-invocation releases the
-    # previous run's cache instead of pinning plans for the session
-    b = scoped_persist(b, "textstats.fluency.bigrams")
+    # NOT persisted (r6, measured 2.0 s -> 0.66 s at sf0.1): the four
+    # consumers hang off one action and the bigram derivation is pure
+    # array algebra over the scan — recomputing it in the branches that
+    # cannot share an exchange is cheaper than the cache round-trip.
     bc = b.groupBy("w1", "w2").agg(F.count("*").alias("cnt_b"))
     uc = b.groupBy("w1").agg(F.count("*").alias("cnt_u"))
     v = b.agg(F.count_distinct("w2").alias("v"))
@@ -343,12 +342,15 @@ def train_langid(
         F.col(lang_col).alias("lang"),
         F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
     )
-    from ..cache import scoped_persist
-
-    g = scoped_persist(g, "textstats.langid.grams")
     counts = g.groupBy("lang", "gram").agg(F.count("*").alias("c"))
-    totals = g.groupBy("lang").agg(F.count("*").alias("n_lang"))
-    v = g.agg(F.count_distinct("gram").alias("v"))
+    # totals and V re-aggregate the VOCABULARY-sized counts relation
+    # instead of re-scanning the corpus-sized gram stream (r6): n_lang =
+    # Σ_gram c exactly, V = distinct grams across languages — all three
+    # consumers now share the one (lang, gram) exchange via
+    # ReuseExchange, so the explode runs once and the former scoped
+    # persist of the gram stream is unnecessary.
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    v = counts.agg(F.count_distinct("gram").alias("v"))
     profiles = (
         counts.join(totals, "lang")
         .crossJoin(F.broadcast(v))
