@@ -130,6 +130,10 @@ def main() -> None:
                          else build()._jdf.queryExecution().explainString(
                              spark._jvm.org.apache.spark.sql.execution
                              .ExplainMode.fromString("formatted")))
+        if args.reps <= 0:
+            out[name] = {"explained": True}
+            print(json.dumps({name: out[name]}), flush=True)
+            continue
         samples = []
         for _ in range(args.reps):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
