@@ -1319,11 +1319,19 @@ def label_spreading(
     anti-join + union). Fixed iterations, action-free loop."""
     from pyspark.sql import Window
 
+    from ..cache import scoped_persist
+
     sym = edges.select("src", "dst")
     if not directed:
         sym = sym.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+    # the edge list joins once per ROUND, and rounds are separate
+    # checkpoint jobs — ReuseExchange cannot span actions, so without a
+    # persist the (possibly expensive) edge derivation re-executes every
+    # round (the weighted_sssp multi-action discipline; the
+    # single-action persists removed in r6 are a different case).
+    sym = scoped_persist(sym, "graph.spread.sym")
     s = seeds.select("node", "label").dropDuplicates(["node"])
     labels = s
     for _ in range(iters):

@@ -272,23 +272,34 @@ def bigram_fluency(
     # array algebra over the scan — recomputing it in the branches that
     # cannot share an exchange is cheaper than the cache round-trip.
     bc = b.groupBy("w1", "w2").agg(F.count("*").alias("cnt_b"))
-    uc = b.groupBy("w1").agg(F.count("*").alias("cnt_u"))
-    v = b.agg(F.count_distinct("w2").alias("v"))
-    scored = (
-        b.join(bc, ["w1", "w2"])
-        .join(uc, "w1")
+    # unigram counts and V re-aggregate the VOCABULARY-sized bigram
+    # counts instead of re-deriving the corpus-sized bigram stream
+    # (r6, the train_langid trick): cnt_u = Σ_w2 cnt_b exactly, V =
+    # distinct w2 across bigrams — both consumers share bc's exchange
+    # via ReuseExchange.
+    uc = bc.groupBy("w1").agg(F.sum("cnt_b").alias("cnt_u"))
+    v = bc.agg(F.count_distinct("w2").alias("v"))
+    # per-DISTINCT-bigram log-prob first (vocabulary-sized join chain),
+    # then ONE attach join to the corpus-sized bigram stream (r6): the
+    # old form joined the stream against bc on (w1, w2) and again
+    # against uc on (w1) — two full-stream exchanges the lp-table
+    # precompute removes (the attach broadcasts when the vocabulary
+    # fits, and the planner keeps real stats either way).
+    lp = (
+        bc.join(uc, "w1")
         .crossJoin(F.broadcast(v))
-        .withColumn(
-            "lp_micro",
+        .select(
+            "w1", "w2",
             F.round(
                 F.log(
                     (F.col("cnt_b") + F.lit(1.0))
                     / (F.col("cnt_u") + F.col("v"))
                 )
                 * F.lit(1000000.0)
-            ).cast("long"),
+            ).cast("long").alias("lp_micro"),
         )
     )
+    scored = b.join(lp, ["w1", "w2"])
     return scored.groupBy("doc").agg(
         F.count("*").alias("n_bigrams"),
         F.round(

@@ -124,14 +124,27 @@ def _stage_single_file(
     if n_files <= 1:
         shutil.copy(events_path, os.path.join(in_dir, "part-0.parquet"))
     else:
+        import time
+
         import pyarrow.parquet as pq
 
         t = pq.read_table(events_path)
         step = max(1, -(-t.num_rows // n_files))
+        base = time.time() - n_files - 1
         for i in range(0, n_files):
             chunk = t.slice(i * step, step)
             if chunk.num_rows:
-                pq.write_table(chunk, os.path.join(in_dir, f"part-{i}.parquet"))
+                p = os.path.join(in_dir, f"part-{i}.parquet")
+                pq.write_table(chunk, p)
+                # Spark's FileStreamSource orders arriving files by
+                # MODIFICATION TIME, and ties (all chunks written within
+                # one ms on a fast disk) break arbitrarily — which
+                # scrambles micro-batch order. Order-free states (CMS,
+                # HLL, KMV, CC) don't care, but the funnel state machine
+                # and any time-ordered contract do: stamp strictly
+                # increasing mtimes so batch order always equals the
+                # row-range (= time) order.
+                os.utime(p, (base + i, base + i))
     return in_dir
 
 
