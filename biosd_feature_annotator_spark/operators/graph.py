@@ -173,8 +173,6 @@ def label_propagation(
     coalesce). Fixed iteration count keeps the loop action-free and the
     result engine-replicable (unrollable as per-iteration SQL CTEs for
     an r6 oracle twin)."""
-    from pyspark.sql import Window
-
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     if not directed:
         sym = sym.unionByName(
@@ -187,7 +185,6 @@ def label_propagation(
         .dropDuplicates()
     )
     labels = nodes.withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
     for _ in range(iters):
         counts = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -195,10 +192,14 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count("*").alias("n"))
         )
-        best = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("node", F.col("label").alias("new_label"))
+        # argmax via min_by over (-n, label) instead of a row_number
+        # window (r6): identical winner — (node, label) is unique in the
+        # vote relation so the composite order is total — and the
+        # aggregation partial-combines map-side with no per-node sort.
+        best = counts.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("n")).alias("_nn"), F.col("label"))
+            ).alias("new_label")
         )
         labels = labels.join(best, "node", "left").select(
             "node", F.coalesce("new_label", "label").alias("label")
@@ -1317,8 +1318,6 @@ def label_spreading(
     against the edge list, one (node, label) combinable count, one
     per-node window argmax, then the clamp (seeds override via
     anti-join + union). Fixed iterations, action-free loop."""
-    from pyspark.sql import Window
-
     from ..cache import scoped_persist
 
     sym = edges.select("src", "dst")
@@ -1340,13 +1339,12 @@ def label_spreading(
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("_n"))
         )
-        wr = Window.partitionBy("node").orderBy(
-            F.desc("_n"), F.asc("label")
-        )
-        inferred = (
-            votes.withColumn("_rk", F.row_number().over(wr))
-            .where(F.col("_rk") == 1)
-            .select("node", "label")
+        # argmax via min_by over (-n, label) — the label_propagation
+        # rewrite (r6): same winner, map-side combinable, no window sort
+        inferred = votes.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("_n")).alias("_nn"), F.col("label"))
+            ).alias("label")
         )
         labels = s.unionByName(
             inferred.join(s.select("node"), "node", "left_anti")

@@ -99,14 +99,20 @@ def link_entities(
 
 def best_link(scored: DataFrame) -> DataFrame:
     """Keep the best-confidence link per (subj, normalized surface);
-    deterministic tie-break on term_id (SURVEY.md W1)."""
-    w = Window.partitionBy("subj", "match_norm").orderBy(
-        F.desc("conf"), F.asc("term_id")
-    )
+    deterministic tie-break on term_id (SURVEY.md W1). Winner election
+    is min_by over (-conf, term_id) instead of a row_number window
+    (r6): identical row out (term_id is unique per candidate set, so
+    the composite order is total), map-side combinable — no per-group
+    sort of the full candidate relation."""
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        scored.groupBy("subj", "match_norm")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in scored.columns]),
+                F.struct((-F.col("conf")).alias("_nc"), F.col("term_id")),
+            ).alias("_r")
+        )
+        .select("_r.*")
     )
 
 

@@ -509,15 +509,21 @@ def apply_cdc_log(
     key's ops); a deterministic tie-break on op_col is appended so
     equal-seq replays are at least stable, but relying on it means the
     upstream CDC extractor is broken."""
-    from pyspark.sql import Window
-
     seq = list(seq_cols or ["ts"])
-    w = Window.partitionBy(*key_cols).orderBy(
-        *[F.desc(c) for c in seq], F.desc(op_col)
-    )
+    # last-op election via max_by over (seq…, op) instead of a
+    # row_number window (r6): identical winner under the caller's
+    # total-order contract, map-side combinable — each map task ships
+    # one candidate op per key instead of the whole log slice being
+    # sorted per key.
     last = (
-        ops.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
+        ops.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in ops.columns]),
+                F.struct(*[F.col(c) for c in seq], F.col(op_col)),
+            ).alias("_r")
+        )
+        .select("_r.*")
     )
     upserts = last.where(F.col(op_col) != "D").select(
         *key_cols, *value_cols
