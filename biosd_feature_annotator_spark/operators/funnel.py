@@ -516,31 +516,24 @@ def ohlc_buckets(
     pinned by the (ts, order_col) total order, so ties at identical
     timestamps are deterministic.
 
-    Scale shape: one (key, bucket)-partitioned window pass for the
-    first/last row_numbers (the only shuffle — same key as the final
-    group) and one map-side-combinable min/max/count aggregation; the
-    open/close values ride through the same aggregation as conditional
-    max over the rank-flagged rows, so there is no second join. Output
-    is buckets-sized."""
+    Scale shape (r6): ONE map-side-combinable aggregation — open/close
+    are min_by/max_by over the (ts, order) composite (identical to the
+    old first/last row_number windows: order_col makes the composite a
+    total order), so the former window exchange + two full per-bucket
+    sorts are gone and each map task ships one candidate row per
+    bucket. Output is buckets-sized."""
     epoch = _epoch_floor(ts_col)
     bucket = (epoch - F.pmod(epoch, F.lit(bucket_seconds))).alias("bucket")
     base = events.select(
         *key_cols, bucket, F.col(ts_col).alias("_ts"),
         F.col(order_col).alias("_oid"), F.col(value_col).alias("_v"),
     )
-    w = Window.partitionBy(*key_cols, "bucket")
-    asc = w.orderBy("_ts", "_oid")
-    desc = w.orderBy(F.desc("_ts"), F.desc("_oid"))
-    ranked = base.select(
-        *key_cols, "bucket", "_v",
-        F.row_number().over(asc).alias("_rf"),
-        F.row_number().over(desc).alias("_rl"),
-    )
-    return ranked.groupBy(*key_cols, "bucket").agg(
-        F.max(F.when(F.col("_rf") == 1, F.col("_v"))).alias("open"),
+    order = F.struct(F.col("_ts"), F.col("_oid"))
+    return base.groupBy(*key_cols, "bucket").agg(
+        F.min_by("_v", order).alias("open"),
         F.max("_v").alias("high"),
         F.min("_v").alias("low"),
-        F.max(F.when(F.col("_rl") == 1, F.col("_v"))).alias("close"),
+        F.max_by("_v", order).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
 
