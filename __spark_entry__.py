@@ -2487,12 +2487,19 @@ def q_events_rolling_uniques(spark, sf):
         (epoch - F.pmod(epoch, F.lit(86400))).alias("pb"),
         F.col("user_id").alias("u"),
     ).dropDuplicates()
-    anchors = pres.select(F.col("pb").alias("wb")).dropDuplicates()
+    # r6: buckets are day-aligned, so a presence day pb feeds EXACTLY the
+    # seven window buckets {pb + i·86400}: explode those instead of the
+    # old anchors×pres theta join (a BroadcastNestedLoop evaluating every
+    # presence row against every anchor — guide §3's accidental-product
+    # shape). Phantom buckets past the last observed day aggregate a few
+    # spurious rows that the inner est-join below drops, exactly as the
+    # old anchors semi-restriction did — result-identical (pinned).
     exact = (
-        anchors.join(
-            pres,
-            (F.col("pb") <= F.col("wb"))
-            & (F.col("pb") >= F.col("wb") - F.lit(6 * 86400)),
+        pres.select(
+            F.explode(
+                F.array(*[F.col("pb") + F.lit(i * 86400) for i in range(7)])
+            ).alias("wb"),
+            "u",
         )
         .groupBy("wb")
         .agg(F.count_distinct("u").alias("exact_users"))

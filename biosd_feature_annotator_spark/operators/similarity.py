@@ -37,6 +37,34 @@ def _vecd(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _dot(a, b) -> F.Column:
+    """Dot product — the identical zip_with + left-fold ``cosine`` uses."""
+    return F.aggregate(
+        F.zip_with(_vecd(a), _vecd(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(col) -> F.Column:
+    """L2 norm — sqrt of the identical x*x left-fold ``cosine`` computes
+    inline. Hoisted per VECTOR by the pairwise operators below (r6): the
+    norm is a function of one vector, so folding it per candidate PAIR
+    (as an inline ``cosine`` does) repeats the same interpreted
+    higher-order-function work once per pair instead of once per row.
+    Same expression tree on the same values ⟹ bit-identical doubles, and
+    dot/(na*nb) is evaluated in the same order as before — the hoisted
+    form is IEEE-equal to the inline form (pinned by test)."""
+    return F.sqrt(F.aggregate(_vecd(col), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cos_pre(qv, cv, qn, cn) -> F.Column:
+    """Cosine from precomputed norms: same dot fold, same na*nb product
+    order as ``cosine`` — bit-identical, one fold per pair instead of
+    three."""
+    return _dot(qv, cv) / (F.col(qn) * F.col(cn))
+
+
 def _lit_darray(values) -> F.Column:
     """A double-array literal shipped as ONE CSV string and expanded by
     Catalyst's ConstantFolding at optimization time. F.array(*64 F.lit)
@@ -229,11 +257,17 @@ def cosine_topk(
     """Brute-force top-k. Broadcast the smaller side: with
     broadcast_corpus the join is a broadcast nested loop (no shuffle of
     queries); otherwise queries broadcast."""
-    q = queries.select(F.col(id_q).alias("query_id"), F.col(vec).alias("qv"))
-    c = corpus.select(F.col(id_c).alias("neighbor_id"), F.col(vec).alias("cv"))
+    q = queries.select(
+        F.col(id_q).alias("query_id"), F.col(vec).alias("qv"),
+        _norm(F.col(vec)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_c).alias("neighbor_id"), F.col(vec).alias("cv"),
+        _norm(F.col(vec)).alias("cn"),
+    )
     joined = q.join(F.broadcast(c), how="cross") if broadcast_corpus else F.broadcast(q).crossJoin(c)
     scored = joined.where(F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos")
+        "query_id", "neighbor_id", _cos_pre("qv", "cv", "qn", "cn").alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -349,8 +383,17 @@ def lsh_cosine_topk(
         # NOTE (r6, measured): an ids-only banding with the vectors
         # re-attached to the deduped pair list by id measured SLOWER
         # here (6.5-8.4 s vs 2.5-2.8 s at sf1.0) — the query side
-        # broadcasts, so the corpus vectors cross one dropDuplicates
+        # broadcasts, so the corpus vectors cross only one dropDuplicates
         # exchange either way and the attach joins were pure overhead.
+        # ALSO rejected on measurement (r6, second pass): (a) hoisting
+        # the two norm folds out of the inline cosine (per vector instead
+        # of per pair — the rewrite KEPT for ivf/brute/semantic scoring)
+        # measured neutral on the bench embeddings (0.832 vs 0.838 s
+        # min-of-5, sf0.1) and 35% SLOWER on a clustered 20k corpus;
+        # (b) scoring before the pair dedup (to shuffle (id,id,cos)
+        # instead of vector payloads) lost 2.2x on the same clustered
+        # corpus — near vectors collide in most of their bands, so the
+        # pre-dedup fold count multiplies by the collision factor.
         sig = lsh_signature(F.col(vec), planes, kernel=kernel)
         base = df.select(
             F.col(idc).alias(alias_id), F.col(vec).alias(keep_vec), sig.alias("sig")
@@ -424,14 +467,18 @@ def ivf_cosine_topk(
     cents = centroids if centroids is not None else _planes(n_cells, dim, seed)
     c = corpus.select(
         F.col(id_c).alias("neighbor_id"), F.col(vec).alias("cv"),
+        _norm(F.col(vec)).alias("cn"),
         F.element_at(_cells_col(F.col(vec), cents, 1, kernel), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_q).alias("query_id"), F.col(vec).alias("qv"),
+        _norm(F.col(vec)).alias("qn"),
         F.explode(_cells_col(F.col(vec), cents, n_probe, kernel)).alias("cell"),
     )
     cand = q.join(c, "cell").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos"))
+    scored = cand.select(
+        "query_id", "neighbor_id", _cos_pre("qv", "cv", "qn", "cn").alias("cos")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -450,11 +497,13 @@ def cosine_pairs_above(
     base = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
     if limit_ids is not None:
         base = base.where(F.col("id") < limit_ids)
-    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                    _norm(F.col("v")).alias("na"))
+    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                    _norm(F.col("v")).alias("nb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", cosine("va", "vb").alias("cos"))
+        .select("a", "b", _cos_pre("va", "vb", "na", "nb").alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -486,14 +535,17 @@ def semantic_dedup(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec).alias("v"),
+        _norm(F.col(vec)).alias("n"),
         F.element_at(_cells_col(F.col(vec), cents, 1, kernel), 1).alias("cell"),
     )
-    a = base.select("cell", F.col("id").alias("a"), F.col("v").alias("va"))
-    b = base.select("cell", F.col("id").alias("b"), F.col("v").alias("vb"))
+    a = base.select("cell", F.col("id").alias("a"), F.col("v").alias("va"),
+                    F.col("n").alias("na"))
+    b = base.select("cell", F.col("id").alias("b"), F.col("v").alias("vb"),
+                    F.col("n").alias("nb"))
     dups = (
         a.join(b, "cell")
         .where(F.col("a") < F.col("b"))
-        .where(cosine("va", "vb") >= threshold)
+        .where(_cos_pre("va", "vb", "na", "nb") >= threshold)
         .select(F.col("b").alias("dup_id"))
         .distinct()
     )

@@ -216,6 +216,112 @@ def test_lsh_candidates_match_join_sizing_formulation(spark):
     assert _rows(got) == _rows(want)
 
 
+def _synth_emb(spark, n):
+    from biosd_feature_annotator_spark.operators.similarity import (
+        synth_clustered_embeddings,
+    )
+
+    return synth_clustered_embeddings(spark, n, dim=64)
+
+
+def test_cosine_topk_matches_inline_cosine_formulation(spark):
+    """Brute-force top-k with hoisted norms == the inline-cosine form,
+    raw doubles compared exactly."""
+    from biosd_feature_annotator_spark.operators import similarity as s
+
+    e = _synth_emb(spark, 120)
+    q = e.where(F.col("vec_id") < 8)
+    got = _rows(s.cosine_topk(q, e, k=5))
+
+    qq = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv"))
+    cc = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(qq).crossJoin(cc)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", s.cosine("qv", "cv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    want = _rows(
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+    assert got == want
+
+
+def test_semantic_dedup_matches_inline_cosine_formulation(spark):
+    """The hoisted-norm threshold predicate flags the identical kept
+    set — the ≥ comparison sits on raw doubles, so IEEE equality of the
+    hoisted form is exactly what keeps the flags stable."""
+    from biosd_feature_annotator_spark.operators import similarity as s
+
+    e = _synth_emb(spark, 200)
+    got = _rows(s.semantic_dedup(e, threshold=0.3, n_cells=8, dim=64))
+
+    cents = s._planes(8, 64, 11)
+    base = e.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+        F.element_at(s._cells_col(F.col("embedding"), cents, 1, "arrow"), 1)
+        .alias("cell"),
+    )
+    a = base.select("cell", F.col("id").alias("a"), F.col("v").alias("va"))
+    b = base.select("cell", F.col("id").alias("b"), F.col("v").alias("vb"))
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("a") < F.col("b"))
+        .where(s.cosine("va", "vb") >= 0.3)
+        .select(F.col("b").alias("dup_id"))
+        .distinct()
+    )
+    want = _rows(
+        base.join(dups, base["id"] == dups["dup_id"], "left")
+        .select("id", "cell", F.col("dup_id").isNull().alias("kept"))
+    )
+    assert got == want
+
+
+def test_rolling_exact_explode_matches_theta_join(spark):
+    """The exploded 7-offset equi-join form of the rolling exact-uniques
+    verification == the old anchors×presence theta join, on a fixture
+    with GAP days (so phantom window buckets exist) — after the
+    restriction to observed buckets that the query's inner est-join
+    applies."""
+    day = 86400
+    # observed days 0,1,2,5,6,9 (gaps at 3,4,7,8), users cycling
+    rows = [(d * day, u) for d in (0, 1, 2, 5, 6, 9) for u in range(d % 3 + 2)]
+    pres = spark.createDataFrame(rows, "pb long, u long").dropDuplicates()
+
+    got_all = (
+        pres.select(
+            F.explode(
+                F.array(*[F.col("pb") + F.lit(i * day) for i in range(7)])
+            ).alias("wb"),
+            "u",
+        )
+        .groupBy("wb")
+        .agg(F.count_distinct("u").alias("exact_users"))
+    )
+    anchors = pres.select(F.col("pb").alias("wb")).dropDuplicates()
+    # restrict to observed buckets, as the query's inner join with the
+    # HLL est side (whose buckets are exactly the observed days) does
+    got = _rows(got_all.join(anchors.dropDuplicates(), "wb"))
+
+    want = _rows(
+        anchors.join(
+            pres,
+            (F.col("pb") <= F.col("wb"))
+            & (F.col("pb") >= F.col("wb") - F.lit(6 * day)),
+        )
+        .groupBy("wb")
+        .agg(F.count_distinct("u").alias("exact_users"))
+    )
+    assert got == want
+
+
 @pytest.mark.parametrize("shape", ["chain", "stars", "mixed"])
 def test_cc_fused_probe_matches_bruteforce(spark, shape):
     """The fused-seed/fused-probe CC returns exactly the min-id
