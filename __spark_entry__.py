@@ -144,15 +144,28 @@ def q_pricing_summary(spark, sf):
 def q_star_join_revenue(spark, sf):
     l, o, c = (_t(spark, sf, x) for x in ("lineitem", "orders", "customer"))
     n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    # r6 (guide §2.3 "aggregate before you shuffle"): revenue/count are
+    # pre-aggregated per orderkey BELOW the joins, so the orderkey and
+    # custkey exchanges move one row per ORDER instead of one per
+    # lineitem (~4x fewer, narrower). DECIMAL sums are exact and
+    # order-independent and the lineitem→orders FK is 1:1 per lineitem
+    # row, so two-level summation is value-identical (the single cast to
+    # double stays at the end); pinned against the flat formulation.
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).alias("_rev"),
+        F.count("*").alias("_n"),
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            _revenue_dec().alias("revenue"),
-            F.count("*").alias("n_items"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.sum("_n").alias("n_items"),
         )
     )
 

@@ -284,6 +284,34 @@ def test_semantic_dedup_matches_inline_cosine_formulation(spark):
     assert got == want
 
 
+def test_star_join_preagg_matches_flat_formulation(spark):
+    """Per-orderkey revenue pre-aggregation below the star joins == the
+    flat join-then-aggregate form: DECIMAL sums are exact and
+    order-independent, the lineitem→orders key is 1:1 per lineitem row,
+    and the single cast to double stays at the end — identical doubles
+    and counts on the real tables."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = _rows(entrymod.q_star_join_revenue(spark, sf))
+
+    l, o, c = (entrymod._t(spark, sf, x)
+               for x in ("lineitem", "orders", "customer"))
+    n, r = entrymod._t(spark, sf, "nation"), entrymod._t(spark, sf, "region")
+    want = _rows(
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            entrymod._revenue_dec().alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    assert got == want
+
+
 def test_rolling_exact_explode_matches_theta_join(spark):
     """The exploded 7-offset equi-join form of the rolling exact-uniques
     verification == the old anchors×presence theta join, on a fixture
